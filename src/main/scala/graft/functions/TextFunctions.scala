@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text functions (SURVEY §2.7 F1-F8, F13-F15) plus the text-analysis
+  * surface a training-data pipeline needs (language-ID heuristic, quality
+  * scoring, token counting, document fingerprinting).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` so it stays
+  * inside whole-stage codegen — no UDFs in the hot path.
+  */
+object TextFunctions {
+
+  /** F8: whitespace tokenization (reference `re.split(r'\s+', doc)` —
+    * simility_books.py:53, guessLike_u_like.py:87). Leading/trailing
+    * whitespace is trimmed first so no empty edge tokens appear. */
+  def tokenize(c: Column): Column = split(trim(c), "\\s+")
+
+  /** F2: whitespace squeeze (`replace('  ',' ')` + strip —
+    * guessLike_u_like.py:67). */
+  def squeezeWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** P8: token filters — keep tokens with length >= 2 that are not
+    * all-digits (simility_books.py:11-15; declared in every reference script
+    * though dormant in main()). */
+  def filterTokens(tokens: Column): Column =
+    filter(tokens, t => length(t) >= 2 && !(t rlike "^[0-9]+$"))
+
+  /** F7: title normalization used to deduplicate editions of the same book
+    * (simility_books.py:74-76,81-87): lowercase, truncate at the first
+    * bracket/space/digit/edition marker, then strip remaining punctuation.
+    * The character classes are preserved exactly (incl. CJK fullwidth
+    * brackets and the 第/精 edition markers). */
+  def normalizeTitle(c: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(c), "[（）【】/ () 0-9，第:精].*", ""),
+      "[.·・《》-]", "")
+
+  /** F3: split a comma-separated multi-value string (reference author lists,
+    * simility_books.py:17-20) after removing interior spaces. */
+  def splitCsvField(c: Column): Column =
+    split(regexp_replace(c, "\\s+", ""), ",")
+
+  /** F6/F15: id list -> comma-joined string under a prefixed key, the
+    * reference's Redis value/key shape (`'b_similar:%s' % id`,
+    * simility_books.py:93-94). */
+  def kvKey(prefix: String, id: Column): Column =
+    concat(lit(prefix), lit(":"), id.cast("string"))
+  def joinIds(ids: Column): Column =
+    array_join(transform(ids, _.cast("string")), ",")
+
+  // ---- training-data text analysis ------------------------------------
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** BPE-ish subword count estimate: word-piece segments produced by a
+    * regex that splits runs of letters, digits, and single punctuation,
+    * approximating byte-pair tokenizer granularity without a vocab. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-zA-Z])(?=[0-9])|(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])|\\s+"),
+      t => length(t) > 0))
+
+  /** Quality score in [0,1]: blends mean-word-length sanity, alpha ratio and
+    * stopword presence — the standard cheap heuristics a pretraining
+    * pipeline applies before expensive model-based filtering. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenize(text)
+    val nTok = size(toks).cast("double")
+    val meanLen = length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(nTok, lit(1.0))
+    val alphaRatio = (length(text) - length(regexp_replace(text, "[a-zA-Z]", ""))).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val stopRatio = size(filter(toks, t => t.isin(stopWords: _*))).cast("double") /
+      greatest(nTok, lit(1.0))
+    val lenOk = when(meanLen >= 3 && meanLen <= 10, lit(1.0)).otherwise(lit(0.0))
+    round((lenOk + alphaRatio + least(stopRatio * 4, lit(1.0))) / 3.0, 6)
+  }
+
+  private val stopWords = Seq("the", "a", "an", "of", "to", "in", "and",
+    "is", "on", "for", "with", "that", "as", "it", "at", "by")
+
+  /** Language-ID heuristic: scores text against per-language marker-token
+    * sets (n-gram/stopword evidence) and picks the argmax, falling back to
+    * script detection for CJK. Deterministic and SQL-expressible. */
+  def langIdHeuristic(text: Column): Column = {
+    val toks = tokenize(lower(text))
+    def hits(words: Seq[String]) =
+      size(filter(toks, t => t.isin(words: _*)))
+    val en = hits(Seq("the", "a", "of", "and", "to", "is", "in", "that"))
+    val es = hits(Seq("el", "la", "de", "que", "y", "los", "en", "un"))
+    val fr = hits(Seq("le", "la", "de", "et", "les", "des", "un", "une"))
+    when(text rlike "[\\u4e00-\\u9fff]", lit("zh"))
+      .when(es > en && es >= fr, lit("es"))
+      .when(fr > en && fr > es, lit("fr"))
+      .otherwise(lit("en"))
+  }
+
+  /** Document fingerprint: order-sensitive rolling hash over tokens
+    * (polynomial accumulation mod 2^61-1), for cheap exact-duplicate
+    * detection that is robust to whitespace differences. Built from
+    * `aggregate` so it is a single codegen'd pass, and expressible in ANSI
+    * SQL for the oracle. */
+  def fingerprint(text: Column): Column = {
+    val prime = lit(2305843009213693951L) // 2^61 - 1
+    aggregate(
+      tokenize(text),
+      lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(hashToken(t), prime), prime))
+  }
+
+  /** A deterministic token hash both Spark and ANSI SQL can compute:
+    * sum over characters of codepoint * (position + 1). Weak as a hash but
+    * adequate for fingerprint composition and fully portable. */
+  def hashToken(t: Column): Column =
+    aggregate(
+      zip_with(
+        split(t, ""),
+        sequence(lit(1), length(t)),
+        (ch, i) => ascii(ch).cast("long") * i.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+}

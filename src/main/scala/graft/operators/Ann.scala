@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over a dense embedding column
+  * (`array<float>`), for the similarity-search surface of a training-data
+  * pipeline (near-dup mining, retrieval eval, hard-negative mining).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k via a broadcast join of the
+  *     (small) query side against the corpus — the correctness baseline and
+  *     the right plan whenever |queries| is broadcastable.
+  *   - [[lshTopK]]: random-hyperplane LSH — each vector gets `tables`
+  *     signatures of `bits` sign-bits; candidates share a signature in at
+  *     least one table, then exact cosine re-ranks. The bucket join is the
+  *     only shuffle, its keys are 1000-executor-partitionable, and the
+  *     candidate fanout is bounded by bucket occupancy — the 100 TB path.
+  *   - [[ivfTopK]]: IVF-style coarse quantization — assign every vector to
+  *     its nearest of `nCentroids` sampled centroids, probe `nProbe` nearest
+  *     centroid cells per query, exact-rank within the probed cells.
+  *
+  * Hyperplanes/centroids are seeded, never `Math.random` — results are
+  * reproducible across runs and partitionings.
+  */
+object Ann {
+
+  /** Exact cosine top-k of `corpus` for every row of `queries`. Both inputs
+    * need (idCol, vecCol). Output: (query_id, neighbor_id, cosine, rank). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     broadcastQueries: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val joined = (if (broadcastQueries) c.crossJoin(broadcast(q)) else c.crossJoin(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Seeded random hyperplanes: `tables` x `bits` unit-free gaussian
+    * directions of dimension `dim`, as literal array columns (broadcast with
+    * the plan — tiny). */
+  private def hyperplanes(dim: Int, tables: Int, bits: Int, seed: Long) = {
+    val rnd = new Random(seed)
+    Seq.fill(tables, bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH signature join: vectors sharing a (table, signature) bucket become
+    * candidates; exact cosine re-ranks the candidates to top-k. */
+  def lshTopK(data: DataFrame, idCol: String, vecCol: String, k: Int,
+              dim: Int, tables: Int = 8, bits: Int = 12,
+              seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, tables, bits, seed)
+    val sigCols = planes.zipWithIndex.map { case (tablePlanes, t) =>
+      val sig = tablePlanes.zipWithIndex.map { case (h, j) =>
+        val hc = array(h.map(lit): _*)
+        hyperplaneSignBit(col(vecCol), hc) * lit(1L << j)
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), sig.as("sig"))
+    }
+    val bucketed = data
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(array(sigCols: _*)).as("b"))
+      .select(col("id"), col("v"), col("b.table"), col("b.sig"))
+    val l = bucketed.select(col("table"), col("sig"), col("id").as("query_id"), col("v").as("qv"))
+    val r = bucketed.select(col("table"), col("sig"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val cand = l.join(r, Seq("table", "sig"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** IVF-style ANN: sample `nCentroids` seed vectors as coarse centroids,
+    * assign every vector to its nearest centroid (broadcast centroid table),
+    * probe the `nProbe` nearest cells per query, exact-rank within them. */
+  def ivfTopK(data: DataFrame, idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val spark = data.sparkSession
+    val cents = data.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .orderBy(xxhash64(col("cid") + lit(seed))).limit(nCentroids)
+    val assigned = assignCells(data, idCol, vecCol, cents, 1)
+      .withColumnRenamed("cell", "cell")
+    val probes = assignCells(data, idCol, vecCol, cents, nProbe)
+    val l = probes.select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
+    val r = assigned.select(col("cell"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val cand = l.join(r, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Nearest `nCells` centroid ids per vector via broadcast centroid join. */
+  private def assignCells(data: DataFrame, idCol: String, vecCol: String,
+                          cents: DataFrame, nCells: Int): DataFrame = {
+    val scored = data.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", cosine(col("v"), col("cvec")))
+    val w = Window.partitionBy("id").orderBy(col("d").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= nCells)
+      .select(col("id"), col("v"), col("cid").as("cell"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** All-pairs cosine similarity join with per-key top-k (SURVEY §2.3 J7/J8).
+  *
+  * The reference computes every book's bag-of-words cosine similarity against
+  * the whole corpus with gensim, truncating to the 100 best
+  * (simility_books.py:60-63,66,72-79), and a query-vector-vs-cluster variant
+  * (guessLike_u_like.py:90,113-117). Both are materialized-index designs that
+  * cannot scale past one node.
+  *
+  * Spark-first design — a *join*, not an index:
+  *   1. explode documents into (id, term, tf) postings,
+  *   2. self-join postings on `term` (the sparse inverted-index trick: only
+  *      document pairs that share at least one term are ever materialized —
+  *      at 100 TB this is the difference between O(n²) and O(sum of squared
+  *      posting-list lengths)),
+  *   3. partial-aggregated `sum(tfA * tfB)` per pair (map-side combine
+  *      shrinks the shuffle), divide by precomputed L2 norms,
+  *   4. per-key top-k via `row_number` (Spark >= 3.5 plans WindowGroupLimit).
+  *
+  * High-document-frequency terms dominate the join cost (a term in d docs
+  * yields d² candidate pairs); `maxDf` prunes them, exactly the role the
+  * reference's stop-word list plays (guessLike_u_like.py:72-75). For 100 TB,
+  * the complementary path is MinHash-LSH banding ([[Dedup.minHashLsh]]),
+  * which replaces the term join with a bounded-fanout bucket join.
+  */
+object SimilarityJoin {
+
+  /** Postings (id, term, tf, norm) from (id, tokens array). */
+  def postings(docs: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(col(tokensCol)).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val norms = tf.groupBy("id")
+      .agg(sqrt(sum(col("tf") * col("tf"))).as("norm"))
+    tf.join(norms, "id")
+  }
+
+  /** Exact cosine top-k pairs: (a, b, sim), top `k` per `a`, both directions,
+    * self-pairs excluded. `minSim` drops below-threshold pairs before the
+    * window (cheap pre-filter). `maxDf` drops terms appearing in more than
+    * that many documents from pair *generation* (set <= 0 to disable). */
+  def exactCosineTopK(docs: DataFrame, idCol: String, tokensCol: String,
+                      k: Int, minSim: Double = 0.0, maxDf: Long = 0L): DataFrame = {
+    val post = postings(docs, idCol, tokensCol)
+    val joinSide =
+      if (maxDf > 0) {
+        val dfCounts = post.groupBy("term").agg(count(lit(1)).as("df"))
+        post.join(dfCounts.where(col("df") <= maxDf).select("term"), "term")
+      } else post
+    val a = joinSide.select(col("id").as("a"), col("term"),
+      col("tf").as("tfa"), col("norm").as("na"))
+    val b = joinSide.select(col("id").as("b"), col("term"),
+      col("tf").as("tfb"), col("norm").as("nb"))
+    val sims = a.join(b, Seq("term"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b")
+      .agg((sum(col("tfa") * col("tfb")) / (first("na") * first("nb"))).as("sim"))
+      .where(col("sim") >= minSim)
+    val w = Window.partitionBy("a").orderBy(round(col("sim"), 6).desc, col("b").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("a"), col("b"), col("sim"), col("rank"))
+  }
+}

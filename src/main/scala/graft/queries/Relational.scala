@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.{TopK, Weighting, RankDiscount}
+
+/** Relational operator inventory queries (SURVEY §2.1-2.6) over the driver's
+  * synthetic tables. Each query name carries the SURVEY §2 operator id(s) it
+  * exercises. All are pure `functions._` plans — predicate/projection
+  * pushdown, broadcast-join selection, partial aggregation, and
+  * WindowGroupLimit come from Catalyst.
+  */
+object Relational {
+
+  val queries: Seq[Q] = Seq(
+
+    // S1/P1: projection + filter pushed down to the parquet scan
+    // (reference: `select id,title,author,rating from tbl_book`,
+    // simility_books.py:45).
+    Q("s1_scan_project",
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_size > 25 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .where(col("p_size") > 25)
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    },
+
+    // S2/J1: dimension-chain equi-join; Catalyst broadcasts the small dims
+    // (reference pushed the tag join into MySQL, simility_books.py:37).
+    Q("s2_join_scan",
+      """SELECT s_suppkey, s_name, n_name, r_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+        .orderBy("s_suppkey")
+    },
+
+    // S3/A4/P6: grouped collect + HAVING, arrays kept native instead of the
+    // reference's GROUP_CONCAT→eval round-trip (guessLike_u_like.py:46-47).
+    Q("s3_group_collect_having",
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orderkeys
+        |FROM orders GROUP BY o_custkey HAVING count(*) > 12
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("orderkeys"))
+        .where(col("n") > 12)
+        .orderBy("o_custkey")
+    },
+
+    // S4/W5/J10 (batch form): latest-k per key — the reference's
+    // "latest 3 collected books" point query (guessLike_u_like.py:189,203).
+    Q("s4_latest_k_per_key",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey) AS BIGINT) AS rank
+        |  FROM orders) WHERE rank <= 3
+        |ORDER BY o_custkey, rank""".stripMargin) { (s, d) =>
+      TopK.topKPerKey(Tables.orders(s, d), Seq("o_custkey"),
+          Seq(col("o_orderdate").desc, col("o_orderkey").asc), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rank").cast("long"))
+        .orderBy("o_custkey", "rank")
+    },
+
+    // S5/F14: dated scan — date arithmetic selects the trailing window, the
+    // relational analogue of the reference's yesterday-path resolution
+    // (log_analyze.py:42-47).
+    Q("s5_dated_scan",
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y/%m/%d') AS day
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >=
+        |  (SELECT CAST(max(o_orderdate) AS DATE) - 7 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val mx = o.agg(max(col("o_orderdate")).cast("date").as("mx"))
+      o.crossJoin(broadcast(mx))
+        .where(col("o_orderdate").cast("date") >= date_sub(col("mx"), 7))
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy/MM/dd").as("day"))
+        .orderBy("o_orderkey")
+    },
+
+    // S6/F13/F16/K4/P3: tolerant JSON decode — cast failures drop rows,
+    // mirroring the reference's skip-bad-lines parser (log_analyze.py:21-37)
+    // and eval'd pub/sub payloads (guessLike_u_like.py:185-188).
+    Q("s6_json_decode_cast",
+      """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(props->>'k' AS BIGINT) IS NOT NULL
+        |  AND CAST(props->>'k' AS BIGINT) > 0
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .where(col("k").isNotNull && col("k") > 0)
+        .orderBy("event_id")
+    },
+
+    // P2: null-drop after a null-producing projection (the reference's
+    // post-join dropna, simility_books.py:47,52).
+    Q("p2_null_drop",
+      """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st
+        |FROM orders WHERE nullif(o_orderstatus, 'O') IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("O")).as("st"))
+        .na.drop(Seq("st"))
+        .orderBy("o_orderkey")
+    },
+
+    // J1/A-agg: broadcast fact-dim join + grouped aggregation with map-side
+    // partial aggregation; the engine's bread-and-butter shuffle shape.
+    Q("j1_broadcast_join_agg",
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+
+    // J2/F5: document assembly by join + weighted concat (the reference
+    // doubles the author field: tags+' '+author+' '+author,
+    // simility_books.py:50-52).
+    Q("j2_doc_assembly",
+      """SELECT p_partkey,
+        |  lower(p_type) || ' ' || lower(p_brand) || ' ' || lower(p_brand) AS doc
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          concat_ws(" ", lower(col("p_type")), lower(col("p_brand")),
+            lower(col("p_brand"))).as("doc"))
+        .orderBy("p_partkey")
+    },
+
+    // J5/P7: anti-join — "drop already-collected books"
+    // (guessLike_u_like.py:210,126).
+    Q("j5_anti_join",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+        |                  AND l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d).where(col("l_quantity") >= 49),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+
+    // J6/P4: semi-join membership filter (guessLike_u_like.py:108-109).
+    Q("j6_semi_join",
+      """SELECT p_partkey FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+        |              AND l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d).where(col("l_quantity") >= 49),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    },
+
+    // A1/A3: grouped collect with explicit ordering (the reference's
+    // collect order came from `ORDER BY bookId` input order — we make it
+    // deterministic, SURVEY §4.2).
+    Q("a1_group_collect_sorted",
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+        |  string_agg(CAST(l_linenumber AS VARCHAR), ' ' ORDER BY l_linenumber) AS lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          array_join(sort_array(collect_list(col("l_linenumber"))), " ").as("lines"))
+        .orderBy("l_orderkey")
+    },
+
+    // A2/F10: per-group min-max bucket weighting — the reference's core tag
+    // strength normalization `ceil((n+0.1-min)*4/(max+0.1-min))`
+    // (simility_books.py:38), incl. the min==max ⇒ bucket 4 edge.
+    Q("a2_minmax_bucket",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ceil((l_quantity + 0.1 - mn) * 4 / (mx + 0.1 - mn)) AS BIGINT) AS bucket
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+        |        min(l_quantity) OVER (PARTITION BY l_orderkey) AS mn,
+        |        max(l_quantity) OVER (PARTITION BY l_orderkey) AS mx
+        |      FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Weighting.minMaxBucket(Tables.lineitem(s, d), "l_orderkey", "l_quantity")
+        .select("l_orderkey", "l_linenumber", "bucket")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // A5/A13/SO3: per-key distinct set, sorted + capped (log_analyze.py:51,57
+    // set(bookId) capped at 20).
+    Q("a5_collect_set_capped",
+      """SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(countDistinct(col("event_type")).as("n_types"),
+          array_join(array_sort(collect_set(col("event_type"))), ",").as("types"))
+        .orderBy("user_id")
+    },
+
+    // A7/W2: global frequency top-N — "hot books"
+    // (guessLike_u_like.py:95-104); plans as partial-agg + TakeOrdered.
+    Q("a7_hot_topn",
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY cnt DESC, l_partkey LIMIT 30""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_partkey").asc)
+        .limit(30)
+    },
+
+    // A9/F11: rank-discounted vote aggregation — the reference's
+    // order-sensitive `score/ln(k+1)` neighbor voting
+    // (guessLike_u_like.py:119-124), as window row_number + plain sum.
+    Q("a9_rank_discounted_votes",
+      """SELECT user_id, event_type, round(sum(value / ln(occ + 1)), 4) AS vote_score
+        |FROM (SELECT user_id, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY ts, event_id) AS occ
+        |      FROM events)
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      RankDiscount.discountedVotes(Tables.events(s, d),
+          Seq("user_id"), "event_type", "value",
+          Seq(col("ts").asc, col("event_id").asc))
+        .select(col("user_id"), col("event_type"),
+          round(col("vote_score"), 4).as("vote_score"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // A13: exact + grouped distinct counting.
+    Q("a13_count_distinct",
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // W1: top-k per key over a non-key order — gensim num_best=100 analogue
+    // (simility_books.py:62-63); Spark plans WindowGroupLimit.
+    Q("w1_topk_per_key",
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS BIGINT) AS rank
+        |  FROM lineitem) WHERE rank <= 2
+        |ORDER BY l_orderkey, rank""".stripMargin) { (s, d) =>
+      TopK.topKPerKey(Tables.lineitem(s, d), Seq("l_orderkey"),
+          Seq(col("l_extendedprice").desc, col("l_linenumber").asc), 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("rank").cast("long"))
+        .orderBy("l_orderkey", "rank")
+    },
+
+    // W2: global sort + limit → TakeOrderedAndProject (no full sort).
+    Q("w2_global_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, d) =>
+      TopK.globalTopK(Tables.orders(s, d),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 25)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // W3: top-fraction per key with the reference's int() floor semantics
+    // (guessLike_u_like.py:114-115).
+    Q("w3_top_fraction_per_key",
+      """SELECT o_custkey, o_orderkey, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+        |    count(*) OVER (PARTITION BY o_custkey) AS cnt
+        |  FROM orders) WHERE rank <= floor(cnt * 0.1)
+        |ORDER BY o_custkey, rank""".stripMargin) { (s, d) =>
+      TopK.topFractionPerKey(Tables.orders(s, d), Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 0.1)
+        .select(col("o_custkey"), col("o_orderkey"), col("rank").cast("long"))
+        .orderBy("o_custkey", "rank")
+    },
+
+    // SO1: except/difference (guessLike_u_like.py:126,210).
+    Q("so1_except",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .except(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // SO2: union-distinct (guessLike_u_like.py:126 concat of rec + hot).
+    Q("so2_union",
+      """SELECT x FROM (
+        |  SELECT o_custkey AS x FROM orders WHERE o_totalprice > 400000
+        |  UNION SELECT c_custkey AS x FROM customer WHERE c_acctbal > 9900)
+        |ORDER BY x""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).where(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("x"))
+        .union(Tables.customer(s, d).where(col("c_acctbal") > 9900)
+          .select(col("c_custkey").as("x")))
+        .distinct()
+        .orderBy("x")
+    },
+
+    // SO3: distinct / dropDuplicates (log_analyze.py:51).
+    Q("so3_distinct",
+      """SELECT DISTINCT p_brand, p_type FROM part
+        |ORDER BY p_brand, p_type""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select("p_brand", "p_type").distinct()
+        .orderBy("p_brand", "p_type")
+    },
+
+    // Flagship-style grouped pricing summary (A-family smoke: multi-agg,
+    // avg, partial aggregation).
+    Q("q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+  )
+}
