@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   private def allQueries: Seq[Q] =
-    Relational.queries
+    Relational.queries ++ Text.queries ++ Similarity.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -56,12 +56,13 @@ object TextFunctions {
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokenize(text))
 
-  /** BPE-ish subword count estimate: word-piece segments produced by a
-    * regex that splits runs of letters, digits, and single punctuation,
-    * approximating byte-pair tokenizer granularity without a vocab. */
+  /** BPE-ish subword count estimate: counts word-piece segments — runs of
+    * letters, runs of digits, and single punctuation marks — approximating
+    * byte-pair tokenizer granularity without a vocab. RE2-safe pattern (no
+    * lookarounds) so the DuckDB oracle can run it verbatim. */
+  val subwordPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?<=[a-zA-Z])(?=[0-9])|(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])|\\s+"),
-      t => length(t) > 0))
+    size(regexp_extract_all(text, lit(subwordPattern), lit(0)))
 
   /** Quality score in [0,1]: blends mean-word-length sanity, alpha ratio and
     * stopword presence — the standard cheap heuristics a pretraining
@@ -99,26 +100,23 @@ object TextFunctions {
   }
 
   /** Document fingerprint: order-sensitive rolling hash over tokens
-    * (polynomial accumulation mod 2^61-1), for cheap exact-duplicate
-    * detection that is robust to whitespace differences. Built from
-    * `aggregate` so it is a single codegen'd pass, and expressible in ANSI
-    * SQL for the oracle. */
-  def fingerprint(text: Column): Column = {
-    val prime = lit(2305843009213693951L) // 2^61 - 1
+    * (polynomial accumulation mod 1e9+7 — small enough that `acc*31 + h`
+    * never overflows int64), for cheap exact-duplicate detection robust to
+    * whitespace differences. Built from `aggregate` so it is a single
+    * codegen'd pass, and expressible in ANSI SQL for the oracle. */
+  val fingerprintMod = 1000000007L
+  def fingerprint(text: Column): Column =
     aggregate(
       tokenize(text),
       lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + pmod(hashToken(t), prime), prime))
-  }
+      (acc, t) => pmod(acc * lit(31L) + pmod(hashToken(t), lit(fingerprintMod)), lit(fingerprintMod)))
 
   /** A deterministic token hash both Spark and ANSI SQL can compute:
-    * sum over characters of codepoint * (position + 1). Weak as a hash but
-    * adequate for fingerprint composition and fully portable. */
+    * sum over characters of codepoint * position (1-based). Weak as a hash
+    * but adequate for fingerprint composition and fully portable. */
   def hashToken(t: Column): Column =
     aggregate(
-      zip_with(
-        split(t, ""),
-        sequence(lit(1), length(t)),
-        (ch, i) => ascii(ch).cast("long") * i.cast("long")),
+      transform(sequence(lit(1), length(t)),
+        i => ascii(t.substr(i, lit(1))).cast("long") * i.cast("long")),
       lit(0L), (acc, x) => acc + x)
 }

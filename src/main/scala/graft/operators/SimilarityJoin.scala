@@ -45,14 +45,18 @@ object SimilarityJoin {
     * window (cheap pre-filter). `maxDf` drops terms appearing in more than
     * that many documents from pair *generation* (set <= 0 to disable). */
   def exactCosineTopK(docs: DataFrame, idCol: String, tokensCol: String,
-                      k: Int, minSim: Double = 0.0, maxDf: Long = 0L): DataFrame = {
+                      k: Int, minSim: Double = 0.0, maxDf: Long = 0L,
+                      queryPred: Option[Column] = None): DataFrame = {
     val post = postings(docs, idCol, tokensCol)
     val joinSide =
       if (maxDf > 0) {
         val dfCounts = post.groupBy("term").agg(count(lit(1)).as("df"))
         post.join(dfCounts.where(col("df") <= maxDf).select("term"), "term")
       } else post
-    val a = joinSide.select(col("id").as("a"), col("term"),
+    // Restricting the query side (J8's query-vs-partition shape) bounds the
+    // pair fanout to |queries| x df(term) instead of df(term)^2.
+    val leftSide = queryPred.map(p => joinSide.where(p)).getOrElse(joinSide)
+    val a = leftSide.select(col("id").as("a"), col("term"),
       col("tf").as("tfa"), col("norm").as("na"))
     val b = joinSide.select(col("id").as("b"), col("term"),
       col("tf").as("tfb"), col("norm").as("nb"))

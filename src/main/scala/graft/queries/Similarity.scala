@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{SimilarityJoin, Dedup, Ann}
+
+/** Similarity-join, deduplication, and ANN queries (SURVEY §2.3 J7/J8 plus
+  * the training-data dedup/similarity-search surface) over `documents` and
+  * `embeddings`.
+  *
+  * Exact paths carry DuckDB oracles (integer tf / double-exact math makes
+  * them bit-reproducible); the hash-based scale paths (MinHash-LSH, SimHash,
+  * LSH/IVF ANN) are declared rows-only — their candidate sets depend on
+  * engine hashing, but their *outputs* are verified in ScalaTest against the
+  * exact operators' results. */
+object Similarity {
+
+  val queries: Seq[Q] = Seq(
+
+    // J7/J8: exact bag-of-words cosine similarity join, query-side
+    // restricted (the reference's query-vs-cluster shape,
+    // guessLike_u_like.py:113-117), top-10 per query. tf values are
+    // integers so dot products and norms are exact in double — the ranking
+    // is engine-independent.
+    Q("j7_cosine_similarity_topk",
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM tf GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, sum(a.tf * b.tf) AS dot
+        |          FROM tf a JOIN tf b USING (term)
+        |          WHERE a.doc_id < 50 AND a.doc_id != b.doc_id GROUP BY 1, 2),
+        |sims AS (SELECT a, b, dot / (x.nrm * y.nrm) AS sim FROM pairs
+        |         JOIN nrm x ON pairs.a = x.doc_id JOIN nrm y ON pairs.b = y.doc_id),
+        |ranked AS (SELECT a, b, round(sim, 6) AS sim,
+        |             CAST(row_number() OVER (PARTITION BY a
+        |               ORDER BY round(sim, 6) DESC, b) AS BIGINT) AS rank
+        |           FROM sims)
+        |SELECT a, b, sim, rank FROM ranked WHERE rank <= 10
+        |ORDER BY a, rank""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokenize(col("text")).as("toks"))
+      SimilarityJoin.exactCosineTopK(docs, "doc_id", "toks", k = 10,
+          queryPred = Some(col("id") < 50))
+        .select(col("a"), col("b"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long"))
+        .orderBy("a", "rank")
+    },
+
+    // Exact dedup: the corpus unioned with an id-shifted copy of itself;
+    // dedup must keep exactly the original ids (min id per content hash).
+    Q("d1_exact_dedup",
+      """SELECT doc_id FROM (
+        |  SELECT min(doc_id) AS doc_id FROM (
+        |    SELECT doc_id, text FROM documents
+        |    UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |  GROUP BY regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val shifted = docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.exactDedup(docs.union(shifted), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // n-gram Jaccard near-dup mining, query-vs-corpus (char 3-grams,
+    // threshold 0.6): string shingles keep it oracle-comparable.
+    Q("d2_ngram_jaccard",
+      """WITH s AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 2, 1) + 1),
+        |      i -> t[i:i+2])) AS sh
+        |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |        FROM documents)),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |      FROM s a, s b WHERE a.doc_id < 25 AND a.doc_id < b.doc_id)
+        |SELECT a, b, round(jaccard, 6) AS jaccard FROM p WHERE jaccard >= 0.6
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccardForQueries(Tables.documents(s, d), "doc_id", "text",
+          n = 3, queryPred = col("id") < 25, minJaccard = 0.6)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")
+    },
+
+    // MinHash-LSH near-dup candidates (16 bands x 4 rows, verify >= 0.6
+    // true Jaccard). Candidate generation depends on xxhash64 so no SQL
+    // oracle; the ScalaTest suite checks it against ngramJaccardPairs.
+    Q.rowsOnly("d3_minhash_lsh") { (s, d) =>
+      Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, bands = 16, rows = 4, minJaccard = 0.6)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")
+    },
+
+    // SimHash near-dup pairs (64-bit, chunk blocking, hamming <= 12).
+    Q.rowsOnly("d4_simhash") { (s, d) =>
+      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 12)
+        .select(col("a"), col("b"), col("hamming").cast("long"))
+        .orderBy("a", "b")
+    },
+
+    // Brute-force cosine ANN over embeddings: queries vec_id < 20, k = 5.
+    // Double accumulation in index order on both sides → bit-identical.
+    Q("ann1_brute_cosine_topk",
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 20 AND a.vec_id != b.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+        |             CAST(row_number() OVER (PARTITION BY query_id
+        |               ORDER BY round(cosine, 6) DESC, neighbor_id) AS BIGINT) AS rank
+        |           FROM pairs)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Ann.bruteForceTopK(emb.where(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // Random-hyperplane LSH ANN (seeded): the 100 TB path — bucket join
+    // instead of cross join. Rows-only; recall vs brute force is asserted
+    // in ScalaTest.
+    Q.rowsOnly("ann2_lsh_topk") { (s, d) =>
+      Ann.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 5, dim = 64, tables = 8, bits = 10, seed = 42L)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF-style coarse-quantized ANN (seeded centroids, nProbe cells).
+    Q.rowsOnly("ann3_ivf_topk") { (s, d) =>
+      Ann.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 5, nCentroids = 16, nProbe = 4, seed = 42L)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+  )
+}

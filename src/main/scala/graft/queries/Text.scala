@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis surface (SURVEY §2.7 string functions + the training-data
+  * text operators: token counting, quality scoring, language ID, document
+  * fingerprinting) over the `documents` and `part` tables. All pure
+  * built-ins — codegen'd, no UDFs. */
+object Text {
+
+  val queries: Seq[Q] = Seq(
+
+    // F1/F2/F3/F8 + token stats: tokenization and counting (reference doc
+    // tokenization, simility_books.py:53; token counting is the pretraining
+    //-pipeline staple).
+    Q("t1_token_stats",
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_chars_nospace
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(array_distinct(tokenize(col("text")))).cast("long").as("n_distinct"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_chars_nospace"))
+        .orderBy("doc_id")
+    },
+
+    // BPE-ish subword segment counting (RE2-safe token-class pattern).
+    Q("t2_subword_count",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_subwords
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        subwordCount(col("text")).cast("long").as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: mean word length, alpha ratio, stopword ratio — the
+    // cheap pre-filters a 100 TB corpus pass runs before model scoring.
+    Q("t3_quality_score",
+      """SELECT doc_id, round((
+        |    (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.0 END)
+        |    + alpha_ratio + least(stop_ratio * 4, 1.0)) / 3.0, 6) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0) AS mean_len,
+        |    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x IN ('the','a','an','of','to','in','and','is','on','for',
+        |                   'with','that','as','it','at','by'))) AS DOUBLE)
+        |      / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0) AS stop_ratio
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic: marker-token argmax + CJK script detection.
+    Q("t4_lang_id",
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN es > en AND es >= fr THEN 'es'
+        |    WHEN fr > en AND fr > es THEN 'fr'
+        |    ELSE 'en' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, text,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','is','in','that'))) AS en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','en','un'))) AS es,
+        |    len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une'))) AS fr
+        |  FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        langIdHeuristic(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // Rolling-hash document fingerprint (order-sensitive, mod 1e9+7).
+    Q("t5_fingerprint",
+      """SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(trim(text), '\s+'),
+        |        t -> CAST(list_sum(list_transform(range(1, length(t) + 1),
+        |               i -> unicode(t[i]) * i)) AS BIGINT) % 1000000007)),
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // F7/SO3/W4: normalize → dedup → re-rank by secondary key, the
+    // reference's edition-dedup pipeline (simility_books.py:74-91) applied
+    // to part names: strip the size/digit suffix noise, keep the
+    // highest-priced representative per normalized name.
+    Q("f7_normalize_dedup_rerank",
+      """SELECT norm_name, p_partkey FROM (
+        |  SELECT norm_name, p_partkey,
+        |    row_number() OVER (PARTITION BY norm_name
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM (SELECT regexp_replace(regexp_replace(lower(p_name),
+        |          '[（）【】/ () 0-9，第:精].*', '', 'g'), '[.·・《》-]', '', 'g') AS norm_name,
+        |          p_partkey, p_retailprice
+        |        FROM part))
+        |WHERE rn = 1 ORDER BY norm_name, p_partkey""".stripMargin) { (s, d) =>
+      val normed = Tables.part(s, d).select(
+        normalizeTitle(col("p_name")).as("norm_name"),
+        col("p_partkey"), col("p_retailprice"))
+      val w = Window.partitionBy("norm_name")
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      normed.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("norm_name", "p_partkey")
+        .orderBy("norm_name", "p_partkey")
+    },
+
+    // P8/F8: token filters — length >= 2, not all-digits
+    // (simility_books.py:11-15).
+    Q("p8_token_filter",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> length(t) >= 2 AND NOT regexp_matches(t, '^[0-9]+$'))) AS BIGINT) AS n_kept
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(filterTokens(tokenize(col("text")))).cast("long").as("n_kept"))
+        .orderBy("doc_id")
+    },
+  )
+}
