@@ -1,0 +1,47 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.rank.{Blend, Scoring}
+
+/** Set-oriented recommendation scoring shared by the daily-log batch and
+  * the streaming serve jobs (SURVEY §3.2 stage 4 / §3.3 stage 3):
+  * cluster-local cosine neighbors → top-10% retention → rank-discounted
+  * book votes → hot exclusion + seeded backfill + own-books filter →
+  * hot-list fallback for unscorable users. */
+object Recommender {
+
+  final case class Params(
+      topFraction: Double = 0.1,
+      candidateCap: Int = 100,
+      recCap: Int = 15,
+      similarUserCap: Int = 40,
+      backfill: Int = 5,
+      seed: Long = 42L)
+
+  final case class Recs(books: DataFrame, // (query, books array)
+                        users: DataFrame) // (query, users array)
+
+  /** queries: (userId, cluster, tokens) — pre-assigned query users.
+    * ownBooks: (userId, books) — books each query user already has. */
+  def recommend(fitted: RecommenderModel.Fitted, queries: DataFrame,
+                ownBooks: DataFrame, p: Params = Params(),
+                filterOwn: Boolean = true): Recs = {
+    val vocab = fitted.cv.vocabulary.toSet
+    val sims = Scoring.clusterCosine(queries, fitted.userTokens, Some(vocab))
+    val neighbors = Scoring.topNeighbors(sims, p.topFraction)
+    val votes = Scoring.discountedBookVotes(neighbors, fitted.userBooks)
+    val candidates = Scoring.topCandidates(votes, p.candidateCap)
+    val own = if (filterOwn) ownBooks
+              else ownBooks.sparkSession.emptyDataFrame
+                .selectExpr("CAST(NULL AS BIGINT) AS userId",
+                  "CAST(NULL AS ARRAY<BIGINT>) AS books")
+                .where(lit(false))
+    val blended = Blend.blend(candidates, fitted.hot, own,
+      p.recCap, p.backfill, p.seed)
+    val books = Blend.withFallback(blended,
+      queries.select(col("userId")), fitted.hot, p.recCap)
+    val users = Scoring.similarUsers(sims, p.similarUserCap)
+    Recs(books, users)
+  }
+}

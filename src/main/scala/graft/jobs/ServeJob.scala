@@ -1,0 +1,77 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.functions.TextFunctions
+import graft.io.{EventSource, KVSink, KVWriter}
+import graft.prep.Collections
+
+/** Entry point 3.2 — streaming event-triggered recommendations
+  * (SURVEY §3.2, §2.8). One parameterized job covers the reference's three
+  * near-identical services:
+  *
+  *  - u_like / u_nlike (guessLike_u_like.py, guessLike_u_nlike.py): event
+  *    carries userId; the query context is the user's latest 3 collected
+  *    books (stream-static join against the collect snapshot, S4/J10);
+  *    recommendations exclude already-collected books (P7).
+  *  - u_first_select (guessLike_u_first_select.py): event carries bookIds
+  *    inline (UFS:178); no collected-filter (UFS:182).
+  *
+  * The fitted model is immutable for the life of the stream (ST4) —
+  * the reference refits only on restart; refresh = resubmit with a new
+  * Fitted. Per-batch processing is set-oriented: all events in a
+  * micro-batch score as one DataFrame (ST3 upgrade from the reference's
+  * strictly sequential loop), and KV writes happen in foreachBatch
+  * (at-least-once, K2).
+  */
+object ServeJob {
+
+  /** Score one micro-batch of decoded events (userId, bookIds). */
+  def scoreBatch(events: DataFrame, fitted: RecommenderModel.Fitted,
+                 collect: DataFrame, latestK: Int = 3,
+                 filterCollected: Boolean = true,
+                 params: Recommender.Params = Recommender.Params()): Recommender.Recs = {
+    val latest = Collections.latestBooks(collect, latestK)
+    // payload bookIds win; otherwise the user's latest collected books
+    val queryBooks = events
+      .join(latest, events("userId") === latest("userId"), "left")
+      .select(events("userId"),
+        coalesce(events("bookIds"), latest("books")).as("books"))
+      .where(col("books").isNotNull && size(col("books")) > 0)
+    val queryDocs = Collections.userDocs(queryBooks, fitted.bookDocs)
+    val queries = RecommenderModel.assignQueries(fitted, queryDocs)
+    val collected = collect.where(col("isCollect") === 1)
+      .groupBy("userId").agg(collect_set(col("bookId")).as("books"))
+    Recommender.recommend(fitted, queries,
+      if (filterCollected) collected else queryBooks.limit(0),
+      params, filterOwn = filterCollected)
+  }
+
+  /** Wire a raw frame stream (value: String) through decode → score →
+    * KV write. Returns the started query. */
+  def start(frames: DataFrame, fitted: RecommenderModel.Fitted,
+            collect: DataFrame, kv: KVSink,
+            filterCollected: Boolean = true,
+            params: Recommender.Params = Recommender.Params()): StreamingQuery = {
+    val decoded = EventSource.decode(frames)
+    decoded.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val recs = scoreBatch(batch, fitted, collect,
+            filterCollected = filterCollected, params = params)
+          KVWriter.write(recs.books.select(
+            TextFunctions.kvKey("b_like", col("query")).as("key"),
+            TextFunctions.joinIds(col("books")).as("value")), kv)
+          KVWriter.write(recs.users.select(
+            TextFunctions.kvKey("u_similar", col("query")).as("key"),
+            TextFunctions.joinIds(col("users")).as("value")), kv)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -129,7 +129,7 @@ object Similarity {
     // in ScalaTest.
     Q.rowsOnly("ann2_lsh_topk") { (s, d) =>
       Ann.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-          k = 5, dim = 64, tables = 8, bits = 10, seed = 42L)
+          k = 5, dim = 64, tables = 12, bits = 6, seed = 42L)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long"))
         .orderBy("query_id", "rank")

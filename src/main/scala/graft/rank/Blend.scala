@@ -1,0 +1,70 @@
+package graft.rank
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Candidate blending: hot-book exclusion, collected-book anti-filter,
+  * seeded hot backfill, hot-list fallback (SURVEY §2.6 SO1/SO2, §2.2 P7,
+  * §2.5 W7, §2.8 ST6).
+  *
+  * Reference (guessLike_u_like.py:126,210; log_analyze.py:181): candidates
+  * minus hot books, plus 5 random hot books appended, minus the user's own
+  * collected books, capped; on any scoring failure the user gets the plain
+  * hot list (the reference's intent — its fallback code paths are buggy,
+  * SURVEY §4.2, and we implement the evident intent).
+  *
+  * All randomness is seeded: the "random 5 hot books" become a per-user
+  * deterministic hash-ordered pick, so tests are exact and reruns stable.
+  */
+object Blend {
+
+  /** candidates(query, bookId, score, rank) → (query, books array) after:
+    * hot exclusion (SO1), per-user seeded 5-hot backfill appended (W7/SO2),
+    * own-books anti-filter (P7), cap at `recCap` (W5).
+    *
+    * `ownBooks`: (userId, books array) of books the user already has —
+    * never recommended. `hot`: (bookId, cnt) hot list. */
+  def blend(candidates: DataFrame, hot: DataFrame, ownBooks: DataFrame,
+            recCap: Int, backfill: Int = 5, seed: Long = 42L): DataFrame = {
+    val spark = candidates.sparkSession
+    val hotIds = hot.select(col("bookId")).orderBy(col("bookId"))
+      .collect().map(_.getLong(0))
+    val hotArr = array(hotIds.map(lit(_)): _*)
+
+    val nonHot = candidates
+      .join(broadcast(hot.select(col("bookId"))), Seq("bookId"), "left_anti")
+    val ranked = nonHot
+      .groupBy(col("query"))
+      .agg(collect_list(struct(col("rank"), col("bookId"))).as("rb"))
+      .select(col("query"),
+        transform(sort_array(col("rb")), x => x.getField("bookId")).as("cand"))
+    // seeded per-user hot pick: order hot ids by xxhash64(bookId, userId)
+    val withBackfill = ranked.withColumn("hotPick",
+      slice(
+        transform(
+          sort_array(transform(hotArr,
+            b => struct(xxhash64(b, col("query"), lit(seed)).as("h"), b.as("b")))),
+          s => s.getField("b")),
+        1, backfill))
+      .withColumn("blended",
+        concat(col("cand"), array_except(col("hotPick"), col("cand"))))
+    withBackfill
+      .join(ownBooks.select(col("userId").as("query"), col("books").as("own")),
+        Seq("query"), "left")
+      .select(col("query"),
+        slice(array_except(col("blended"), coalesce(col("own"), array())), 1, recCap)
+          .as("books"))
+  }
+
+  /** ST6 fallback: every user in `allUsers` (userId) missing from `recs`
+    * (query, books) gets the top-`recCap` hot list. */
+  def withFallback(recs: DataFrame, allUsers: DataFrame, hot: DataFrame,
+                   recCap: Int): DataFrame = {
+    val hotIds = hot.orderBy(col("cnt").desc, col("bookId").asc)
+      .select("bookId").collect().map(_.getLong(0)).take(recCap)
+    val hotArr = array(hotIds.map(lit(_)): _*)
+    allUsers.select(col("userId").as("query"))
+      .join(recs, Seq("query"), "left")
+      .select(col("query"), coalesce(col("books"), hotArr).as("books"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.rank
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{RankDiscount, TopK}
+
+/** Neighbor retrieval + vote scoring (SURVEY §2.2 P4/P5, §2.5 W3, §2.4 A9,
+  * §2.3 J8/J9) — the set-oriented form of the reference's per-user scoring
+  * loop (`recommend_User_Book`, guessLike_u_like.py:106-129). The single
+  * biggest architectural win over the reference: the same scoring DAG runs
+  * for ALL query users at once (SURVEY §3.3), instead of a driver-side
+  * Python loop.
+  *
+  * Similarity is computed cluster-locally: postings are keyed by
+  * (cluster, term), so the shuffle partitions by cluster and term — the
+  * reference's search-space pruning (only score within the predicted
+  * cluster) becomes a join-key restriction that scales horizontally.
+  */
+object Scoring {
+
+  /** Cosine similarities between query users and corpus users within the
+    * same cluster.
+    *
+    * queries: (userId, cluster, tokens array) — the users to score.
+    * corpus:  (userId, cluster, tokens array) — the model users.
+    * Returns (query, neighbor, sim) for same-cluster pairs, self excluded.
+    */
+  def clusterCosine(queries: DataFrame, corpus: DataFrame,
+                    vocab: Option[Set[String]] = None): DataFrame = {
+    def post(df: DataFrame): DataFrame = {
+      val exploded = df.select(col("userId"), col("cluster"),
+        explode(col("tokens")).as("term"))
+      val pruned = vocab match {
+        case Some(v) =>
+          val vdf = exploded.sparkSession.createDataFrame(
+            v.toSeq.map(Tuple1(_))).toDF("term")
+          exploded.join(broadcast(vdf), Seq("term"), "left_semi")
+        case None => exploded
+      }
+      val tf = pruned.groupBy("userId", "cluster", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val norms = tf.groupBy("userId")
+        .agg(sqrt(sum(col("tf") * col("tf"))).as("norm"))
+      tf.join(norms, "userId")
+    }
+    val q = post(queries).select(col("cluster"), col("term"),
+      col("userId").as("query"), col("tf").as("tfq"), col("norm").as("nq"))
+    val c = post(corpus).select(col("cluster"), col("term"),
+      col("userId").as("neighbor"), col("tf").as("tfc"), col("norm").as("nc"))
+    q.join(c, Seq("cluster", "term"))
+      .where(col("query") =!= col("neighbor"))
+      .groupBy("query", "neighbor")
+      .agg((sum(col("tfq") * col("tfc")) / (first("nq") * first("nc"))).as("sim"))
+  }
+
+  /** W3: keep each query's top `fraction` of neighbors (floor semantics,
+    * guessLike_u_like.py:114-115), ranked by sim desc / neighbor asc.
+    * `minKeep` floors the kept count so small clusters still vote (the
+    * engine's refinement — the reference emits nothing for tiny clusters
+    * and falls back to hot books). */
+  def topNeighbors(sims: DataFrame, fraction: Double, minKeep: Int = 1): DataFrame = {
+    val w = Window.partitionBy("query")
+      .orderBy(round(col("sim"), 9).desc, col("neighbor").asc)
+    val wAll = Window.partitionBy("query")
+    sims.withColumn("rank", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .where(col("rank") <= greatest(floor(col("cnt") * fraction), lit(minKeep)))
+      .select("query", "neighbor", "sim", "rank")
+  }
+
+  /** A9: neighbors' books vote with rank-discounted scores; returns
+    * (query, bookId, score) — `neighborBooks` is (userId, books array). */
+  def discountedBookVotes(neighbors: DataFrame, neighborBooks: DataFrame): DataFrame = {
+    val votes = neighbors
+      .join(neighborBooks.select(col("userId").as("neighbor"), col("books")), "neighbor")
+      .select(col("query"), col("rank"), col("sim"), explode(col("books")).as("bookId"))
+    RankDiscount.discountedVotes(votes, Seq("query"), "bookId", "sim",
+        Seq(col("rank").asc), out = "score")
+      .select(col("query"), col("bookId"), col("score"))
+  }
+
+  /** W2: cap the candidate list per query (top-100 of the reference,
+    * guessLike_u_like.py:126). */
+  def topCandidates(votes: DataFrame, cap: Int): DataFrame =
+    TopK.topKPerKey(votes, Seq("query"),
+      Seq(round(col("score"), 9).desc, col("bookId").asc), cap)
+
+  /** Top-`k` similar users per query (u_similar:{uid}, top-40 —
+    * guessLike_u_like.py:128,213). */
+  def similarUsers(sims: DataFrame, k: Int): DataFrame =
+    TopK.topKPerKey(sims, Seq("query"),
+        Seq(round(col("sim"), 9).desc, col("neighbor").asc), k)
+      .groupBy("query")
+      .agg(collect_list(struct(col("rank"), col("neighbor"))).as("rn"))
+      .select(col("query"),
+        transform(sort_array(col("rn")), x => x.getField("neighbor")).as("users"))
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Dedup}
+
+/** Scale-path operators validated against their exact counterparts — the
+  * hash-based paths (MinHash-LSH, SimHash, LSH/IVF ANN) have no SQL oracle,
+  * so their contract is: candidates are a subset of the exact answer's
+  * support, with usable recall on the fixture corpus. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),        // exact dup of 1
+    (3L, "the quick brown fox jumped over the lazy dogs"),      // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "spark engines process completely different content"), // shares tokens w/ 4
+    (6L, "the  quick   brown fox jumps over the lazy dog  ")    // ws-dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per squeezed content") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))   // 2 and 6 collapse into 1
+  }
+
+  test("ngram jaccard finds the near-dup pair and orders a<b") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 4L) })
+  }
+
+  test("minhash-LSH candidates reproduce the exact >=0.7 jaccard pairs here") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rows = 4, minJaccard = 0.7)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // verification step guarantees precision; banding gives recall on
+    // high-jaccard pairs (16 bands x 4 rows ⇒ ~s-curve threshold 0.5)
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty && lsh == exact)
+  }
+
+  test("simhash: identical docs at hamming 0, unrelated docs blocked or far") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs((1L, 6L)) == 0L)   // whitespace squeezed before hashing
+    assert(!pairs.contains((1L, 4L)))
+  }
+}
+
+class AnnSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("LSH ANN: reported cosines are correct and recall@5 is usable") {
+    val brute = Ann.bruteForceTopK(emb.where(col("vec_id") < 30), emb,
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(emb, "vec_id", "embedding", k = 5,
+        dim = 64, tables = 12, bits = 6, seed = 42L)
+      .where(col("query_id") < 30)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.2, s"LSH recall@5 too low: $recall")
+  }
+
+  test("IVF ANN: probed-cell ranking finds most true neighbors") {
+    val brute = Ann.bruteForceTopK(emb.where(col("vec_id") < 30), emb,
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(emb, "vec_id", "embedding", k = 5,
+        nCentroids = 8, nProbe = 4, seed = 42L)
+      .where(col("query_id") < 30)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@5 too low: $recall")
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.TextFunctions
+
+/** Hand-computed expectations for the order- and edge-sensitive operators
+  * (SURVEY §5.1): A2 weight buckets incl. min==max, A9 rank-discounted
+  * votes, W3 floor semantics, F7 CJK title normalization. */
+class WeightingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("A2: min-max buckets match the reference formula incl. min==max edge") {
+    val df = Seq(
+      (1L, 4.0), (1L, 2.0), (1L, 1.0),  // min=1 max=4
+      (3L, 5.0)                          // min==max ⇒ bucket 4
+    ).toDF("bookId", "num")
+    val got = Weighting.minMaxBucket(df, "bookId", "num")
+      .select("bookId", "num", "bucket").as[(Long, Double, Long)]
+      .collect().toSet
+    // ceil((4+0.1-1)*4/(4+0.1-1)) = 4; ceil((2.1-... )):
+    // (2+0.1-1)*4/3.1 = 4.4/3.1 = 1.419 → 2; (1.1-1)*4/3.1 = 0.129 → 1
+    assert(got == Set((1L, 4.0, 4L), (1L, 2.0, 2L), (1L, 1.0, 1L), (3L, 5.0, 4L)))
+  }
+}
+
+class RankDiscountSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("A9: k-th occurrence contributes score/ln(k+1) in neighbor order") {
+    // query 1: neighbors ranked 1,2,3 with sims 0.9, 0.8, 0.7; book 42
+    // appears for all three → 0.9/ln2 + 0.8/ln3 + 0.7/ln4;
+    // book 7 only for neighbor 2 → 0.8/ln2.
+    val df = Seq(
+      (1L, 1, 0.9, 42L), (1L, 2, 0.8, 42L), (1L, 3, 0.7, 42L),
+      (1L, 2, 0.8, 7L)
+    ).toDF("query", "nrank", "sim", "bookId")
+    val got = RankDiscount.discountedVotes(df, Seq("query"), "bookId", "sim",
+        Seq(col("nrank").asc))
+      .as[(Long, Long, Double)].collect().map(r => (r._2, r._3)).toMap
+    val exp42 = 0.9 / math.log(2) + 0.8 / math.log(3) + 0.7 / math.log(4)
+    val exp7 = 0.8 / math.log(2)
+    assert(math.abs(got(42L) - exp42) < 1e-12)
+    assert(math.abs(got(7L) - exp7) < 1e-12)
+  }
+}
+
+class TopKSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("W3: top-fraction uses int() floor — group of 25 at 0.1 keeps 2") {
+    val df = (1 to 25).map(i => (1L, i.toDouble)).toDF("k", "v")
+    val got = TopK.topFractionPerKey(df, Seq("k"), Seq(col("v").desc), 0.1)
+    assert(got.count() == 2)
+    assert(got.select("v").as[Double].collect().toSet == Set(25.0, 24.0))
+  }
+
+  test("W3: group smaller than 1/fraction keeps nothing") {
+    val df = (1 to 9).map(i => (1L, i.toDouble)).toDF("k", "v")
+    assert(TopK.topFractionPerKey(df, Seq("k"), Seq(col("v").desc), 0.1).count() == 0)
+  }
+
+  test("W1: per-key top-k with deterministic tie-break") {
+    val df = Seq((1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 4.0), (2L, 13L, 1.0))
+      .toDF("k", "id", "v")
+    val got = TopK.topKPerKey(df, Seq("k"), Seq(col("v").desc, col("id").asc), 2)
+      .select("k", "id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 13L)))
+  }
+}
+
+class TextFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("F7: CJK title normalization dedups editions (golden cases)") {
+    val titles = Seq("活着", "活着（精装）", "三体2 黑暗森林", "百年孤独",
+      "围城 第2版", "战争与和平", "小-王·子")
+    val got = titles.toDF("t")
+      .select(TextFunctions.normalizeTitle(col("t"))).as[String].collect()
+    assert(got(0) == "活着")
+    assert(got(1) == "活着")       // （精装） stripped
+    assert(got(2) == "三体")       // truncated at the digit
+    assert(got(3) == "百年孤独")
+    assert(got(4) == "围城")       // " 第2版" stripped (space class)
+    assert(got(5) == "战争与和平")
+    assert(got(6) == "小王子")     // -/· removed
+  }
+
+  test("F8/P8: tokenize + token filters") {
+    val got = Seq("ab 1 cde  12345 f 科幻小说").toDF("t")
+      .select(TextFunctions.filterTokens(TextFunctions.tokenize(col("t"))))
+      .as[Seq[String]].collect().head
+    assert(got == Seq("ab", "cde", "科幻小说"))
+  }
+
+  test("fingerprint: order-sensitive, whitespace-insensitive") {
+    val fps = Seq("hello world", "hello  world ", "world hello").toDF("t")
+      .select(TextFunctions.fingerprint(col("t"))).as[Long].collect()
+    assert(fps(0) == fps(1))   // whitespace squeezed
+    assert(fps(0) != fps(2))   // order matters
+  }
+
+  test("langId: script + marker heuristics") {
+    val got = Seq("the cat is on the mat and it is happy",
+      "el gato que está en la casa y los perros",
+      "中文文本 测试").toDF("t")
+      .select(TextFunctions.langIdHeuristic(col("t"))).as[String].collect()
+    assert(got.toSeq == Seq("en", "es", "zh"))
+  }
+}
+
+class SimilarityJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("J7: exact cosine matches hand computation on a 3-doc corpus") {
+    // d1 = [a a b], d2 = [a b], d3 = [c]
+    val docs = Seq((1L, Seq("a", "a", "b")), (2L, Seq("a", "b")), (3L, Seq("c")))
+      .toDF("id", "toks")
+    val got = SimilarityJoin.exactCosineTopK(docs, "id", "toks", k = 5)
+      .select("a", "b", "sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // cos(d1,d2) = (2*1+1*1)/(sqrt(5)*sqrt(2)) = 3/sqrt(10)
+    val exp = 3.0 / math.sqrt(10.0)
+    assert(math.abs(got((1L, 2L)) - exp) < 1e-12)
+    assert(math.abs(got((2L, 1L)) - exp) < 1e-12)
+    assert(!got.contains((1L, 3L)))   // no shared terms → no pair generated
+    assert(!got.contains((1L, 1L)))   // no self pairs
+  }
+
+  test("J7: maxDf prunes ubiquitous terms from pair generation") {
+    val docs = Seq((1L, Seq("x", "a")), (2L, Seq("x", "b")), (3L, Seq("x", "c")))
+      .toDF("id", "toks")
+    // "x" appears in all 3 docs; maxDf=2 removes it → no pairs at all
+    val got = SimilarityJoin.exactCosineTopK(docs, "id", "toks", k = 5, maxDf = 2L)
+    assert(got.count() == 0)
+  }
+}
