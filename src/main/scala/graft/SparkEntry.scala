@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private def allQueries: Seq[Q] =
-    Relational.queries ++ Text.queries ++ Similarity.queries
+    Relational.queries ++ Relational2.queries ++ Text.queries ++
+      Similarity.queries ++ Ml.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

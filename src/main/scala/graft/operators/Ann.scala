@@ -54,11 +54,24 @@ object Ann {
   }
 
   /** LSH signature join: vectors sharing a (table, signature) bucket become
-    * candidates; exact cosine re-ranks the candidates to top-k. */
+    * candidates; exact cosine re-ranks the candidates to top-k.
+    *
+    * `bits <= 0` auto-sizes the signature width to the corpus:
+    * ~8 vectors per expected bucket (`bits = log2(n/8)`), which keeps the
+    * candidate volume ~linear in n instead of quadratic — the knob that
+    * must scale with corpus size or buckets degenerate (too-sparse at small
+    * n kills recall, too-dense at large n kills the bucket join). */
   def lshTopK(data: DataFrame, idCol: String, vecCol: String, k: Int,
-              dim: Int, tables: Int = 8, bits: Int = 12,
+              dim: Int, tables: Int = 8, bits: Int = 0,
               seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, tables, bits, seed)
+    val nBits =
+      if (bits > 0) bits
+      else {
+        val n = data.count()
+        math.max(4, math.min(16,
+          math.ceil(math.log(math.max(n, 64L) / 8.0) / math.log(2.0)).toInt))
+      }
+    val planes = hyperplanes(dim, tables, nBits, seed)
     val sigCols = planes.zipWithIndex.map { case (tablePlanes, t) =>
       val sig = tablePlanes.zipWithIndex.map { case (h, j) =>
         val hc = array(h.map(lit): _*)

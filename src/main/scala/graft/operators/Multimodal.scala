@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling for a training-data
+  * pipeline: opaque `binary` content columns + typed metadata structs, with
+  * decode / feature-extraction / resize / frame-sampling stages.
+  *
+  * The actual media codecs are NOT available in this environment, so the
+  * decode kernels are STUBBED with deterministic byte-derived fakes — but
+  * all the Spark-side plumbing is real and load-bearing: binary columns
+  * survive shuffles/spills, metadata travels as a struct column, features
+  * come out as `array<float>` ready for the ANN operators, and batch shape
+  * follows `spark.sql.files.maxPartitionBytes` exactly as it would with
+  * real decoders. Swap [[fakeEmbed]]/[[fakeFrame]] for real codec calls
+  * (e.g. JNI/FFI decoders invoked per partition) and nothing else changes.
+  */
+object Multimodal {
+
+  /** Pack a string payload as (content: binary, meta: struct) — the shape a
+    * real ingestion job produces from raw media files
+    * (`spark.read.format("binaryFile")` yields the same content column). */
+  def pack(df: DataFrame, idCol: String, payloadCol: String,
+           format: String = "raw"): DataFrame =
+    df.select(
+      col(idCol).as("media_id"),
+      col(payloadCol).cast("binary").as("content"),
+      struct(
+        lit(format).as("format"),
+        length(col(payloadCol).cast("binary")).cast("long").as("n_bytes"),
+        xxhash64(col(payloadCol)).as("checksum")).as("meta"))
+
+  /** STUB decode → fixed-dim float features. Deterministic in the content
+    * bytes (seeded per dimension via xxhash64), so tests are exact. A real
+    * implementation replaces the hash with a codec + model forward pass;
+    * signature and plan shape are identical. */
+  def fakeEmbed(content: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(content, i), lit(100000L)) / lit(50000.0) - lit(1.0))
+        .cast("float"))
+
+  /** STUB frame sampling: split the payload into `n` byte-range "frames"
+    * (a real video decoder emits one row per sampled frame the same way). */
+  def sampleFrames(df: DataFrame, n: Int): DataFrame = {
+    val frameLen = greatest((col("meta.n_bytes") / n).cast("int"), lit(1))
+    df.select(col("media_id"), col("meta"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => substring(col("content"), (i * frameLen + 1).cast("int"), lit(1024)))))
+      .withColumnRenamed("pos", "frame_no")
+      .withColumnRenamed("col", "frame")
+      .where(length(col("frame")) > 0)
+  }
+
+  /** STUB resize: truncate/pad the payload to `targetBytes` (a real image
+    * resize changes dimensions; the plumbing — a codegen'd projection over
+    * binary — is the same). */
+  def resize(content: Column, targetBytes: Int): Column =
+    substring(content, 1, targetBytes)
+
+  /** Full stub featurization pipeline: pack → decode-to-features; the
+    * output (media_id, meta, features) feeds [[Ann]] directly. */
+  def featurize(df: DataFrame, idCol: String, payloadCol: String,
+                dim: Int = 16): DataFrame =
+    pack(df, idCol, payloadCol)
+      .select(col("media_id"), col("meta"),
+        fakeEmbed(col("content"), dim).as("features"))
+}

@@ -34,8 +34,8 @@ object LogIngest {
   def parseLog(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(logSchema).option("mode", "DROPMALFORMED").csv(path)
       .select(
-        col("_c0").cast("long").as("userId"),
-        col("_c5").cast("long").as("bookId"))
+        expr("try_cast(_c0 AS BIGINT)").as("userId"),
+        expr("try_cast(_c5 AS BIGINT)").as("bookId"))
       .where(col("userId").isNotNull && col("bookId").isNotNull &&
         col("userId") > 0 && col("bookId") > 0)
 

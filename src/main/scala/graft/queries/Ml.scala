@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Multimodal
+
+/** Spark-ML and multimodal surface (SURVEY §2.4 A12/A8; north-star ALS
+  * collaborative filtering; multimodal binary-column plumbing). These have
+  * no SQL oracle (model internals / engine hashing) — declared rows-only,
+  * with behavior asserted in ScalaTest. */
+object Ml {
+
+  val queries: Seq[Q] = Seq(
+
+    // A12/A8: k-means over the embedding table + cluster-size histogram
+    // with top-cluster selection (guessLike_u_like.py:78-79,170).
+    Q.rowsOnly("ml1_kmeans_cluster_sizes") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("vec"))
+      val model = new KMeans().setK(5).setSeed(42L)
+        .setFeaturesCol("vec").setPredictionCol("cluster")
+        .fit(emb)
+      model.transform(emb)
+        .groupBy("cluster").agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("cluster").asc)
+    },
+
+    // North-star MLlib path: implicit-feedback ALS over the purchase graph
+    // (customer x part via lineitem), top-5 recommendations per customer.
+    Q.rowsOnly("ml2_als_recommend") { (s, d) =>
+      val ratings = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").cast("int").as("user"),
+          col("l_partkey").cast("int").as("item"))
+        .agg(count(lit(1)).cast("float").as("rating"))
+      val als = new ALS().setRank(8).setMaxIter(5).setSeed(42L)
+        .setImplicitPrefs(true)
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      val model = als.fit(ratings)
+      model.setColdStartStrategy("drop")
+      model.recommendForAllUsers(5)
+        .select(col("user").cast("long").as("user"),
+          transform(col("recommendations"), r => r.getField("item").cast("long"))
+            .as("items"))
+        .orderBy("user")
+    },
+
+    // Multimodal plumbing: pack text payloads as binary + metadata,
+    // stub-decode to fixed-dim features, validate batch shape. The byte
+    // length and checksum plumbing is real; the embed kernel is the
+    // documented deterministic stub.
+    Q.rowsOnly("mm1_binary_featurize") { (s, d) =>
+      Multimodal.featurize(Tables.documents(s, d), "doc_id", "text", dim = 16)
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          round(graft.functions.VectorFunctions.norm2(col("features")), 6).as("feat_norm"))
+        .orderBy("media_id")
+    },
+
+    // Multimodal frame sampling: one row per byte-range "frame" per media
+    // item (the plan shape of video frame extraction).
+    Q.rowsOnly("mm2_frame_sample") { (s, d) =>
+      val packed = Multimodal.pack(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.sampleFrames(packed, n = 4)
+        .select(col("media_id"), col("frame_no").cast("long"),
+          length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy("media_id", "frame_no")
+    },
+  )
+}

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second relational batch: scalar-function surface (F4/F14/F15), term
+  * document frequency (A10), stop-word filtering (S8/A11), event-time
+  * tumbling windows (ST5), intersect (SO), and JSON/array functions. */
+object Relational2 {
+
+  val queries: Seq[Q] = Seq(
+
+    // F4: string repetition by computed weight — the reference's TF
+    // weighting by duplication (`(tag+' ')*w`, simility_books.py:40).
+    Q("f4_repeat_by_weight",
+      """SELECT p_partkey, repeat(lower(p_brand), p_size % 4 + 1) AS rep
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          expr("repeat(lower(p_brand), p_size % 4 + 1)").as("rep"))
+        .orderBy("p_partkey")
+    },
+
+    // A10: corpus document frequency with min-df pruning — the relational
+    // core of CountVectorizer(min_df=10) (guessLike_u_like.py:74-75).
+    Q("a10_term_document_frequency",
+      """SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |      FROM documents)
+        |GROUP BY term HAVING count(DISTINCT doc_id) >= 10
+        |ORDER BY term""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokenize(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") >= 10)
+        .orderBy("term")
+    },
+
+    // S8/A11: stop-word removal (the reference's 1,893-entry list,
+    // guessLike_u_like.py:72-73) as a token filter.
+    Q("s8_stopword_filter",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x NOT IN ('the','a','an','of','to','in','and','is','on','for','with'))) AS BIGINT)
+        |    AS n_content_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val stops = Seq("the", "a", "an", "of", "to", "in", "and", "is", "on", "for", "with")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(graft.functions.TextFunctions.tokenize(col("text")),
+            t => !t.isin(stops: _*))).cast("long").as("n_content_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // F14: date-part extraction and truncation (log path arithmetic,
+    // log_analyze.py:42-45).
+    Q("f14_date_parts",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+        .orderBy("o_orderkey")
+    },
+
+    // ST5: event-time tumbling window aggregation — the batch form of the
+    // streaming `window($"ts", "1 hour")` plan (the daily-batch plane is
+    // the reference's 1-day tumbling window, SURVEY §2.8 ST5).
+    Q("st5_tumbling_window_agg",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, d) =>
+      // ts arrives as long nanoseconds (see Verify nanosAsLong); convert to
+      // a real timestamp and window it.
+      val ev = Tables.events(s, d)
+        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+      ev.groupBy(window(col("t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour", "event_type")
+    },
+
+    // SO: intersect (inherited from Spark; absent in the reference,
+    // SURVEY §2.6).
+    Q("so4_intersect",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // F15/F6: KV key formatting + ordered id-list values — the reference's
+    // Redis record shape (`'b_similar:%s' % id`, comma-joined ids,
+    // simility_books.py:93-94).
+    Q("f15_kv_record_format",
+      """SELECT 'b_like:' || CAST(o_custkey AS VARCHAR) AS key,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS value
+        |FROM orders WHERE o_custkey <= 100
+        |GROUP BY o_custkey ORDER BY key""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .where(col("o_custkey") <= 100)
+        .groupBy(col("o_custkey"))
+        .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("value"))
+        .select(concat(lit("b_like:"), col("o_custkey").cast("string")).as("key"),
+          col("value"))
+        .orderBy("key")
+    },
+
+    // A13 scale path: HyperLogLog approximate distinct — the engine's
+    // 100 TB counterpart of exact countDistinct (SURVEY §2.4 A13). No SQL
+    // oracle (sketch-dependent); ScalaTest asserts <5% error vs exact.
+    Q.rowsOnly("a13b_approx_count_distinct") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type")
+    },
+  )
+}

@@ -83,12 +83,13 @@ object Similarity {
         .orderBy("a", "b")
     },
 
-    // MinHash-LSH near-dup candidates (16 bands x 4 rows, verify >= 0.6
-    // true Jaccard). Candidate generation depends on xxhash64 so no SQL
-    // oracle; the ScalaTest suite checks it against ngramJaccardPairs.
+    // MinHash-LSH near-dup candidates (12 bands x 8 rows ⇒ s-curve
+    // threshold ~0.73, verify >= 0.6 true Jaccard). Candidate generation
+    // depends on xxhash64 so no SQL oracle; the ScalaTest suite checks it
+    // against ngramJaccardPairs.
     Q.rowsOnly("d3_minhash_lsh") { (s, d) =>
       Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
-          shingleN = 3, bands = 16, rows = 4, minJaccard = 0.6)
+          shingleN = 3, bands = 12, rows = 8, minJaccard = 0.6)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")
     },
@@ -129,7 +130,7 @@ object Similarity {
     // in ScalaTest.
     Q.rowsOnly("ann2_lsh_topk") { (s, d) =>
       Ann.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-          k = 5, dim = 64, tables = 12, bits = 6, seed = 42L)
+          k = 5, dim = 64, tables = 12, bits = 0, seed = 42L)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long"))
         .orderBy("query_id", "rank")

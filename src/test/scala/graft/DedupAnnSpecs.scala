@@ -68,7 +68,7 @@ class AnnSpec extends SparkSuite {
         "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val lsh = Ann.lshTopK(emb, "vec_id", "embedding", k = 5,
-        dim = 64, tables = 12, bits = 6, seed = 42L)
+        dim = 64, tables = 12, bits = 0, seed = 42L)
       .where(col("query_id") < 30)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
