@@ -1,0 +1,190 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native sketch kernels (SURVEY §2.9 bucket 3). The declarative HOF
+  * formulations (`transform`+`array_min` per hash function, `aggregate` per
+  * signature bit) are semantically right but evaluate interpreted with one
+  * full array pass per hash/bit — 96 passes for a 96-hash MinHash
+  * signature, 64 for SimHash. These expressions compute the whole signature
+  * in ONE primitive pass per row (the classic CPU-bound sketch loop), which
+  * is what makes sketch-based dedup affordable when the corpus is 100 TB:
+  * the cost is then I/O-bound scanning, not hash arithmetic.
+  *
+  * Eval-mode (CodegenFallback) is deliberate: the per-row loop is already
+  * primitive Scala with zero allocation beyond the output array, and
+  * keeping it out of codegen avoids giant generated methods for large
+  * signature widths.
+  */
+
+/** MinHash signature over a shingle-hash array: element i =
+  * min over shingles x of (a_i * (x mod p) + b_i) mod p, with
+  * p = 2^31-1 and the same (a_i, b_i) schedule as
+  * [[graft.operators.Dedup.minHashSignature]] — signatures are
+  * interchangeable between the HOF and native forms. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  private val P = 2147483647L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(i => (2L * i + 1L) % P)
+  private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(i => (0x9E3779B9L * (i + 1)) % P)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val x = arr.getLong(j)
+      val xm = { val m = x % P; if (m < 0) m + P else m }
+      var i = 0
+      while (i < numHashes) {
+        val h = (as(i) * xm + bs(i)) % P   // < 2^62, no overflow
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** 64-bit SimHash over a token array: per-token `xxhash64` (same function
+  * and seed as the built-in), one pass updating 64 counters, bit j set iff
+  * the counter is positive — interchangeable with the HOF form in
+  * [[graft.operators.Dedup.simHash]]. */
+case class SimHash64(child: Expression, seed: Long = 42L)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val t = arr.getUTF8String(j)
+      if (t != null) {
+        val h = XxHash64Function.hash(t, StringType, seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Distinct character n-gram strings in one pass — the oracle-comparable
+  * (unhashed) shingle form used by the exact Jaccard path. */
+case class ShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    val count = math.max(len - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var i = 0
+    while (i < count) {
+      seen.add(s.substringSQL(i + 1, n))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** |A ∩ B| for two string arrays in one pass (hash set of the smaller
+  * side) — replaces `size(array_intersect(a, b))`, skipping the
+  * intermediate intersection array. Inputs are already-distinct shingle
+  * sets, so the count equals distinct-intersection size exactly. */
+case class IntersectionSize(
+    left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var i = 0
+    while (i < small.numElements()) { set.add(small.getUTF8String(i)); i += 1 }
+    var c = 0; i = 0
+    while (i < big.numElements()) {
+      if (set.contains(big.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Distinct character n-gram hashes of a string in one pass:
+  * xxhash64 (seed 42, matching the built-in) of each length-`n` codepoint
+  * window. Replaces the `transform(sequence(...), substr, xxhash64)` +
+  * `array_distinct` chain (three interpreted passes + per-shingle Column
+  * machinery). */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    val count = math.max(len - n + 1, 1)
+    val seen = new java.util.HashSet[Long](count * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](count)
+    var i = 0
+    while (i < count) {
+      val sh = s.substringSQL(i + 1, n)
+      val h = XxHash64Function.hash(sh, StringType, 42L)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

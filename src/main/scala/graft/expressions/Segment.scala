@@ -1,0 +1,67 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** F9: CJK word segmentation (SURVEY §2.7 F9) — the reference declares a
+  * jieba-based segmenter in every script but never calls it from main()
+  * (simility_books.py:11-15, guessLike_u_like.py:20-24); it is a dormant
+  * capability the engine exposes properly.
+  *
+  * Implementation: dictionary-based forward-maximum-matching (FMM) over a
+  * caller-supplied word list (longest match wins, single CJK char
+  * fallback), written from the published algorithm — no external segmenter
+  * library. Non-CJK runs (latin/digits) are emitted as whole tokens split
+  * on transitions. The reference's P8 filters (len >= 2, not all digits)
+  * are available separately via `TextFunctions.filterTokens`.
+  */
+case class Segment(child: Expression, dict: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val words: Set[String] = dict.toSet
+  @transient private lazy val maxLen: Int =
+    if (dict.isEmpty) 1 else dict.map(_.length).max
+
+  private def isCjk(c: Char): Boolean =
+    Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        i += 1
+      } else if (isCjk(c)) {
+        // FMM: longest dictionary word starting at i, else the single char
+        var l = math.min(maxLen, n - i)
+        var matched = 1
+        var found = false
+        while (l >= 2 && !found) {
+          if (words.contains(s.substring(i, i + l))) { matched = l; found = true }
+          l -= 1
+        }
+        out += UTF8String.fromString(s.substring(i, i + matched))
+        i += matched
+      } else {
+        // non-CJK run: consume until whitespace or CJK
+        val start = i
+        while (i < n && !Character.isWhitespace(s.charAt(i)) && !isCjk(s.charAt(i)))
+          i += 1
+        out += UTF8String.fromString(s.substring(start, i))
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -111,6 +111,23 @@ object TextFunctions {
       lit(0L),
       (acc, t) => pmod(acc * lit(31L) + pmod(hashToken(t), lit(fingerprintMod)), lit(fingerprintMod)))
 
+  /** F9: CJK segmentation via dictionary FMM (see
+    * [[graft.expressions.Segment]]); `dict` defaults to a compact bundled
+    * lexicon. The reference declares this capability but never invokes it
+    * (simility_books.py:11-15) — here it is a first-class function. */
+  def segment(text: Column, dict: Seq[String] = defaultCjkDict): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expressions.Segment(expression(text), dict))
+  }
+
+  /** Compact CJK lexicon for the bundled segmenter (book-domain words the
+    * fixtures and reference data use; production callers pass their own). */
+  val defaultCjkDict: Seq[String] = Seq(
+    "科幻", "小说", "文学", "经典", "历史", "哲学", "推理", "悬疑",
+    "三体", "活着", "围城", "百年孤独", "战争", "和平", "战争与和平",
+    "黑暗", "森林", "黑暗森林", "小王子", "图书", "推荐", "系统",
+    "中文", "文本", "测试", "数据", "分析", "用户", "收藏")
+
   /** A deterministic token hash both Spark and ANSI SQL can compute:
     * sum over characters of codepoint * position (1-based). Weak as a hash
     * but adequate for fingerprint composition and fully portable. */

@@ -3,26 +3,28 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `ArrayType` embedding columns, built from
-  * `zip_with`/`aggregate` so it stays codegen'd — no UDF, no driver loop.
-  * Used by the similarity-search surface (brute-force and LSH ANN) over
+/** Dense-vector math over `ArrayType` embedding columns. The hot kernels
+  * (dot, cosine) are native Catalyst expressions with `doGenCode`
+  * ([[graft.expressions.VectorDot]]/[[graft.expressions.VectorCosine]]) —
+  * a tight primitive loop inside whole-stage codegen, no boxing, no UDF.
+  * Used by the similarity-search surface (brute-force/LSH/IVF ANN) over
   * `embeddings.embedding: array<float>`.
   *
-  * All accumulation is in double precision regardless of the input element
-  * type (float inputs are upcast per element), so results are stable across
-  * engines and across partitioning.
+  * All accumulation is in double precision in index order regardless of the
+  * input element type, so results are bit-stable across engines and across
+  * partitioning (the DuckDB oracle's `list_dot_product` on double arrays
+  * produces identical values).
   */
 object VectorFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    column(graft.expressions.VectorDot(expression(a), expression(b)))
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm2(a) * norm2(b))
+    column(graft.expressions.VectorCosine(expression(a), expression(b)))
 
   def euclidean(a: Column, b: Column): Column =
     sqrt(aggregate(

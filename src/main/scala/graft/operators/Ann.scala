@@ -104,8 +104,18 @@ object Ann {
               nCentroids: Int = 16, nProbe: Int = 4,
               seed: Long = 42L): DataFrame = {
     val spark = data.sparkSession
-    val cents = data.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    // materialize the sampled centroids once (tiny: nCentroids rows) —
+    // otherwise the sample plan re-executes for every downstream use
+    val centRows = data.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
       .orderBy(xxhash64(col("cid") + lit(seed))).limit(nCentroids)
+      .collect().toSeq
+    val cents = spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          centRows.head.schema("cid").dataType),
+        org.apache.spark.sql.types.StructField("cvec",
+          centRows.head.schema("cvec").dataType))))
     val assigned = assignCells(data, idCol, vecCol, cents, 1)
       .withColumnRenamed("cell", "cell")
     val probes = assignCells(data, idCol, vecCol, cents, nProbe)

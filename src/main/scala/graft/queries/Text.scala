@@ -127,6 +127,16 @@ object Text {
         .orderBy("norm_name", "p_partkey")
     },
 
+    // F9: CJK dictionary segmentation (dormant reference capability,
+    // simility_books.py:11-15) — native FMM expression; no SQL oracle
+    // (dictionary matching), behavior golden-tested in TextFunctionsSpec.
+    Q.rowsOnly("t6_cjk_segment") { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(segment(col("text"))).cast("long").as("n_segments"))
+        .orderBy("doc_id")
+    },
+
     // P8/F8: token filters — length >= 2, not all-digits
     // (simility_books.py:11-15).
     Q("p8_token_filter",

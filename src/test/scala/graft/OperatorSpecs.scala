@@ -100,6 +100,12 @@ class TextFunctionsSpec extends SparkSuite {
     assert(fps(0) != fps(2))   // order matters
   }
 
+  test("F9: FMM segmentation — longest dict match, char fallback, latin runs") {
+    val got = Seq("三体黑暗森林与activity小王子123 测试x").toDF("t")
+      .select(TextFunctions.segment(col("t"))).as[Seq[String]].collect().head
+    assert(got == Seq("三体", "黑暗森林", "与", "activity", "小王子", "123", "测试", "x"))
+  }
+
   test("langId: script + marker heuristics") {
     val got = Seq("the cat is on the mat and it is happy",
       "el gato que está en la casa y los perros",

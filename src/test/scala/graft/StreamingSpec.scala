@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming semantics beyond the serve job (SURVEY §2.8 ST5's
+  * streaming variant): event-time tumbling windows with a watermark, and
+  * late-data expiry — the streaming upgrade of the reference's daily-batch
+  * "window". */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ST5: watermarked tumbling-window counts over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val windowed = stream.toDF().toDF("ts", "kind")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("kind"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "HH:mm").as("h"), col("kind"), col("n"))
+    val q = windowed.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    stream.addData(
+      (Timestamp.valueOf("2017-03-03 10:05:00"), "view"),
+      (Timestamp.valueOf("2017-03-03 10:55:00"), "view"),
+      (Timestamp.valueOf("2017-03-03 11:05:00"), "click"))
+    q.processAllAvailable()
+    val got = spark.table("win_out").as[(String, String, Long)].collect().toSet
+    q.stop()
+    assert(got == Set(("10:00", "view", 2L), ("11:00", "click", 1L)))
+  }
+}
