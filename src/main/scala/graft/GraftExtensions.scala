@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions._
+import graft.functions.TextFunctions
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so `spark.sql` users get the same kernels
+  * the Column API exposes:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * spark.sql("SELECT vector_cosine(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * (SURVEY §4.3: no custom planner rules are required for parity — the
+  * extension surface is function registration only.)
+  */
+object GraftExtensions {
+  /** Register the same functions on an already-created session (the
+    * `withExtensions` path only applies at session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = org.apache.spark.sql.graftbridge.ColumnBridge.registry(spark)
+    new GraftExtensions().functions.foreach { case (ident, fi, builder) =>
+      reg.registerFunction(ident, fi, builder)
+    }
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  private[graft] def functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vector_dot"),
+      info("vector_dot", "vector_dot(a, b) - double-accumulated dense dot product"),
+      (es: Seq[Expression]) => VectorDot(es(0), es(1))),
+    (FunctionIdentifier("vector_cosine"),
+      info("vector_cosine", "vector_cosine(a, b) - one-pass cosine similarity"),
+      (es: Seq[Expression]) => VectorCosine(es(0), es(1))),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash signature"),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    (FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(shingleHashes, k) - k-perm MinHash"),
+      (es: Seq[Expression]) => MinHashSignature(es.head,
+        es(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text, n) - distinct char n-gram xxhash64s"),
+      (es: Seq[Expression]) => ShingleHashes(es.head,
+        es(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("cjk_segment"),
+      info("cjk_segment", "cjk_segment(text) - dictionary-FMM CJK segmentation"),
+      (es: Seq[Expression]) => Segment(es.head, TextFunctions.defaultCjkDict)))
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+}

@@ -51,6 +51,18 @@ class RetryingKV(inner: KVSink, maxRetries: Int = 1, backoffMs: Long = 100L)
   def get(key: String): Option[String] = withRetry(inner.get(key))
 }
 
+object JdbcUpsert {
+  import org.apache.spark.sql.functions.col
+
+  /** K5: the reference's `INSERT IGNORE` (scraper notebook cell-4) —
+    * append only rows whose keys are absent from the existing table,
+    * expressed as a left-anti join before the write (SURVEY §2.1 K5). */
+  def insertIgnore(incoming: DataFrame, existing: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    incoming.dropDuplicates(keys)
+      .join(existing.select(keys.map(col): _*), keys, "left_anti")
+}
+
 object KVWriter {
   /** Writes a (key, value) DataFrame to the sink from the executors.
     * The DataFrame must have exactly two string columns. */

@@ -29,6 +29,14 @@ object LogIngest {
   def dailyLogPath(root: String, date: java.time.LocalDate): String =
     f"$root/${date.getYear}%04d/${date.getMonthValue}%02d/${date.getDayOfMonth}%02d/book.log"
 
+  /** S7: the reference skips the whole day when the log file is missing
+    * (log_analyze.py:46,58-61) — a driver-side existence check before any
+    * job is built, not a task-time failure. */
+  def logExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Raw log -> (userId, bookId) with tolerant int casts and the 0-sentinel
     * dropped. */
   def parseLog(spark: SparkSession, path: String): DataFrame =

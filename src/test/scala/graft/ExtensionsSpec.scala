@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface access to the native kernels via SparkSessionExtensions. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // getOrCreate may return a session created by another suite in this JVM
+  // (extensions only apply at construction), so use the programmatic
+  // registration path — the one a live session would use anyway.
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("ExtensionsSpec")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("native kernels callable from spark.sql") {
+    import spark.implicits._
+    Seq((Array(1.0f, 0.0f), Array(0.0f, 2.0f), Seq("a", "b")))
+      .toDF("x", "y", "toks").createOrReplaceTempView("t")
+    val row = spark.sql(
+      """SELECT vector_dot(x, x) AS d, vector_cosine(x, y) AS c,
+        |  simhash64(toks) AS sh,
+        |  size(shingle_hashes('abcde', 3)) AS ns,
+        |  cjk_segment('三体test') AS seg
+        |FROM t""".stripMargin).collect().head
+    assert(row.getAs[Double]("d") == 1.0)
+    assert(row.getAs[Double]("c") == 0.0)
+    assert(row.getAs[Int]("ns") == 3)
+    assert(row.getAs[scala.collection.Seq[String]]("seg") == Seq("三体", "test"))
+  }
+}
