@@ -44,9 +44,17 @@ object ServeJob {
     val queries = RecommenderModel.assignQueries(fitted, queryDocs)
     val collected = collect.where(col("isCollect") === 1)
       .groupBy("userId").agg(collect_set(col("bookId")).as("books"))
-    Recommender.recommend(fitted, queries,
+    val recs = Recommender.recommend(fitted, queries,
       if (filterCollected) collected else queryBooks.limit(0),
       params, filterOwn = filterCollected)
+    // ST6: every decoded event user gets an answer — users with no query
+    // context (no collections, no payload books) fall back to the hot list
+    // (the reference's evident intent on scoring failure,
+    // guessLike_u_like.py:207-209; its own fallback code is buggy,
+    // SURVEY §4.2).
+    val books = graft.rank.Blend.withFallback(
+      recs.books, events.select(col("userId")), fitted.hot, params.recCap)
+    Recommender.Recs(books, recs.users)
   }
 
   /** Wire a raw frame stream (value: String) through decode → score →

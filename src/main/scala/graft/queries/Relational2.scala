@@ -119,6 +119,82 @@ object Relational2 {
         .orderBy("key")
     },
 
+    // F17: chained replace sanitization (the scraper's &nbsp;/brand-word
+    // stripping, NB cell-4).
+    Q("f17_chained_replace",
+      """SELECT p_partkey,
+        |  replace(replace(replace(lower(p_type), 'anodized', 'an.'),
+        |    'burnished', 'bu.'), ' ', '_') AS clean_type
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          regexp_replace(regexp_replace(regexp_replace(lower(col("p_type")),
+            "anodized", "an."), "burnished", "bu."), " ", "_").as("clean_type"))
+        .orderBy("p_partkey")
+    },
+
+    // F18: parse a serialized id list back into a typed array — the
+    // engine's replacement for the reference's eval() round-trip
+    // (guessLike_u_like.py:47,185).
+    Q("f18_parse_id_list",
+      """SELECT o_custkey,
+        |  CAST(len(string_split(ids_csv, ',')) AS BIGINT) AS n_ids,
+        |  CAST(string_split(ids_csv, ',')[1] AS BIGINT) AS first_id
+        |FROM (SELECT o_custkey,
+        |        string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS ids_csv
+        |      FROM orders GROUP BY o_custkey)
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("ids_csv"))
+        .select(col("o_custkey"),
+          size(split(col("ids_csv"), ",")).cast("long").as("n_ids"),
+          element_at(split(col("ids_csv"), ","), 1).cast("long").as("first_id"))
+        .orderBy("o_custkey")
+    },
+
+    // J9: positional zip of two per-group aligned arrays (zip joins
+    // disappear relationally — the oracle is the plain aligned-row sum).
+    Q("j9_positional_zip",
+      """SELECT l_orderkey, round(sum(l_quantity * l_extendedprice), 2) AS dot
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      // one collected struct array keeps rows aligned ((orderkey,
+      // linenumber) is NOT unique in this data), then zip the projected
+      // arrays positionally
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(collect_list(struct(col("l_quantity"), col("l_extendedprice"))).as("qp"))
+        .select(col("l_orderkey"),
+          round(aggregate(
+            zip_with(
+              transform(col("qp"), x => x.getField("l_quantity")),
+              transform(col("qp"), x => x.getField("l_extendedprice")),
+              (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x), 2).as("dot"))
+        .orderBy("l_orderkey")
+    },
+
+    // W7: seeded pseudo-random backfill pick (the reference's `random 5 hot
+    // books`, guessLike_u_like.py:126, made deterministic). xxhash64
+    // ordering has no SQL oracle — rows-only; Blend determinism is asserted
+    // in DailyLogJobSpec.
+    Q.rowsOnly("w7_seeded_backfill") { (s, d) =>
+      val hot = Tables.lineitem(s, d)
+        .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_partkey").asc).limit(30)
+      val hotIds = hot.select("l_partkey").collect().map(_.getLong(0)).sorted
+      val hotArr = array(hotIds.map(lit(_)): _*)
+      Tables.customer(s, d).where(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+          slice(
+            transform(
+              sort_array(transform(hotArr,
+                b => struct(xxhash64(b, col("c_custkey"), lit(42L)).as("h"), b.as("b")))),
+              x => x.getField("b")),
+            1, 5).as("backfill"))
+        .orderBy("c_custkey")
+    },
+
     // A13 scale path: HyperLogLog approximate distinct — the engine's
     // 100 TB counterpart of exact countDistinct (SURVEY §2.4 A13). No SQL
     // oracle (sketch-dependent); ScalaTest asserts <5% error vs exact.

@@ -109,4 +109,23 @@ class ServeJobSpec extends SparkSuite {
     val recs101 = snap("b_like:101").split(",").map(_.toLong).toSet
     assert(recs101.intersect(Set(1L, 3L, 5L, 7L)).isEmpty)
   }
+
+  test("ST6: event user with no context falls back to the hot list") {
+    InMemoryKV.clear()
+    val kv = new InMemoryKV
+    val fitted = RecommenderModel.fit(
+      Fixtures.books(spark), Fixtures.tags(spark), Fixtures.bookTags(spark),
+      Fixtures.collects(spark),
+      minCollected = 2, minDf = 1.0, stopWords = Nil, k = 2, hotN = 3)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    stream.addData("""{"userId": 777}""")   // unknown user, no collections
+    val q = ServeJob.start(stream.toDF(), fitted, Fixtures.collects(spark), kv)
+    q.processAllAvailable()
+    q.stop()
+    val snap = InMemoryKV.snapshot
+    val hotIds = fitted.hot.orderBy(col("cnt").desc, col("bookId").asc)
+      .select("bookId").as[Long].collect().toSeq
+    assert(snap("b_like:777") == hotIds.mkString(","))
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{Dedup, TopK, Weighting}
+import graft.functions.TextFunctions
+
+/** Property-based invariants (SURVEY §5.4), driven by raw scalacheck
+  * generators over seeded samples: weight buckets always in [1, nBuckets];
+  * per-key top-k sizes respect caps; Jaccard bounds; normalized titles
+  * idempotent; fingerprints whitespace-stable. */
+class PropertySpecs extends SparkSuite {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong * 7919)))
+
+  private val groupGen: Gen[List[(Long, Double)]] = for {
+    nGroups <- Gen.choose(1, 4)
+    rows <- Gen.listOfN(nGroups * 5, Gen.zip(
+      Gen.choose(1L, nGroups.toLong), Gen.choose(0.0, 100.0)))
+  } yield rows
+
+  test("A2 property: buckets always land in [1, 4]") {
+    samples(groupGen, 10).filter(_.nonEmpty).foreach { rows =>
+      val buckets = Weighting.minMaxBucket(rows.toDF("k", "v"), "k", "v")
+        .select("bucket").as[Long].collect()
+      assert(buckets.forall(b => b >= 1 && b <= 4), s"out-of-range in $rows")
+    }
+  }
+
+  test("W1 property: per-key top-k never exceeds k, and honors group size") {
+    samples(groupGen, 10).filter(_.nonEmpty).foreach { rows =>
+      val k = 3
+      val got = TopK.topKPerKey(rows.toDF("k", "v"), Seq("k"),
+          Seq(col("v").desc, col("v").asc), k)
+        .groupBy("k").count().as[(Long, Long)].collect().toMap
+      val sizes = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      got.foreach { case (key, n) => assert(n <= k && n <= sizes(key)) }
+    }
+  }
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    "spark", "table", "scan", "the", "a", "数据", "分析", "12", "x"))
+    .map(_.mkString(" "))
+
+  test("F7 property: title normalization is idempotent") {
+    val titles = samples(textGen, 40)
+    val df = titles.toDF("t")
+    val twice = df.select(TextFunctions.normalizeTitle(col("t")).as("n1"))
+      .select(col("n1"), TextFunctions.normalizeTitle(col("n1")).as("n2"))
+    assert(twice.where(col("n1") =!= col("n2")).count() == 0)
+  }
+
+  test("fingerprint property: invariant under whitespace renoising") {
+    val texts = samples(textGen, 30)
+    val noised = texts.map(t => "  " + t.replace(" ", "   ") + " ")
+    val a = texts.toDF("t").select(TextFunctions.fingerprint(col("t")))
+      .as[Long].collect().toSeq
+    val b = noised.toDF("t").select(TextFunctions.fingerprint(col("t")))
+      .as[Long].collect().toSeq
+    assert(a == b)
+  }
+
+  test("Jaccard property: pairs are (a<b), values in [0,1], dups score 1") {
+    val texts = samples(textGen.suchThat(_.length >= 3), 8).take(5)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      texts.zipWithIndex.map { case (t, i) => (100L + i, t) }   // exact dups
+    val pairs = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, minJaccard = 0.0)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.forall { case (a, b, j) => a < b && j >= 0.0 && j <= 1.0 + 1e-12 })
+    val dupPairs = pairs.filter { case (a, b, _) => b == a + 100 }
+    assert(dupPairs.nonEmpty && dupPairs.forall(_._3 > 0.9999))
+  }
+}
