@@ -126,8 +126,8 @@ case class ShingleStrings(child: Expression, n: Int)
     copy(child = c)
 }
 
-/** |A ∩ B| for two string arrays in one pass (hash set of the smaller
-  * side) — replaces `size(array_intersect(a, b))`, skipping the
+/** |A ∩ B| for two string or long arrays in one pass (hash set of the
+  * smaller side) — replaces `size(array_intersect(a, b))`, skipping the
   * intermediate intersection array. Inputs are already-distinct shingle
   * sets, so the count equals distinct-intersection size exactly. */
 case class IntersectionSize(
@@ -138,17 +138,35 @@ case class IntersectionSize(
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
+  private lazy val isString = left.dataType match {
+    case ArrayType(StringType, _) => true
+    case ArrayType(LongType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"expected array<string|bigint>, got $t")
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
-    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var c = 0
     var i = 0
-    while (i < small.numElements()) { set.add(small.getUTF8String(i)); i += 1 }
-    var c = 0; i = 0
-    while (i < big.numElements()) {
-      if (set.contains(big.getUTF8String(i))) c += 1
-      i += 1
+    if (isString) {
+      val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+      while (i < small.numElements()) { set.add(small.getUTF8String(i)); i += 1 }
+      i = 0
+      while (i < big.numElements()) {
+        if (set.contains(big.getUTF8String(i))) c += 1
+        i += 1
+      }
+    } else {
+      val set = new java.util.HashSet[java.lang.Long](small.numElements() * 2)
+      while (i < small.numElements()) { set.add(small.getLong(i)); i += 1 }
+      i = 0
+      while (i < big.numElements()) {
+        if (set.contains(big.getLong(i))) c += 1
+        i += 1
+      }
     }
     c
   }

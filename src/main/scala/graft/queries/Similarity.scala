@@ -94,6 +94,14 @@ object Similarity {
         .orderBy("a", "b")
     },
 
+    // End-to-end corpus dedup: LSH candidates → min-label cluster
+    // resolution → keep the smallest id per duplicate cluster.
+    Q.rowsOnly("d5_dedup_corpus") { (s, d) =>
+      Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text",
+          minJaccard = 0.8)
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+
     // SimHash near-dup pairs (64-bit, chunk blocking, hamming <= 12).
     Q.rowsOnly("d4_simhash") { (s, d) =>
       Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 12)

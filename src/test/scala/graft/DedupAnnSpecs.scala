@@ -47,6 +47,24 @@ class DedupSpec extends SparkSuite {
     assert(exact.nonEmpty && lsh == exact)
   }
 
+  test("resolveClusters: transitive near-dups collapse to the min id") {
+    // chain 1-2, 2-3 plus isolated pair 7-9 → clusters {1,2,3} and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val got = Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(7L) == 7L && got(9L) == 7L)
+  }
+
+  test("dedupCorpus: end-to-end removal keeps one representative per cluster") {
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text", minJaccard = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    // 1,2,6 are (near-)identical → only 1 survives; 3 is a near-dup of 1
+    // at ~0.77 jaccard → also collapsed; 4 and 5 survive
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(6L))
+    assert(kept.contains(4L) && kept.contains(5L))
+  }
+
   test("simhash: identical docs at hamming 0, unrelated docs blocked or far") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Long)].collect()
