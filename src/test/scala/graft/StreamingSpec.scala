@@ -11,6 +11,40 @@ import java.sql.Timestamp
 class StreamingSpec extends SparkSuite {
   import spark.implicits._
 
+  test("stateful: flatMapGroupsWithState dedups events per key across batches") {
+    import graft.streaming.Stateful
+    import graft.streaming.Stateful.KeyedEvent
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[KeyedEvent]
+    val q = Stateful.dedupedEvents(stream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    stream.addData(KeyedEvent(1L, 10L), KeyedEvent(1L, 10L), KeyedEvent(1L, 11L))
+    q.processAllAvailable()
+    stream.addData(KeyedEvent(1L, 10L), KeyedEvent(2L, 10L))  // 10 dup for k1, new for k2
+    q.processAllAvailable()
+    val got = spark.table("dedup_out").as[KeyedEvent].collect().toSet
+    q.stop()
+    assert(got == Set(KeyedEvent(1L, 10L), KeyedEvent(1L, 11L), KeyedEvent(2L, 10L)))
+  }
+
+  test("stateful: running counts accumulate across batches") {
+    import graft.streaming.Stateful
+    import graft.streaming.Stateful.{CountUpdate, KeyedEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[KeyedEvent]
+    val q = Stateful.runningCounts(stream.toDS(), timeoutMs = 0L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("counts_out").start()
+    stream.addData(KeyedEvent(5L, 1L), KeyedEvent(5L, 2L))
+    q.processAllAvailable()
+    stream.addData(KeyedEvent(5L, 3L))
+    q.processAllAvailable()
+    val got = spark.table("counts_out").as[CountUpdate].collect().toSet
+    q.stop()
+    assert(got.contains(CountUpdate(5L, 2L)) && got.contains(CountUpdate(5L, 3L)))
+  }
+
   test("ST5: watermarked tumbling-window counts over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String)]
