@@ -1,0 +1,50 @@
+package graft.model
+
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Collaborative filtering via MLlib ALS (the north-star Spark-native
+  * recommender the reference's content-based pipeline lacks). Implicit-
+  * feedback mode fits the domain: collections/views are confidence
+  * signals, not ratings.
+  *
+  * The interaction matrix distributes (blocked factors), so this scales
+  * where the reference's in-memory similarity matrices cannot; serving =
+  * `recommendForUserSubset` (a blocked cross-product, not a driver loop).
+  */
+object Collaborative {
+
+  final case class Fitted(model: ALSModel)
+
+  /** interactions: (user: long, item: long, weight: double-ish). */
+  def fit(interactions: DataFrame, rank: Int = 8, maxIter: Int = 5,
+          regParam: Double = 0.1, alpha: Double = 1.0,
+          seed: Long = 42L): Fitted = {
+    val als = new ALS()
+      .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
+      .setAlpha(alpha).setSeed(seed).setImplicitPrefs(true)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+    val prepared = interactions.select(
+      col("user").cast("int").as("user"),
+      col("item").cast("int").as("item"),
+      col("rating").cast("float").as("rating"))
+    val model = als.fit(prepared)
+    model.setColdStartStrategy("drop")
+    Fitted(model)
+  }
+
+  /** Top-k item ids per user as (user, items array<long>). */
+  def recommendForUsers(fitted: Fitted, users: DataFrame, k: Int): DataFrame =
+    fitted.model.recommendForUserSubset(
+        users.select(col("user").cast("int").as("user")), k)
+      .select(col("user").cast("long").as("user"),
+        transform(col("recommendations"), r => r.getField("item").cast("long"))
+          .as("items"))
+
+  /** Collection table → implicit interaction matrix (count-weighted). */
+  def interactionsFromCollect(collect: DataFrame): DataFrame =
+    collect.where(col("isCollect") === 1)
+      .groupBy(col("userId").as("user"), col("bookId").as("item"))
+      .agg(count(lit(1)).cast("double").as("rating"))
+}

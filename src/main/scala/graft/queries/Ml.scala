@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.recommendation.ALS
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Multimodal
@@ -31,20 +30,13 @@ object Ml {
     // North-star MLlib path: implicit-feedback ALS over the purchase graph
     // (customer x part via lineitem), top-5 recommendations per customer.
     Q.rowsOnly("ml2_als_recommend") { (s, d) =>
-      val ratings = Tables.lineitem(s, d)
+      val interactions = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey").cast("int").as("user"),
-          col("l_partkey").cast("int").as("item"))
-        .agg(count(lit(1)).cast("float").as("rating"))
-      val als = new ALS().setRank(8).setMaxIter(5).setSeed(42L)
-        .setImplicitPrefs(true)
-        .setUserCol("user").setItemCol("item").setRatingCol("rating")
-      val model = als.fit(ratings)
-      model.setColdStartStrategy("drop")
-      model.recommendForAllUsers(5)
-        .select(col("user").cast("long").as("user"),
-          transform(col("recommendations"), r => r.getField("item").cast("long"))
-            .as("items"))
+        .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+        .agg(count(lit(1)).cast("double").as("rating"))
+      val fitted = graft.model.Collaborative.fit(interactions)
+      graft.model.Collaborative.recommendForUsers(fitted,
+          interactions.select("user").distinct(), k = 5)
         .orderBy("user")
     },
 
