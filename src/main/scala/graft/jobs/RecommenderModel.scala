@@ -44,6 +44,29 @@ object RecommenderModel {
     Fitted(bookDocs, userBooks, userTokens, vec.model, clusters.model, hot)
   }
 
+  /** ST4 persistence: the fitted artifacts round-trip to a directory (ML
+    * writers for the models, parquet for the DataFrames), so a serving job
+    * can load + broadcast without refitting; model refresh = re-run fit,
+    * save, resubmit serve (the reference refits on process restart,
+    * guessLike_u_like.py:163-176). */
+  def save(fitted: Fitted, dir: String): Unit = {
+    fitted.cv.write.overwrite().save(s"$dir/cv")
+    fitted.km.write.overwrite().save(s"$dir/km")
+    fitted.bookDocs.write.mode("overwrite").parquet(s"$dir/bookDocs")
+    fitted.userBooks.write.mode("overwrite").parquet(s"$dir/userBooks")
+    fitted.userTokens.write.mode("overwrite").parquet(s"$dir/userTokens")
+    fitted.hot.write.mode("overwrite").parquet(s"$dir/hot")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Fitted =
+    Fitted(
+      bookDocs = spark.read.parquet(s"$dir/bookDocs"),
+      userBooks = spark.read.parquet(s"$dir/userBooks"),
+      userTokens = spark.read.parquet(s"$dir/userTokens"),
+      cv = org.apache.spark.ml.feature.CountVectorizerModel.load(s"$dir/cv"),
+      km = org.apache.spark.ml.clustering.KMeansModel.load(s"$dir/km"),
+      hot = spark.read.parquet(s"$dir/hot"))
+
   /** Assign cluster + vocab-filtered tokens to ad-hoc query users given
     * their doc text — the serving-time `predict` path
     * (guessLike_u_like.py:111). queryDocs: (userId, userDoc). */

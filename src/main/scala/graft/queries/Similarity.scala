@@ -109,6 +109,31 @@ object Similarity {
         .orderBy("a", "b")
     },
 
+    // Embedding-cosine near-dup mining: threshold join rather than top-k —
+    // the dedup flavor of the ANN surface (pairs above a similarity
+    // floor). Double index-order accumulation keeps it oracle-exact.
+    Q("d6_embedding_near_dup",
+      """WITH p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 50 AND a.vec_id < b.vec_id)
+        |SELECT a, b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.35
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 50)
+        .select(col("vec_id").as("a"), col("embedding").as("va"))
+      val c = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      c.join(broadcast(q), col("a") < col("b"))
+        .withColumn("cosine",
+          graft.functions.VectorFunctions.cosine(col("va"), col("vb")))
+        .where(col("cosine") >= 0.35)
+        .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("a", "b")
+    },
+
     // Brute-force cosine ANN over embeddings: queries vec_id < 20, k = 5.
     // Double accumulation in index order on both sides → bit-identical.
     Q("ann1_brute_cosine_topk",

@@ -72,6 +72,19 @@ class DailyLogJobSpec extends SparkSuite {
     assert(snap.keys.count(_.startsWith("u_similar:")) >= 1)
   }
 
+  test("ST4: fitted model round-trips through save/load with equal recs") {
+    InMemoryKV.clear()
+    val kv = new InMemoryKV
+    DailyLogJob.run(Fixtures.logViews(spark), fitted, kv)
+    val direct = InMemoryKV.snapshot
+    val dir = java.nio.file.Files.createTempDirectory("fitted").toString
+    RecommenderModel.save(fitted, dir)
+    val reloaded = RecommenderModel.load(spark, dir)
+    InMemoryKV.clear()
+    DailyLogJob.run(Fixtures.logViews(spark), reloaded, kv)
+    assert(InMemoryKV.snapshot == direct)
+  }
+
   test("deterministic across runs (seeded randomness only)") {
     InMemoryKV.clear()
     val kv = new InMemoryKV
