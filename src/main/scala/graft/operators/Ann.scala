@@ -116,9 +116,11 @@ object Ann {
           centRows.head.schema("cid").dataType),
         org.apache.spark.sql.types.StructField("cvec",
           centRows.head.schema("cvec").dataType))))
-    val assigned = assignCells(data, idCol, vecCol, cents, 1)
-      .withColumnRenamed("cell", "cell")
-    val probes = assignCells(data, idCol, vecCol, cents, nProbe)
+    // one centroid scoring pass: rn == 1 is the home cell (assignment),
+    // rn <= nProbe are the probe cells — no second cross join
+    val cells = assignCells(data, idCol, vecCol, cents, nProbe)
+    val assigned = cells.where(col("rn") === 1)
+    val probes = cells
     val l = probes.select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
     val r = assigned.select(col("cell"), col("id").as("neighbor_id"), col("v").as("cv"))
     val cand = l.join(r, Seq("cell"))
@@ -132,7 +134,9 @@ object Ann {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Nearest `nCells` centroid ids per vector via broadcast centroid join. */
+  /** Nearest `nCells` centroid ids per vector via broadcast centroid join;
+    * keeps `rn` so callers can distinguish the home cell (rn == 1) from
+    * probe cells. */
   private def assignCells(data: DataFrame, idCol: String, vecCol: String,
                           cents: DataFrame, nCells: Int): DataFrame = {
     val scored = data.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -141,6 +145,6 @@ object Ann {
     val w = Window.partitionBy("id").orderBy(col("d").desc, col("cid").asc)
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= nCells)
-      .select(col("id"), col("v"), col("cid").as("cell"))
+      .select(col("id"), col("v"), col("cid").as("cell"), col("rn"))
   }
 }
