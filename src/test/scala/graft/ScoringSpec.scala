@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.rank.Scoring
+
+/** Hand-computed expectations for cluster-local cosine scoring (J8/P5/W3). */
+class ScoringSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("J8: cluster-local cosine matches hand computation; cross-cluster pairs excluded") {
+    // query 1 (cluster 0): [a a b]; corpus: u10 (c0) [a b], u11 (c0) [c],
+    // u12 (c1) [a a b] — same tokens as the query but a different cluster,
+    // so it must be excluded
+    val queries = Seq((1L, 0, Seq("a", "a", "b"))).toDF("userId", "cluster", "tokens")
+    val corpus = Seq(
+      (10L, 0, Seq("a", "b")),
+      (11L, 0, Seq("c")),
+      (12L, 1, Seq("a", "a", "b"))
+    ).toDF("userId", "cluster", "tokens")
+    val sims = Scoring.clusterCosine(queries, corpus)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val expected = 3.0 / math.sqrt(10.0)   // (2*1 + 1*1) / (sqrt5 * sqrt2)
+    assert(sims.keySet == Set((1L, 10L)))  // u11 shares no term, u12 wrong cluster
+    assert(math.abs(sims((1L, 10L)) - expected) < 1e-12)
+  }
+
+  test("vocab pruning drops out-of-vocabulary terms from scoring") {
+    val queries = Seq((1L, 0, Seq("a", "z"))).toDF("userId", "cluster", "tokens")
+    val corpus = Seq((10L, 0, Seq("a", "z"))).toDF("userId", "cluster", "tokens")
+    val pruned = Scoring.clusterCosine(queries, corpus, Some(Set("a")))
+      .as[(Long, Long, Double)].collect()
+    // only "a" survives → both vectors reduce to [a] → cosine 1.0
+    assert(pruned.length == 1 && math.abs(pruned.head._3 - 1.0) < 1e-12)
+  }
+}
