@@ -75,20 +75,25 @@ object Ann {
     val sigCols = planes.zipWithIndex.map { case (tablePlanes, t) =>
       val sig = tablePlanes.zipWithIndex.map { case (h, j) =>
         val hc = array(h.map(lit): _*)
-        hyperplaneSignBit(col(vecCol), hc) * lit(1L << j)
+        hyperplaneSignBit(col("v"), hc) * lit(1L << j)
       }.reduce(_ + _)
       struct(lit(t).as("table"), sig.as("sig"))
     }
-    val bucketed = data
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        explode(array(sigCols: _*)).as("b"))
-      .select(col("id"), col("v"), col("b.table"), col("b.sig"))
-    val l = bucketed.select(col("table"), col("sig"), col("id").as("query_id"), col("v").as("qv"))
-    val r = bucketed.select(col("table"), col("sig"), col("id").as("neighbor_id"), col("v").as("cv"))
+    // id-only bucket join (the 512-byte vector payloads re-attach to the
+    // deduplicated candidate pairs, not to every bucket row)
+    val vecs = data.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(eager = true)
+    val bucketed = vecs
+      .select(col("id"), explode(array(sigCols: _*)).as("b"))
+      .select(col("id"), col("b.table"), col("b.sig"))
+    val l = bucketed.select(col("table"), col("sig"), col("id").as("query_id"))
+    val r = bucketed.select(col("table"), col("sig"), col("id").as("neighbor_id"))
     val cand = l.join(r, Seq("table", "sig"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+      .join(vecs.select(col("id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
     val scored = cand.withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
