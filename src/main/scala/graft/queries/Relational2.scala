@@ -119,6 +119,26 @@ object Relational2 {
         .orderBy("key")
     },
 
+    // A6/J3: per-user document assembly — explode the user's item set,
+    // lookup-join the item dimension, regroup into one ordered
+    // space-joined document (the reference's user-doc build,
+    // guessLike_u_like.py:31-37,67).
+    Q("a6_user_doc_assembly",
+      """SELECT o_custkey,
+        |  string_agg(DISTINCT p_name, ' ' ORDER BY p_name) AS doc
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE o_custkey <= 150
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).where(col("o_custkey") <= 150)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("o_custkey")
+        .agg(array_join(array_sort(collect_set(col("p_name"))), " ").as("doc"))
+        .orderBy("o_custkey")
+    },
+
     // F17: chained replace sanitization (the scraper's &nbsp;/brand-word
     // stripping, NB cell-4).
     Q("f17_chained_replace",
