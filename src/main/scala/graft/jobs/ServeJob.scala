@@ -28,6 +28,26 @@ import graft.prep.Collections
   */
 object ServeJob {
 
+  /** The reference's three deployables, as named constructors over the one
+    * parameterized job (recommender-online/README.md:2):
+    *  - u_like (guessLike_u_like.py): collect event → latest-3 context,
+    *    collected books filtered from results;
+    *  - u_nlike (guessLike_u_nlike.py): un-collect event → identical plan
+    *    over the post-event collect state;
+    *  - u_first_select (guessLike_u_first_select.py): bookIds arrive in
+    *    the payload, results unfiltered (UFS:178,182). */
+  def uLike(frames: DataFrame, fitted: RecommenderModel.Fitted,
+            collect: DataFrame, kv: KVSink): StreamingQuery =
+    start(frames, fitted, collect, kv, filterCollected = true)
+
+  def uNlike(frames: DataFrame, fitted: RecommenderModel.Fitted,
+             collect: DataFrame, kv: KVSink): StreamingQuery =
+    start(frames, fitted, collect, kv, filterCollected = true)
+
+  def uFirstSelect(frames: DataFrame, fitted: RecommenderModel.Fitted,
+                   collect: DataFrame, kv: KVSink): StreamingQuery =
+    start(frames, fitted, collect, kv, filterCollected = false)
+
   /** Score one micro-batch of decoded events (userId, bookIds). */
   def scoreBatch(events: DataFrame, fitted: RecommenderModel.Fitted,
                  collect: DataFrame, latestK: Int = 3,

@@ -123,6 +123,24 @@ class ServeJobSpec extends SparkSuite {
     assert(recs101.intersect(Set(1L, 3L, 5L, 7L)).isEmpty)
   }
 
+  test("u_first_select: payload books drive recs, collected filter off") {
+    InMemoryKV.clear()
+    val kv = new InMemoryKV
+    val fitted = RecommenderModel.fit(
+      Fixtures.books(spark), Fixtures.tags(spark), Fixtures.bookTags(spark),
+      Fixtures.collects(spark),
+      minCollected = 2, minDf = 1.0, stopWords = Nil, k = 2, hotN = 3)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    // user 101 HAS collections (1,3,5,7) but first-select scores from the
+    // payload and does NOT filter collected books
+    stream.addData("""{"userId": 101, "bookIds": [6]}""")
+    val q = ServeJob.uFirstSelect(stream.toDF(), fitted, Fixtures.collects(spark), kv)
+    q.processAllAvailable()
+    q.stop()
+    assert(InMemoryKV.snapshot.contains("b_like:101"))
+  }
+
   test("ST6: event user with no context falls back to the hot list") {
     InMemoryKV.clear()
     val kv = new InMemoryKV
