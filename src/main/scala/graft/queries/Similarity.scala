@@ -79,6 +79,7 @@ object Similarity {
         |ORDER BY a, b""".stripMargin) { (s, d) =>
       Dedup.ngramJaccardForQueries(Tables.documents(s, d), "doc_id", "text",
           n = 3, queryPred = col("id") < 25, minJaccard = 0.6)
+        .where(col("a") < col("b"))   // oracle canonicalizes pair orientation
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")
     },

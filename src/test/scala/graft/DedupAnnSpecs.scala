@@ -47,6 +47,14 @@ class DedupSpec extends SparkSuite {
     assert(exact.nonEmpty && lsh == exact)
   }
 
+  test("query-vs-corpus jaccard reaches corpus docs with SMALLER ids") {
+    // doc 6 (whitespace-dup of 1) as the sole query must still find doc 1
+    val got = Dedup.ngramJaccardForQueries(docs, "doc_id", "text",
+        n = 3, queryPred = col("id") === 6, minJaccard = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((6L, 1L)), s"missed smaller-id near-dup: $got")
+  }
+
   test("resolveClusters: transitive near-dups collapse to the min id") {
     // chain 1-2, 2-3 plus isolated pair 7-9 → clusters {1,2,3} and {7,9}
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
