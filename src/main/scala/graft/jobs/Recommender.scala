@@ -17,7 +17,8 @@ object Recommender {
       recCap: Int = 15,
       similarUserCap: Int = 40,
       backfill: Int = 5,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      defaultUsers: Seq[Long] = Seq(4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L, 12L, 13L))
 
   final case class Recs(books: DataFrame, // (query, books array)
                         users: DataFrame) // (query, users array)
@@ -37,7 +38,9 @@ object Recommender {
       p.recCap, p.backfill, p.seed)
     val books = Blend.withFallback(blended,
       queries.select(col("userId")), fitted.hot, p.recCap)
-    val users = Scoring.similarUsers(sims, p.similarUserCap)
+    val users = Blend.withUserFallback(
+      Scoring.similarUsers(sims, p.similarUserCap),
+      queries.select(col("userId")), p.defaultUsers)
     Recs(books, users)
   }
 }

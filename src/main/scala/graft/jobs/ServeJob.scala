@@ -53,7 +53,12 @@ object ServeJob {
                  collect: DataFrame, latestK: Int = 3,
                  filterCollected: Boolean = true,
                  params: Recommender.Params = Recommender.Params()): Recommender.Recs = {
-    val latest = Collections.latestBooks(collect, latestK)
+    // restrict the collect snapshot to this batch's users FIRST — the
+    // snapshot is large and static, the batch is small; without the
+    // semi-join every micro-batch pays a full-table window + groupBy
+    val batchCollect = collect
+      .join(events.select(col("userId")), Seq("userId"), "left_semi")
+    val latest = Collections.latestBooks(batchCollect, latestK)
     // payload bookIds win; otherwise the user's latest collected books
     val queryBooks = events
       .join(latest, events("userId") === latest("userId"), "left")
@@ -62,27 +67,34 @@ object ServeJob {
       .where(col("books").isNotNull && size(col("books")) > 0)
     val queryDocs = Collections.userDocs(queryBooks, fitted.bookDocs)
     val queries = RecommenderModel.assignQueries(fitted, queryDocs)
-    val collected = collect.where(col("isCollect") === 1)
+    val collected = batchCollect.where(col("isCollect") === 1)
       .groupBy("userId").agg(collect_set(col("bookId")).as("books"))
-    val recs = Recommender.recommend(fitted, queries,
-      if (filterCollected) collected else queryBooks.limit(0),
+    val recs = Recommender.recommend(fitted, queries, collected,
       params, filterOwn = filterCollected)
     // ST6: every decoded event user gets an answer — users with no query
     // context (no collections, no payload books) fall back to the hot list
-    // (the reference's evident intent on scoring failure,
-    // guessLike_u_like.py:207-209; its own fallback code is buggy,
-    // SURVEY §4.2).
+    // and the default similar-user ids (the reference's evident intent on
+    // scoring failure, guessLike_u_like.py:174-175,207-209; its own
+    // fallback code is buggy, SURVEY §4.2).
     val books = graft.rank.Blend.withFallback(
       recs.books, events.select(col("userId")), fitted.hot, params.recCap)
-    Recommender.Recs(books, recs.users)
+    val users = graft.rank.Blend.withUserFallback(
+      recs.users, events.select(col("userId")), params.defaultUsers)
+    Recommender.Recs(books, users)
   }
 
   /** Wire a raw frame stream (value: String) through decode → score →
-    * KV write. Returns the started query. */
+    * KV write. Returns the started query.
+    *
+    * `trigger` defaults to AvailableNow (drain-and-stop — the test and
+    * backfill mode); a live deployment passes
+    * `Trigger.ProcessingTime(...)` (or Continuous is unsupported here) to
+    * keep the reference's always-on consumer semantics. */
   def start(frames: DataFrame, fitted: RecommenderModel.Fitted,
             collect: DataFrame, kv: KVSink,
             filterCollected: Boolean = true,
-            params: Recommender.Params = Recommender.Params()): StreamingQuery = {
+            params: Recommender.Params = Recommender.Params(),
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val decoded = EventSource.decode(frames)
     decoded.writeStream
       .outputMode("append")
@@ -99,7 +111,7 @@ object ServeJob {
         }
         ()
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
   }
 }

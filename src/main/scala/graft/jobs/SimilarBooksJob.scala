@@ -12,7 +12,9 @@ import graft.rank.TitleDedup
   *
   * Reference (simility_books.py main): book/tag joins → weighted tag docs →
   * BoW vectors → all-pairs cosine top-100 → title dedup → rating re-rank →
-  * top-15 stored (top-20 written) to Redis `b_similar:{bookId}`.
+  * capped list to Redis `b_similar:{bookId}`. The reference uses two caps
+  * at different sites (15 in-memory, 20 written — simility_books.py:92-93);
+  * `store` is that cap, so callers pick the site they are reproducing.
   *
   * One declarative DataFrame job: every stage is a transformation, the only
   * actions are the final KV write. Scale: the similarity join is the

@@ -30,15 +30,19 @@ object TopK {
 
   /** Keep the top `fraction` of rows per key (floor semantics: a group of 25
     * at fraction 0.1 keeps floor(2.5)=2 rows — reference `int(0.1*len)`,
-    * guessLike_u_like.py:115). Groups smaller than 1/fraction keep 0 rows,
-    * exactly like the reference. */
+    * guessLike_u_like.py:115). With the default `minKeep = 0`, groups
+    * smaller than 1/fraction keep 0 rows, exactly like the reference;
+    * scoring callers pass `minKeep = 1` so tiny clusters still vote
+    * (engine refinement, see Scoring.topNeighbors). */
   def topFractionPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
-                        fraction: Double, rankCol: String = "rank"): DataFrame = {
+                        fraction: Double, rankCol: String = "rank",
+                        minKeep: Int = 0): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val wAll = Window.partitionBy(keys.map(col): _*)
     df.withColumn(rankCol, row_number().over(w))
       .withColumn("__grp_cnt", count(lit(1)).over(wAll))
-      .where(col(rankCol) <= floor(col("__grp_cnt") * lit(fraction)))
+      .where(col(rankCol) <=
+        greatest(floor(col("__grp_cnt") * lit(fraction)), lit(minKeep)))
       .drop("__grp_cnt")
   }
 

@@ -33,11 +33,20 @@ object Blend {
 
     val nonHot = candidates
       .join(broadcast(hot.select(col("bookId"))), Seq("bookId"), "left_anti")
-    val ranked = nonHot
-      .groupBy(col("query"))
-      .agg(collect_list(struct(col("rank"), col("bookId"))).as("rb"))
+    // keep every query that HAD candidates, even if the hot anti-join ate
+    // them all — those users still get the seeded backfill (the reference
+    // appends its 5 random hot books to an empty filtered list,
+    // guessLike_u_like.py:126), not the full hot-list fallback
+    val allQueries = candidates.select(col("query")).distinct()
+    val ranked = allQueries
+      .join(nonHot
+        .groupBy(col("query"))
+        .agg(collect_list(struct(col("rank"), col("bookId"))).as("rb")),
+        Seq("query"), "left")
       .select(col("query"),
-        transform(sort_array(col("rb")), x => x.getField("bookId")).as("cand"))
+        coalesce(
+          transform(sort_array(col("rb")), x => x.getField("bookId")),
+          array().cast("array<bigint>")).as("cand"))
     // seeded per-user hot pick: order hot ids by xxhash64(bookId, userId)
     val withBackfill = ranked.withColumn("hotPick",
       slice(
@@ -66,5 +75,19 @@ object Blend {
     allUsers.select(col("userId").as("query"))
       .join(recs, Seq("query"), "left")
       .select(col("query"), coalesce(col("books"), hotArr).as("books"))
+  }
+
+  /** ST6 fallback for similar-user lists: users missing from `users`
+    * (query, users array) get the configured default id list — the
+    * reference emits a hard-coded default user string on scoring failure
+    * (guessLike_u_like.py:174-175; SURVEY ST6 "keep the exact default
+    * semantics" — the literal is deployment config, so it is a parameter
+    * here with the reference's leading ids as the default). */
+  def withUserFallback(users: DataFrame, allUsers: DataFrame,
+                       defaultUsers: Seq[Long]): DataFrame = {
+    val defArr = array(defaultUsers.map(lit(_)): _*)
+    allUsers.select(col("userId").as("query"))
+      .join(users, Seq("query"), "left")
+      .select(col("query"), coalesce(col("users"), defArr).as("users"))
   }
 }

@@ -59,15 +59,11 @@ object Scoring {
     * `minKeep` floors the kept count so small clusters still vote (the
     * engine's refinement — the reference emits nothing for tiny clusters
     * and falls back to hot books). */
-  def topNeighbors(sims: DataFrame, fraction: Double, minKeep: Int = 1): DataFrame = {
-    val w = Window.partitionBy("query")
-      .orderBy(round(col("sim"), 9).desc, col("neighbor").asc)
-    val wAll = Window.partitionBy("query")
-    sims.withColumn("rank", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(wAll))
-      .where(col("rank") <= greatest(floor(col("cnt") * fraction), lit(minKeep)))
+  def topNeighbors(sims: DataFrame, fraction: Double, minKeep: Int = 1): DataFrame =
+    TopK.topFractionPerKey(sims, Seq("query"),
+        Seq(round(col("sim"), 9).desc, col("neighbor").asc),
+        fraction, minKeep = minKeep)
       .select("query", "neighbor", "sim", "rank")
-  }
 
   /** A9: neighbors' books vote with rank-discounted scores; returns
     * (query, bookId, score) — `neighborBooks` is (userId, books array). */

@@ -158,5 +158,7 @@ class ServeJobSpec extends SparkSuite {
     val hotIds = fitted.hot.orderBy(col("cnt").desc, col("bookId").asc)
       .select("bookId").as[Long].collect().toSeq
     assert(snap("b_like:777") == hotIds.mkString(","))
+    // ST6 also covers u_similar: the default similar-user ids are emitted
+    assert(snap("u_similar:777") == Recommender.Params().defaultUsers.mkString(","))
   }
 }
