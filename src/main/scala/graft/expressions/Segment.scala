@@ -28,8 +28,10 @@ case class Segment(child: Expression, dict: Seq[String])
   @transient private lazy val maxLen: Int =
     if (dict.isEmpty) 1 else dict.map(_.length).max
 
-  private def isCjk(c: Char): Boolean =
-    Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN
+  // code-point based so supplementary-plane ideographs (CJK Ext-B+,
+  // surrogate pairs) are classified and matched correctly
+  private def isCjk(cp: Int): Boolean =
+    Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
@@ -37,13 +39,16 @@ case class Segment(child: Expression, dict: Seq[String])
     var i = 0
     val n = s.length
     while (i < n) {
-      val c = s.charAt(i)
-      if (Character.isWhitespace(c)) {
-        i += 1
-      } else if (isCjk(c)) {
-        // FMM: longest dictionary word starting at i, else the single char
+      val cp = s.codePointAt(i)
+      val cw = Character.charCount(cp)
+      if (Character.isWhitespace(cp)) {
+        i += cw
+      } else if (isCjk(cp)) {
+        // FMM: longest dictionary word starting at i, else the single
+        // code point (`matched` counts chars, so a surrogate pair advances
+        // by 2)
         var l = math.min(maxLen, n - i)
-        var matched = 1
+        var matched = cw
         var found = false
         while (l >= 2 && !found) {
           if (words.contains(s.substring(i, i + l))) { matched = l; found = true }
@@ -54,8 +59,12 @@ case class Segment(child: Expression, dict: Seq[String])
       } else {
         // non-CJK run: consume until whitespace or CJK
         val start = i
-        while (i < n && !Character.isWhitespace(s.charAt(i)) && !isCjk(s.charAt(i)))
-          i += 1
+        var done = false
+        while (i < n && !done) {
+          val c = s.codePointAt(i)
+          if (Character.isWhitespace(c) || isCjk(c)) done = true
+          else i += Character.charCount(c)
+        }
         out += UTF8String.fromString(s.substring(start, i))
       }
     }

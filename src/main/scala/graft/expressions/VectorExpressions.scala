@@ -83,7 +83,10 @@ case class VectorCosine(left: Expression, right: Expression)
       val x = readElem(a, lf, i); val y = readElem(b, rf, i)
       ab += x * y; aa += x * x; bb += y * y; i += 1
     }
-    ab / (math.sqrt(aa) * math.sqrt(bb))
+    // zero-norm guard: 0/0 would be NaN, and Spark sorts NaN as the
+    // LARGEST double — a zero vector would rank first in every top-k
+    if (aa == 0.0 || bb == 0.0) 0.0
+    else ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -101,7 +104,8 @@ case class VectorCosine(left: Expression, right: Expression)
          |  double $y = ${getter(b, rf, i)};
          |  $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
          |}
-         |${ev.value} = $ab / (Math.sqrt($aa) * Math.sqrt($bb));
+         |${ev.value} = ($aa == 0.0 || $bb == 0.0)
+         |  ? 0.0 : $ab / (Math.sqrt($aa) * Math.sqrt($bb));
        """.stripMargin
     })
 

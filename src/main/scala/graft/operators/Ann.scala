@@ -64,10 +64,15 @@ object Ann {
   def lshTopK(data: DataFrame, idCol: String, vecCol: String, k: Int,
               dim: Int, tables: Int = 8, bits: Int = 0,
               seed: Long = 42L): DataFrame = {
+    // checkpoint the slim (id, v) projection FIRST so both the auto-sizing
+    // count and the candidate re-attach joins read it instead of
+    // re-executing the upstream plan
+    val vecs = data.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(eager = true)
     val nBits =
       if (bits > 0) bits
       else {
-        val n = data.count()
+        val n = vecs.count()
         math.max(4, math.min(16,
           math.ceil(math.log(math.max(n, 64L) / 8.0) / math.log(2.0)).toInt))
       }
@@ -81,8 +86,6 @@ object Ann {
     }
     // id-only bucket join (the 512-byte vector payloads re-attach to the
     // deduplicated candidate pairs, not to every bucket row)
-    val vecs = data.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .localCheckpoint(eager = true)
     val bucketed = vecs
       .select(col("id"), explode(array(sigCols: _*)).as("b"))
       .select(col("id"), col("b.table"), col("b.sig"))
@@ -110,10 +113,27 @@ object Ann {
               seed: Long = 42L): DataFrame = {
     val spark = data.sparkSession
     // materialize the sampled centroids once (tiny: nCentroids rows) —
-    // otherwise the sample plan re-executes for every downstream use
-    val centRows = data.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-      .orderBy(xxhash64(col("cid") + lit(seed))).limit(nCentroids)
-      .collect().toSeq
+    // otherwise the sample plan re-executes for every downstream use.
+    // multi-arg xxhash64 (not id + seed arithmetic) keeps the sample
+    // seeded for ANY id type — string ids would cast-null under `+`
+    val sampled = data.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .orderBy(xxhash64(col("cid"), lit(seed))).limit(nCentroids)
+    val centRows = sampled.collect().toSeq
+    if (centRows.isEmpty) {
+      // empty input → empty result with the output schema, like every
+      // other operator here
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            data.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            data.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType))))
+    }
     val cents = spark.createDataFrame(
       spark.sparkContext.parallelize(centRows, 1),
       org.apache.spark.sql.types.StructType(Seq(
