@@ -112,14 +112,17 @@ object Ann {
               nCentroids: Int = 16, nProbe: Int = 4,
               seed: Long = 42L): DataFrame = {
     val spark = data.sparkSession
-    // materialize the sampled centroids once (tiny: nCentroids rows) —
-    // otherwise the sample plan re-executes for every downstream use.
-    // multi-arg xxhash64 (not id + seed arithmetic) keeps the sample
-    // seeded for ANY id type — string ids would cast-null under `+`
-    val sampled = data.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-      .orderBy(xxhash64(col("cid"), lit(seed))).limit(nCentroids)
-    val centRows = sampled.collect().toSeq
-    if (centRows.isEmpty) {
+    // Coarse centroids come from a small seeded KMeans fit over a hash-
+    // ordered sample (multi-arg xxhash64: seeded for any id type) — raw
+    // row sampling can draw near-duplicate centroids, which collapses
+    // most vectors into a handful of cells and turns the probe join
+    // quadratic; k-means centroids keep cells balanced, which is the
+    // property IVF's linear scaling rests on.
+    val sample = data
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .orderBy(xxhash64(col("cid"), lit(seed))).limit(nCentroids * 20)
+      .select(org.apache.spark.ml.functions.array_to_vector(col("cvec")).as("fv"))
+    if (sample.isEmpty) {
       // empty input → empty result with the output schema, like every
       // other operator here
       return spark.createDataFrame(
@@ -134,23 +137,37 @@ object Ann {
           org.apache.spark.sql.types.StructField("rank",
             org.apache.spark.sql.types.IntegerType))))
     }
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCentroids).setSeed(seed).setMaxIter(10).setFeaturesCol("fv")
+      .fit(sample)
+    val centerRows = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toArray)
+    }.toSeq
     val cents = spark.createDataFrame(
-      spark.sparkContext.parallelize(centRows, 1),
+      spark.sparkContext.parallelize(centerRows, 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("cid",
-          centRows.head.schema("cid").dataType),
+          org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("cvec",
-          centRows.head.schema("cvec").dataType))))
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
     // one centroid scoring pass: rn == 1 is the home cell (assignment),
-    // rn <= nProbe are the probe cells — no second cross join
-    val cells = assignCells(data, idCol, vecCol, cents, nProbe)
+    // rn <= nProbe are the probe cells — no second cross join. The cell
+    // join and dedup carry ids only; vectors re-attach afterwards (same
+    // slim-join rule as the LSH paths — wide payloads never multiply
+    // through candidate generation).
+    val vecs = data.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(eager = true)
+    val cells = assignCells(vecs, "id", "v", cents, nProbe)
     val assigned = cells.where(col("rn") === 1)
-    val probes = cells
-    val l = probes.select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
-    val r = assigned.select(col("cell"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val l = cells.select(col("cell"), col("id").as("query_id"))
+    val r = assigned.select(col("cell"), col("id").as("neighbor_id"))
     val cand = l.join(r, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+      .join(vecs.select(col("id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
