@@ -30,10 +30,16 @@ object Collaborative {
       .setAlpha(alpha).setSeed(seed).setImplicitPrefs(true)
       .setNumUserBlocks(numBlocks).setNumItemBlocks(numBlocks)
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
-    val prepared = interactions.select(
-      col("user").cast("int").as("user"),
-      col("item").cast("int").as("item"),
-      col("rating").cast("float").as("rating"))
+    // ALS requires int ids; ids outside int range are DROPPED (matching
+    // the engine's drop-bad-rows policy) rather than silently wrapped —
+    // a wrapped cast would collide two distinct users into one.
+    val prepared = interactions
+      .where(col("user").between(Int.MinValue, Int.MaxValue) &&
+        col("item").between(Int.MinValue, Int.MaxValue))
+      .select(
+        col("user").cast("int").as("user"),
+        col("item").cast("int").as("item"),
+        col("rating").cast("float").as("rating"))
     val model = als.fit(prepared)
     model.setColdStartStrategy("drop")
     Fitted(model)
@@ -42,7 +48,8 @@ object Collaborative {
   /** Top-k item ids per user as (user, items array<long>). */
   def recommendForUsers(fitted: Fitted, users: DataFrame, k: Int): DataFrame =
     fitted.model.recommendForUserSubset(
-        users.select(col("user").cast("int").as("user")), k)
+        users.where(col("user").between(Int.MinValue, Int.MaxValue))
+          .select(col("user").cast("int").as("user")), k)
       .select(col("user").cast("long").as("user"),
         transform(col("recommendations"), r => r.getField("item").cast("long"))
           .as("items"))

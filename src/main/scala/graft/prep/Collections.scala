@@ -20,9 +20,8 @@ object Collections {
   def userBookLists(collect: DataFrame, minBooks: Int = 15): DataFrame =
     collect.where(col("isCollect") === 1)
       .groupBy("userId")
-      .agg(sort_array(collect_set(col("bookId"))).as("books"),
-        countDistinct(col("bookId")).as("n"))
-      .where(col("n") > minBooks)
+      .agg(sort_array(collect_set(col("bookId"))).as("books"))
+      .where(size(col("books")) > minBooks)   // distinct count = set size
       .select("userId", "books")
 
   /** Latest `k` collected books per user by collect time (the reference's

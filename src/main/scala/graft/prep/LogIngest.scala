@@ -38,12 +38,18 @@ object LogIngest {
   }
 
   /** Raw log -> (userId, bookId) with tolerant int casts and the 0-sentinel
-    * dropped. */
+    * dropped. Lines are split manually (text scan + split) rather than via
+    * the CSV parser with a fixed schema: the log is ">= 6 columns" and the
+    * reference tolerates trailing fields (pandas usecols=[0,5],
+    * log_analyze.py:47) — a fixed-arity CSV schema under DROPMALFORMED
+    * would silently drop every line with extra columns. */
   def parseLog(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(logSchema).option("mode", "DROPMALFORMED").csv(path)
+    spark.read.text(path)
+      .select(split(col("value"), ",").as("f"))
+      .where(size(col("f")) >= 6)
       .select(
-        expr("try_cast(_c0 AS BIGINT)").as("userId"),
-        expr("try_cast(_c5 AS BIGINT)").as("bookId"))
+        expr("try_cast(f[0] AS BIGINT)").as("userId"),
+        expr("try_cast(f[5] AS BIGINT)").as("bookId"))
       .where(col("userId").isNotNull && col("bookId").isNotNull &&
         col("userId") > 0 && col("bookId") > 0)
 

@@ -24,25 +24,37 @@ object Stateful {
 
   /** Emit (key, eventId) only on first sight of eventId within key.
     * State: the set of seen ids per key, capped at `maxSeen` (oldest
-    * dropped — bounded state is non-negotiable on unbounded streams). */
-  def dedupedEvents(events: Dataset[KeyedEvent], maxSeen: Int = 10000)
-      : Dataset[KeyedEvent] = {
+    * dropped) AND expired after `timeoutMs` of processing-time key
+    * inactivity when > 0 — maxSeen bounds state per key, the timeout
+    * bounds it across an unbounded key domain (both are needed on a real
+    * stream; `<= 0` disables expiry for bounded/test domains). */
+  def dedupedEvents(events: Dataset[KeyedEvent], maxSeen: Int = 10000,
+                    timeoutMs: Long = 0L): Dataset[KeyedEvent] = {
     implicit val e1: Encoder[KeyedEvent] = Encoders.product[KeyedEvent]
     implicit val e2: Encoder[Long] = Encoders.scalaLong
     implicit val st: Encoder[Seq[Long]] = Encoders.kryo[Seq[Long]]
+    val timeout =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.key)
       .flatMapGroupsWithState[Seq[Long], KeyedEvent](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (key: Long, rows: Iterator[KeyedEvent], state: GroupState[Seq[Long]]) =>
-          val seen = state.getOption.getOrElse(Seq.empty)
-          val seenSet = scala.collection.mutable.LinkedHashSet(seen: _*)
-          val out = scala.collection.mutable.ArrayBuffer.empty[KeyedEvent]
-          rows.foreach { r =>
-            if (seenSet.add(r.eventId)) out += r
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.getOrElse(Seq.empty)
+            val seenSet = scala.collection.mutable.LinkedHashSet(seen: _*)
+            val out = scala.collection.mutable.ArrayBuffer.empty[KeyedEvent]
+            rows.foreach { r =>
+              if (seenSet.add(r.eventId)) out += r
+            }
+            val trimmed = seenSet.toSeq.takeRight(maxSeen)
+            state.update(trimmed)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            out.iterator
           }
-          val trimmed = seenSet.toSeq.takeRight(maxSeen)
-          state.update(trimmed)
-          out.iterator
       }
   }
 
