@@ -12,9 +12,15 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def allQueries: Seq[Q] =
-    Relational.queries ++ Relational2.queries ++ Text.queries ++
+  private def allQueries: Seq[Q] = {
+    val qs = Relational.queries ++ Relational2.queries ++ Text.queries ++
       Similarity.queries ++ Ml.queries
+    // duplicate names would be silently collapsed by .toMap below — and
+    // could pair one query's plan with ANOTHER query's oracle
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -92,14 +92,17 @@ object Relational {
     // mirroring the reference's skip-bad-lines parser (log_analyze.py:21-37)
     // and eval'd pub/sub payloads (guessLike_u_like.py:185-188).
     Q("s6_json_decode_cast",
-      """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+      """SELECT event_id, TRY_CAST(props->>'k' AS BIGINT) AS k
         |FROM events
-        |WHERE CAST(props->>'k' AS BIGINT) IS NOT NULL
-        |  AND CAST(props->>'k' AS BIGINT) > 0
+        |WHERE TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+        |  AND TRY_CAST(props->>'k' AS BIGINT) > 0
         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // try_cast on BOTH sides: plain cast under ANSI mode (Spark 4
+      // default) would abort on a malformed value — the exact
+      // skip-bad-rows case this operator exists for
       Tables.events(s, d)
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
         .where(col("k").isNotNull && col("k") > 0)
         .orderBy("event_id")
     },
