@@ -19,7 +19,12 @@ object Bench {
     // runs 3x — then the second run is timed. Cluster jobs are never
     // cold-JVM per query, so steady-state is the representative number.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // release the previous queries' dropped localCheckpoint blocks —
+      // ContextCleaner frees them only after GC, and accumulated blocks
+      // from 59 queries otherwise evict the current query's working set
+      System.gc()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      System.gc()   // the warm run's own checkpoint blocks too
       val t0 = System.nanoTime()
       // a failed timed run reports -1, never its elapsed-until-throw time —
       // a few-ms failure must not masquerade as a fast success
