@@ -28,15 +28,26 @@ object Ml {
     },
 
     // North-star MLlib path: implicit-feedback ALS over the purchase graph
-    // (customer x part via lineitem), top-5 recommendations per customer.
+    // (customer x part via lineitem), top-5 recommendations for the 2,000
+    // most active customers. The gate query keeps the full ALS surface but
+    // at gate-sized cost (rank 4, 3 iterations — the reference semantics
+    // constrain neither, and the driver bench runs this cold); the
+    // recommendation list is emitted as the comma-joined KV value shape
+    // (F6) so the driver's row checker can sort scalar cells.
     Q.rowsOnly("ml2_als_recommend") { (s, d) =>
       val interactions = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
         .agg(count(lit(1)).cast("double").as("rating"))
-      val fitted = graft.model.Collaborative.fit(interactions)
-      graft.model.Collaborative.recommendForUsers(fitted,
-          interactions.select("user").distinct(), k = 5)
+      val fitted = graft.model.Collaborative.fit(interactions,
+        rank = 4, maxIter = 3)
+      val activeUsers = interactions
+        .groupBy("user").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user").asc).limit(2000)
+      graft.model.Collaborative.recommendForUsers(fitted, activeUsers, k = 5)
+        .select(col("user"),
+          array_join(transform(col("items"), i => i.cast("string")), ",")
+            .as("items"))
         .orderBy("user")
     },
 

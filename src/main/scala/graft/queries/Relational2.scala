@@ -197,7 +197,8 @@ object Relational2 {
     // W7: seeded pseudo-random backfill pick (the reference's `random 5 hot
     // books`, guessLike_u_like.py:126, made deterministic). xxhash64
     // ordering has no SQL oracle — rows-only; Blend determinism is asserted
-    // in DailyLogJobSpec.
+    // in DailyLogJobSpec. Output is the comma-joined id list (the KV value
+    // shape, F6) so the driver's row checker can sort scalar cells.
     Q.rowsOnly("w7_seeded_backfill") { (s, d) =>
       val hot = Tables.lineitem(s, d)
         .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
@@ -206,12 +207,11 @@ object Relational2 {
       val hotArr = array(hotIds.map(lit(_)): _*)
       Tables.customer(s, d).where(col("c_custkey") <= 200)
         .select(col("c_custkey"),
-          slice(
+          array_join(
             transform(
-              sort_array(transform(hotArr,
-                b => struct(xxhash64(b, col("c_custkey"), lit(42L)).as("h"), b.as("b")))),
-              x => x.getField("b")),
-            1, 5).as("backfill"))
+              graft.rank.Blend.seededHotPick(hotArr, col("c_custkey"), 5, 42L),
+              i => i.cast("string")),
+            ",").as("backfill"))
         .orderBy("c_custkey")
     },
 

@@ -1,6 +1,6 @@
 package graft.rank
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Candidate blending: hot-book exclusion, collected-book anti-filter,
@@ -18,6 +18,34 @@ import org.apache.spark.sql.functions._
   */
 object Blend {
 
+  /** Hard cap on any driver-side hot-list collect. The reference's hot list
+    * is top-30 (guessLike_u_like.py:101-102); anything near this bound is a
+    * misuse of the API (an unbounded `hot` input must stay distributed), so
+    * we fail fast rather than silently materialize it on the driver. */
+  val MaxHotCollect = 4096
+
+  /** Bounded driver collect of the hot-id column: limits BEFORE collecting
+    * so an unbounded input can never OOM the driver, and rejects inputs at
+    * the cap (they were not "small" as the contract requires). */
+  private def collectHotIds(hot: DataFrame): Array[Long] = {
+    val ids = hot.limit(MaxHotCollect + 1).collect().map(_.getLong(0))
+    require(ids.length <= MaxHotCollect,
+      s"hot list exceeds $MaxHotCollect rows; keep it distributed instead")
+    ids
+  }
+
+  /** W7 seeded backfill pick as a reusable expression: the first `n` hot ids
+    * ordered by xxhash64(id, user, seed) — a per-user deterministic "random"
+    * sample (the reference's `random.sample(hot, 5)`, guessLike_u_like.py:126,
+    * made reproducible). */
+  def seededHotPick(hotArr: Column, user: Column, n: Int, seed: Long): Column =
+    slice(
+      transform(
+        sort_array(transform(hotArr,
+          b => struct(xxhash64(b, user, lit(seed)).as("h"), b.as("b")))),
+        s => s.getField("b")),
+      1, n)
+
   /** candidates(query, bookId, score, rank) → (query, books array) after:
     * hot exclusion (SO1), per-user seeded 5-hot backfill appended (W7/SO2),
     * own-books anti-filter (P7), cap at `recCap` (W5).
@@ -26,9 +54,7 @@ object Blend {
     * never recommended. `hot`: (bookId, cnt) hot list. */
   def blend(candidates: DataFrame, hot: DataFrame, ownBooks: DataFrame,
             recCap: Int, backfill: Int = 5, seed: Long = 42L): DataFrame = {
-    val spark = candidates.sparkSession
-    val hotIds = hot.select(col("bookId")).orderBy(col("bookId"))
-      .collect().map(_.getLong(0))
+    val hotIds = collectHotIds(hot.select(col("bookId")).orderBy(col("bookId")))
     val hotArr = array(hotIds.map(lit(_)): _*)
 
     val nonHot = candidates
@@ -49,12 +75,7 @@ object Blend {
           array().cast("array<bigint>")).as("cand"))
     // seeded per-user hot pick: order hot ids by xxhash64(bookId, userId)
     val withBackfill = ranked.withColumn("hotPick",
-      slice(
-        transform(
-          sort_array(transform(hotArr,
-            b => struct(xxhash64(b, col("query"), lit(seed)).as("h"), b.as("b")))),
-          s => s.getField("b")),
-        1, backfill))
+      seededHotPick(hotArr, col("query"), backfill, seed))
       .withColumn("blended",
         concat(col("cand"), array_except(col("hotPick"), col("cand"))))
     withBackfill
@@ -69,8 +90,8 @@ object Blend {
     * (query, books) gets the top-`recCap` hot list. */
   def withFallback(recs: DataFrame, allUsers: DataFrame, hot: DataFrame,
                    recCap: Int): DataFrame = {
-    val hotIds = hot.orderBy(col("cnt").desc, col("bookId").asc)
-      .select("bookId").collect().map(_.getLong(0)).take(recCap)
+    val hotIds = collectHotIds(hot.orderBy(col("cnt").desc, col("bookId").asc)
+      .select("bookId").limit(recCap))
     val hotArr = array(hotIds.map(lit(_)): _*)
     allUsers.select(col("userId").as("query"))
       .join(recs, Seq("query"), "left")

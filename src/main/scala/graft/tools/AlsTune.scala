@@ -14,16 +14,24 @@ object AlsTune {
       .join(spark.read.parquet(s"$d/orders.parquet"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").cast("int").as("user"), col("l_partkey").cast("int").as("item"))
       .agg(count(lit(1)).cast("float").as("rating"))
-      .localCheckpoint(true)
-    for (blocks <- Seq(10, 4, 32); trial <- 1 to 2) {
+      .persist()
+    ratings.count()
+    val users = ratings.groupBy("user").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user").asc).limit(2000).select("user").persist()
+    users.count()
+    for (blocks <- Seq(4, 8, 10); trial <- 1 to 2) {
+      System.gc()
       val t0 = System.nanoTime()
-      val als = new ALS().setRank(8).setMaxIter(5).setSeed(42L).setImplicitPrefs(true)
+      val als = new ALS().setRank(4).setMaxIter(3).setSeed(42L).setImplicitPrefs(true)
         .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
         .setUserCol("user").setItemCol("item").setRatingCol("rating")
       val m = als.fit(ratings)
       m.setColdStartStrategy("drop")
-      m.recommendForUserSubset(ratings.select("user").distinct(), 5).count()
-      println(f"ALSTUNE blocks=$blocks trial=$trial ${(System.nanoTime()-t0)/1e9}%.2f s")
+      val t1 = System.nanoTime()
+      m.recommendForUserSubset(users, 5).count()
+      val t2 = System.nanoTime()
+      m.userFactors.unpersist(); m.itemFactors.unpersist()
+      println(f"ALSTUNE blocks=$blocks trial=$trial fit=${(t1-t0)/1e9}%.2f rec=${(t2-t1)/1e9}%.2f s")
     }
     spark.stop()
   }

@@ -10,6 +10,7 @@ object TimeOne {
     spark.sparkContext.setLogLevel("ERROR")
     args.tail.foreach { n =>
       (1 to 3).foreach { i =>
+        System.gc() // let ContextCleaner drop prior runs' cached blocks
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, args.head).count()
         println(f"TIMING $n run$i ${(System.nanoTime()-t0)/1e9}%.2f s")
