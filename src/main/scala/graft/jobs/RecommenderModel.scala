@@ -73,9 +73,15 @@ object RecommenderModel {
   def assignQueries(fitted: Fitted, queryDocs: DataFrame): DataFrame = {
     val tokenized = queryDocs.select(col("userId"),
       TextFunctions.tokenize(col("userDoc")).as("tokens"))
-    val withVec = fitted.cv.setInputCol("tokens").setOutputCol("vec")
+    // operate on defensive copies: setting IO columns on the shared fitted
+    // models would mutate `Fitted` in place and race if two scoring paths
+    // (e.g. concurrent streaming queries over one loaded model) rewire
+    // columns at once — ST4's immutability contract
+    val cv = fitted.cv.copy(org.apache.spark.ml.param.ParamMap.empty)
+    val km = fitted.km.copy(org.apache.spark.ml.param.ParamMap.empty)
+    val withVec = cv.setInputCol("tokens").setOutputCol("vec")
       .transform(tokenized)
-    val clustered = fitted.km.setFeaturesCol("vec").setPredictionCol("cluster")
+    val clustered = km.setFeaturesCol("vec").setPredictionCol("cluster")
       .transform(withVec)
     clustered.select(col("userId"), col("cluster"), col("tokens"))
   }

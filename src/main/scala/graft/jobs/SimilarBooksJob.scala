@@ -25,16 +25,23 @@ object SimilarBooksJob {
 
   final case class Result(pairs: DataFrame, ranked: DataFrame)
 
-  /** Returns (bookId → similar list) and writes `b_similar:{id}` to `kv`. */
+  /** Returns (bookId → similar list) and writes `b_similar:{id}` to `kv`.
+    *
+    * `maxDfFraction` defaults ON (0.5): terms in more than half the corpus
+    * carry no discriminative signal and are the one input that would turn
+    * the term self-join quadratic at scale — the same role the reference's
+    * stop-word list plays (guessLike_u_like.py:72-75). Set both df knobs
+    * to 0 for the exact-cosine oracle shape. */
   def run(book: DataFrame, tag: DataFrame, bookTag: DataFrame,
           kv: KVSink, topK: Int = 100, store: Int = 15,
-          maxDf: Long = 0L): Result = {
+          maxDf: Long = 0L, maxDfFraction: Double = 0.5): Result = {
     val tagDocs = TagWeighting.weightedTagDocs(bookTag, tag)
     val docs = Documents.bookDocs(book, tagDocs)
     val tokenized = docs.select(col("bookId"),
       TextFunctions.tokenize(col("doc")).as("toks"))
     val pairs = SimilarityJoin.exactCosineTopK(
-      tokenized, "bookId", "toks", k = topK, maxDf = maxDf)
+      tokenized, "bookId", "toks", k = topK, maxDf = maxDf,
+      maxDfFraction = maxDfFraction)
     val ranked = TitleDedup.dedupAndRerank(
       pairs, docs.select(col("bookId"), col("title"), col("rating")), store)
     val lists = ranked

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.VectorFunctions._
 import scala.util.Random
 
@@ -64,11 +65,13 @@ object Ann {
   def lshTopK(data: DataFrame, idCol: String, vecCol: String, k: Int,
               dim: Int, tables: Int = 8, bits: Int = 0,
               seed: Long = 42L): DataFrame = {
-    // checkpoint the slim (id, v) projection FIRST so both the auto-sizing
+    // cache the slim (id, v) projection FIRST so both the auto-sizing
     // count and the candidate re-attach joins read it instead of
-    // re-executing the upstream plan
+    // re-executing the upstream plan. MEMORY_AND_DISK persist, not
+    // localCheckpoint: keeps lineage so executor loss recomputes rather
+    // than failing the job on a real cluster.
     val vecs = data.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .localCheckpoint(eager = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nBits =
       if (bits > 0) bits
       else {
@@ -157,7 +160,7 @@ object Ann {
     // slim-join rule as the LSH paths — wide payloads never multiply
     // through candidate generation).
     val vecs = data.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .localCheckpoint(eager = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cells = assignCells(vecs, "id", "v", cents, nProbe)
     val assigned = cells.where(col("rn") === 1)
     val l = cells.select(col("cell"), col("id").as("query_id"))

@@ -42,16 +42,41 @@ object SimilarityJoin {
 
   /** Exact cosine top-k pairs: (a, b, sim), top `k` per `a`, both directions,
     * self-pairs excluded. `minSim` drops below-threshold pairs before the
-    * window (cheap pre-filter). `maxDf` drops terms appearing in more than
-    * that many documents from pair *generation* (set <= 0 to disable). */
+    * window (cheap pre-filter).
+    *
+    * Hot-term pruning — the one knob that keeps this join non-quadratic at
+    * scale (a term in d documents yields d² candidate pairs):
+    *   - `maxDf` drops terms appearing in more than that many documents
+    *     from pair *generation* (absolute cap; <= 0 disables),
+    *   - `maxDfFraction` drops terms appearing in more than that fraction
+    *     of the corpus (corpus-relative cap that needs no retuning as data
+    *     grows; <= 0 disables). Both set → the tighter cap wins.
+    * Pruning semantics: norms are still computed over the FULL vocabulary,
+    * so similarities involving pruned terms are underestimates — identical
+    * to the reference dropping stop-words from the dot product
+    * (guessLike_u_like.py:72-75). Leave both knobs off for exact cosine
+    * (the oracle path). */
   def exactCosineTopK(docs: DataFrame, idCol: String, tokensCol: String,
                       k: Int, minSim: Double = 0.0, maxDf: Long = 0L,
+                      maxDfFraction: Double = 0.0,
                       queryPred: Option[Column] = None): DataFrame = {
     val post = postings(docs, idCol, tokensCol)
     val joinSide =
-      if (maxDf > 0) {
+      if (maxDf > 0 || maxDfFraction > 0) {
+        // df per term from the postings (one row per (id, term) already);
+        // the corpus-relative cap joins the single-row total in via a
+        // broadcast cross join, keeping the whole prune declarative — no
+        // driver-side count action
         val dfCounts = post.groupBy("term").agg(count(lit(1)).as("df"))
-        post.join(dfCounts.where(col("df") <= maxDf).select("term"), "term")
+        val total = post.agg(countDistinct(col("id")).as("n"))
+        val absCap = if (maxDf > 0) lit(maxDf) else lit(Long.MaxValue)
+        val fracCap =
+          if (maxDfFraction > 0) floor(col("n") * lit(maxDfFraction))
+          else lit(Long.MaxValue)
+        val keep = dfCounts.crossJoin(broadcast(total))
+          .where(col("df") <= least(absCap, fracCap))
+          .select("term")
+        post.join(keep, "term")
       } else post
     // Restricting the query side (J8's query-vs-partition shape) bounds the
     // pair fanout to |queries| x df(term) instead of df(term)^2.
