@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -17,16 +18,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * library. Non-CJK runs (latin/digits) are emitted as whole tokens split
   * on transitions. The reference's P8 filters (len >= 2, not all digits)
   * are available separately via `TextFunctions.filterTokens`.
+  *
+  * Two dictionary carriers share the kernel:
+  *   - [[Segment]] embeds the word list in the expression — right for
+  *     small lexicons and the SQL-registered form;
+  *   - [[SegmentDict]] holds a `Broadcast` handle, so a corpus-scale
+  *     lexicon (jieba's full dictionary is ~350k entries) ships to each
+  *     executor ONCE via the torrent broadcast path instead of riding
+  *     inside every serialized task — the form a real CJK corpus needs.
   */
-case class Segment(child: Expression, dict: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+abstract class SegmentBase extends UnaryExpression with CodegenFallback {
+
+  /** Dictionary view used by eval; concrete classes make this lazy so it
+    * is (re)built at most once per deserialized instance per executor. */
+  protected def words: Set[String]
+  protected def maxWordLen: Int
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
-
-  @transient private lazy val words: Set[String] = dict.toSet
-  @transient private lazy val maxLen: Int =
-    if (dict.isEmpty) 1 else dict.map(_.length).max
 
   // code-point based so supplementary-plane ideographs (CJK Ext-B+,
   // surrogate pairs) are classified and matched correctly
@@ -47,7 +56,7 @@ case class Segment(child: Expression, dict: Seq[String])
         // FMM: longest dictionary word starting at i, else the single
         // code point (`matched` counts chars, so a surrogate pair advances
         // by 2)
-        var l = math.min(maxLen, n - i)
+        var l = math.min(maxWordLen, n - i)
         var matched = cw
         var found = false
         while (l >= 2 && !found) {
@@ -69,6 +78,29 @@ case class Segment(child: Expression, dict: Seq[String])
       }
     }
     new GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** Plan-embedded dictionary (small lexicons, SQL registration). */
+case class Segment(child: Expression, dict: Seq[String]) extends SegmentBase {
+  @transient protected lazy val words: Set[String] = dict.toSet
+  @transient protected lazy val maxWordLen: Int =
+    if (dict.isEmpty) 1 else dict.map(_.length).max
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Broadcast dictionary: the expression serializes only the broadcast
+  * handle; each executor materializes the word set once from the broadcast
+  * blocks (fetched once per JVM), so task size is independent of lexicon
+  * size. */
+case class SegmentDict(child: Expression, dictBc: Broadcast[Array[String]])
+    extends SegmentBase {
+  @transient protected lazy val words: Set[String] = dictBc.value.toSet
+  @transient protected lazy val maxWordLen: Int = {
+    val d = dictBc.value
+    if (d.isEmpty) 1 else d.iterator.map(_.length).max
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

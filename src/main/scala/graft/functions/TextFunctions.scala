@@ -120,6 +120,19 @@ object TextFunctions {
     column(graft.expressions.Segment(expression(text), dict))
   }
 
+  /** F9 at corpus scale: same FMM segmentation with the dictionary shipped
+    * via `SparkContext.broadcast` — the lexicon reaches each executor once
+    * (torrent blocks), not inside every serialized task, so a jieba-sized
+    * dictionary (~350k entries) costs megabytes per JVM instead of
+    * megabytes per task. Use this form whenever the dictionary is bigger
+    * than a few hundred words. */
+  def segmentBroadcast(text: Column, dict: Seq[String])
+                      (implicit spark: org.apache.spark.sql.SparkSession): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val bc = spark.sparkContext.broadcast(dict.toArray)
+    column(graft.expressions.SegmentDict(expression(text), bc))
+  }
+
   /** Compact CJK lexicon for the bundled segmenter (book-domain words the
     * fixtures and reference data use; production callers pass their own). */
   val defaultCjkDict: Seq[String] = Seq(

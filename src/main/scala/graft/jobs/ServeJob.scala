@@ -89,15 +89,26 @@ object ServeJob {
     * `trigger` defaults to AvailableNow (drain-and-stop — the test and
     * backfill mode); a live deployment passes
     * `Trigger.ProcessingTime(...)` (or Continuous is unsupported here) to
-    * keep the reference's always-on consumer semantics. */
+    * keep the reference's always-on consumer semantics.
+    *
+    * `checkpointLocation` is the restart story the reference lacks
+    * (its services refit and resubscribe from scratch on crash,
+    * recommender-online/README.md:3-8): point it at durable storage and a
+    * resubmitted job resumes from the last committed micro-batch for any
+    * replayable source (file/Kafka-class). KV writes are at-least-once
+    * across restarts — idempotent, since every write is a full-value SET
+    * per user key. */
   def start(frames: DataFrame, fitted: RecommenderModel.Fitted,
             collect: DataFrame, kv: KVSink,
             filterCollected: Boolean = true,
             params: Recommender.Params = Recommender.Params(),
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            checkpointLocation: Option[String] = None): StreamingQuery = {
     val decoded = EventSource.decode(frames)
-    decoded.writeStream
+    val base = decoded.writeStream
       .outputMode("append")
+    checkpointLocation.foreach(base.option("checkpointLocation", _))
+    base
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val recs = scoreBatch(batch, fitted, collect,

@@ -139,6 +139,31 @@ object Relational2 {
         .orderBy("o_custkey")
     },
 
+    // J3/A6 through the ACTUAL pipeline operator: Collections.userDocs
+    // (explode → lookup join → ordered regroup → whitespace squeeze) over
+    // an orders/part-derived user-item universe — the standalone gate for
+    // the user-doc assembly stage the model pipeline runs
+    // (guessLike_u_like.py:31-37,67); a6 covers the inline SQL shape, this
+    // covers the operator itself.
+    Q("j3_user_docs_operator",
+      """SELECT o_custkey AS userId,
+        |  regexp_replace(trim(string_agg(p_name, ' ' ORDER BY p_partkey)),
+        |    '\s+', ' ', 'g') AS userDoc
+        |FROM (SELECT DISTINCT o_custkey, l_partkey
+        |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |      WHERE o_custkey <= 150)
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY o_custkey ORDER BY userId""".stripMargin) { (s, d) =>
+      val userBooks = Tables.orders(s, d).where(col("o_custkey") <= 150)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("userId"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("books"))
+      val bookDocs = Tables.part(s, d)
+        .select(col("p_partkey").as("bookId"), col("p_name").as("doc"))
+      graft.prep.Collections.userDocs(userBooks, bookDocs)
+        .orderBy("userId")
+    },
+
     // F17: chained replace sanitization (the scraper's &nbsp;/brand-word
     // stripping, NB cell-4).
     Q("f17_chained_replace",

@@ -84,6 +84,30 @@ object Similarity {
         .orderBy("a", "b")
     },
 
+    // The hash-shingle fast path of d2: same query-vs-corpus Jaccard, but
+    // the broadcast side carries 64-bit shingle hashes instead of raw
+    // 3-gram strings. Checked against the SAME string-shingle SQL oracle —
+    // distinct-set Jaccard is hash-collision-exact to ~2^-64 per pair, so
+    // values must agree.
+    Q("d2b_ngram_jaccard_hashed",
+      """WITH s AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 2, 1) + 1),
+        |      i -> t[i:i+2])) AS sh
+        |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |        FROM documents)),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |      FROM s a, s b WHERE a.doc_id < 25 AND a.doc_id < b.doc_id)
+        |SELECT a, b, round(jaccard, 6) AS jaccard FROM p WHERE jaccard >= 0.6
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccardForQueriesHashed(Tables.documents(s, d), "doc_id", "text",
+          n = 3, queryPred = col("id") < 25, minJaccard = 0.6)
+        .where(col("a") < col("b"))   // oracle canonicalizes pair orientation
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")
+    },
+
     // MinHash-LSH near-dup candidates (12 bands x 8 rows ⇒ s-curve
     // threshold ~0.73, verify >= 0.6 true Jaccard). Candidate generation
     // depends on xxhash64 so no SQL oracle; the ScalaTest suite checks it

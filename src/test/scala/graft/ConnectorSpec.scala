@@ -1,0 +1,200 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, IOException}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.util.concurrent.{ConcurrentHashMap, CopyOnWriteArrayList}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import graft.io._
+import graft.jobs.{RecommenderModel, ServeJob}
+
+/** Hermetic RESP server speaking enough of the Redis wire protocol for the
+  * connector tests: PING / SET / GET / DEL against an in-memory map. One
+  * thread per connection; `dropConnections` force-closes live sockets so
+  * tests can exercise the client's reconnect path. */
+class RespTestServer {
+  val store = new ConcurrentHashMap[String, String]()
+  private val server = new ServerSocket(0)
+  private val conns = new CopyOnWriteArrayList[Socket]()
+  @volatile private var running = true
+  def port: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val s = server.accept()
+        conns.add(s)
+        new Thread(() => serve(s)).start()
+      } catch { case _: IOException => () } // server closed
+    }
+  })
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(s: Socket): Unit = {
+    try {
+      val in = new BufferedInputStream(s.getInputStream)
+      val out = new BufferedOutputStream(s.getOutputStream)
+      while (!s.isClosed) {
+        Resp.readValue(in) match {
+          case Resp.Arr(items) =>
+            val args = items.collect { case Resp.Bulk(Some(v)) => v }
+            val reply = args.map(_.toUpperCase).headOption match {
+              case Some("PING") => "+PONG\r\n"
+              case Some("SET") if args.length == 3 =>
+                store.put(args(1), args(2)); "+OK\r\n"
+              case Some("GET") if args.length == 2 =>
+                Option(store.get(args(1))) match {
+                  case Some(v) =>
+                    val b = v.getBytes(UTF_8); s"$$${b.length}\r\n$v\r\n"
+                  case None => "$-1\r\n"
+                }
+              case Some("DEL") if args.length == 2 =>
+                val had = store.remove(args(1)) != null
+                s":${if (had) 1 else 0}\r\n"
+              case _ => "-ERR unknown command\r\n"
+            }
+            out.write(reply.getBytes(UTF_8))
+            out.flush()
+          case _ =>
+            out.write("-ERR expected array\r\n".getBytes(UTF_8)); out.flush()
+        }
+      }
+    } catch { case _: IOException => () } // client gone
+    finally { try s.close() catch { case _: IOException => () } }
+  }
+
+  /** Force-close every live connection (server stays up) — simulates the
+    * broken-pipe the reference's reconnect loop handles. */
+  def dropConnections(): Unit = {
+    conns.asScala.foreach(s => try s.close() catch { case _: IOException => () })
+    conns.clear()
+  }
+
+  def stop(): Unit = {
+    running = false
+    dropConnections()
+    try server.close() catch { case _: IOException => () }
+  }
+}
+
+/** Tiny newline-delimited publisher for Spark's built-in `socket` source:
+  * writes the given lines to every client that connects, then holds the
+  * connection open (the socket source treats EOF as source failure). */
+class LinePublisher(lines: Seq[String]) {
+  private val server = new ServerSocket(0)
+  @volatile private var running = true
+  def port: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val s = server.accept()
+        val out = s.getOutputStream
+        out.write(lines.map(_ + "\n").mkString.getBytes(UTF_8))
+        out.flush()
+        // keep the socket open until stop(): no EOF mid-query
+      } catch { case _: IOException => () }
+    }
+  })
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def stop(): Unit = {
+    running = false
+    try server.close() catch { case _: IOException => () }
+  }
+}
+
+/** Live-transport integration: the RESP client behind the KVSink seam and
+  * ServeJob end-to-end over a real TCP stream source with a checkpoint —
+  * the deployment story of the reference's always-on services
+  * (guessLike_u_like.py:179-184,211-226) with test-local servers. */
+class ConnectorSpec extends SparkSuite {
+
+  test("K1/K6: RespKV round-trips through a live RESP server; executors write") {
+    val server = new RespTestServer()
+    try {
+      val kv = new RespKV("127.0.0.1", server.port)
+      kv.put("k1", "v1")
+      assert(kv.get("k1").contains("v1"))
+      assert(kv.get("absent").isEmpty)
+      // UTF-8 values survive byte-length bulk encoding
+      kv.put("cjk", "三体,活着")
+      assert(kv.get("cjk").contains("三体,活着"))
+      // executor-side writes through the generic KVWriter path
+      import spark.implicits._
+      val df = (1 to 20).map(i => (s"key:$i", s"val:$i")).toDF("key", "value")
+      KVWriter.write(df, kv)
+      assert(server.store.size >= 22)
+      assert(server.store.get("key:17") == "val:17")
+    } finally server.stop()
+  }
+
+  test("K2/K6: dropped connection is invalidated; RetryingKV reconnects") {
+    val server = new RespTestServer()
+    try {
+      val plain = new RespKV("127.0.0.1", server.port)
+      plain.put("before", "1")
+      server.dropConnections()
+      // the pooled connection is now broken: plain client surfaces the IO
+      // failure (and invalidates the pool entry)...
+      intercept[IOException](plain.put("during", "2"))
+      // ...so a RetryingKV-wrapped client transparently reconnects — the
+      // reference's sleep-and-reconnect loop (guessLike_u_like.py:214-226)
+      val retrying = new RetryingKV(plain, maxRetries = 2, backoffMs = 1L)
+      retrying.put("after", "3")
+      assert(retrying.get("after").contains("3"))
+    } finally server.stop()
+  }
+
+  test("ST1/ST7: ServeJob end-to-end over a live socket stream into RESP KV") {
+    val events = Seq(
+      """{"userId": 101}""",
+      """{"userId": 106, "bookIds": [3, 4]}""",
+      "subscribe-ack")  // non-JSON ack frame: must be dropped by decode
+    val publisher = new LinePublisher(events)
+    val respServer = new RespTestServer()
+    val checkpoint = Files.createTempDirectory("serve-ckpt").toString
+    try {
+      val fitted = RecommenderModel.fit(
+        Fixtures.books(spark), Fixtures.tags(spark), Fixtures.bookTags(spark),
+        Fixtures.collects(spark),
+        minCollected = 2, minDf = 1.0, stopWords = Nil, k = 2, hotN = 3)
+      val frames = spark.readStream
+        .format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", publisher.port)
+        .load()
+      val kv = new RetryingKV(new RespKV("127.0.0.1", respServer.port),
+        maxRetries = 2, backoffMs = 10L)
+      val q = ServeJob.start(frames, fitted, Fixtures.collects(spark), kv,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+        checkpointLocation = Some(checkpoint))
+      // wait until both decoded users have answers in the KV store
+      val deadline = System.currentTimeMillis() + 60000
+      def done = respServer.store.containsKey("b_like:101") &&
+        respServer.store.containsKey("b_like:106")
+      while (!done && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(50)
+      }
+      q.stop()
+      assert(done, s"KV store after timeout: ${respServer.store}")
+      // u_like semantics survived the transport: 101's recs exclude the
+      // books 101 already collected (1,3,5,7 in the fixture)
+      val recs101 = respServer.store.get("b_like:101")
+        .split(",").map(_.toLong).toSet
+      assert(recs101.intersect(Set(1L, 3L, 5L, 7L)).isEmpty)
+      assert(respServer.store.containsKey("u_similar:101"))
+      // the checkpoint directory was actually used by the stream
+      assert(Files.list(java.nio.file.Paths.get(checkpoint)).count() > 0)
+    } finally {
+      publisher.stop()
+      respServer.stop()
+    }
+  }
+}

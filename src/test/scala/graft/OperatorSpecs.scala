@@ -106,6 +106,26 @@ class TextFunctionsSpec extends SparkSuite {
     assert(got == Seq("三体", "黑暗森林", "与", "activity", "小王子", "123", "测试", "x"))
   }
 
+  test("F9: broadcast-dictionary segment matches the literal form at 10k+ words") {
+    implicit val s = spark
+    // corpus-scale lexicon: the real words plus 12k synthetic entries —
+    // the broadcast form must segment identically while shipping the
+    // dictionary via broadcast blocks, not inside the task binary
+    val bigDict = TextFunctions.defaultCjkDict ++
+      (0 until 12000).map(i => s"词$i")
+    assert(bigDict.size > 10000)
+    val texts = Seq("三体黑暗森林与activity小王子123 测试x",
+      "词11999在词典里词99999不在", "战争与和平 百年孤独").toDF("t")
+    val lit = texts.select(TextFunctions.segment(col("t"), bigDict))
+      .as[Seq[String]].collect().toSeq
+    val bc = texts.select(TextFunctions.segmentBroadcast(col("t"), bigDict))
+      .as[Seq[String]].collect().toSeq
+    assert(bc == lit)
+    // synthetic dictionary words actually match (longest-match semantics)
+    assert(bc(1).contains("词11999"))
+    assert(!bc(1).contains("词99999"))
+  }
+
   test("langId: script + marker heuristics") {
     val got = Seq("the cat is on the mat and it is happy",
       "el gato que está en la casa y los perros",
