@@ -16,21 +16,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state measurement (JMH-style): each query runs once untimed —
     // absorbing codegen compilation and classloading, which dominate cold
-    // runs 3x — then the second run is timed. Cluster jobs are never
-    // cold-JVM per query, so steady-state is the representative number.
+    // runs 3x — then the MEDIAN of three timed runs is reported. Cluster
+    // jobs are never cold-JVM per query, so steady-state is the
+    // representative number; the median damps the ±40% box-load variance
+    // a single timed run is exposed to.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // release the previous queries' dropped localCheckpoint blocks —
+      // release the previous queries' dropped cache blocks —
       // ContextCleaner frees them only after GC, and accumulated blocks
-      // from 59 queries otherwise evict the current query's working set
+      // from ~60 queries otherwise evict the current query's working set
       System.gc()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      System.gc()   // the warm run's own checkpoint blocks too
-      val t0 = System.nanoTime()
-      // a failed timed run reports -1, never its elapsed-until-throw time —
-      // a few-ms failure must not masquerade as a fast success
-      val secs =
+      val times = (1 to 3).map { _ =>
+        System.gc()   // previous run's cache/broadcast blocks
+        val t0 = System.nanoTime()
+        // a failed timed run reports -1, never its elapsed-until-throw
+        // time — a few-ms failure must not masquerade as a fast success
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
+      }
+      val secs =
+        if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1)   // median
       name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1,0 +1,176 @@
+package graft.io
+
+import java.io.BufferedInputStream
+import java.util.{Map => JMap}
+import java.util.concurrent.atomic.AtomicBoolean
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ST1/K3: a live RESP pub/sub streaming SOURCE — the reference's exact
+  * ingestion model (`pubsub.subscribe('chatu')` then a blocking listen
+  * loop, guessLike_u_like.py:179-188), as a Spark DataSourceV2 micro-batch
+  * source:
+  *
+  * {{{
+  * spark.readStream
+  *   .format("graft.io.RespSubscribeProvider")
+  *   .option("host", "...").option("port", "6379").option("channel", "chatu")
+  *   .load()                       // schema: value STRING — one row per message
+  * }}}
+  *
+  * Design follows Spark's own TextSocket source (a public, documented
+  * pattern): the driver holds the subscription (pub/sub frames are pushed
+  * — there is nothing for executors to poll), buffers messages, and each
+  * micro-batch plans ONE partition carrying the new slice; offsets are
+  * message counts, `commit` trims the buffer. Like the socket source this
+  * is at-most-once across restarts (pub/sub has no replay — the
+  * reference's consumer has the same property); the checkpoint still
+  * tracks offsets so an in-flight restart does not double-process the
+  * buffered slice. Downstream scoring is set-oriented per micro-batch, so
+  * one slow batch never blocks the subscription thread: receive and
+  * process are decoupled by the buffer, unlike the reference's strictly
+  * sequential listen-score loop.
+  */
+class RespSubscribeProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RespSubscribeProvider.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new RespSubscribeTable(
+      properties.get("host"),
+      Integer.parseInt(properties.get("port")),
+      Option(properties.get("channel")).getOrElse("events"))
+}
+
+object RespSubscribeProvider {
+  val schema: StructType = StructType(Seq(StructField("value", StringType)))
+}
+
+private[io] class RespSubscribeTable(host: String, port: Int, channel: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"resp-subscribe($host:$port/$channel)"
+  override def schema(): StructType = RespSubscribeProvider.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = RespSubscribeProvider.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new RespSubscribeStream(host, port, channel)
+      }
+    }
+}
+
+/** Offset = count of messages received since subscribe (monotonic). */
+private[io] case class CountOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private[io] class RespSubscribeStream(host: String, port: Int, channel: String)
+    extends MicroBatchStream {
+
+  // buffer of received payloads; `base` = count already trimmed by commit.
+  // All access synchronized on `buf` — the receiver thread appends while
+  // the streaming engine thread plans batches.
+  private val buf = ArrayBuffer.empty[String]
+  private var base = 0L
+  private val running = new AtomicBoolean(true)
+
+  // Dedicated subscription connection (RESP allows only (P)SUBSCRIBE
+  // traffic on it) — NOT the pooled command connection.
+  private val sock = new java.net.Socket()
+  sock.connect(new java.net.InetSocketAddress(host, port), 5000)
+  sock.setTcpNoDelay(true)
+  private val in = new BufferedInputStream(sock.getInputStream)
+  locally {
+    val out = sock.getOutputStream
+    out.write(Resp.encode(Seq("SUBSCRIBE", channel)))
+    out.flush()
+  }
+
+  private val receiver = new Thread(() => {
+    try {
+      while (running.get()) {
+        Resp.readValue(in) match {
+          // push frame: ["message", channel, payload] — the subscribe ack
+          // ["subscribe", channel, :1] is skipped here (ST2's ack
+          // filtering at the transport layer; EventSource.decode guards
+          // again at the payload layer)
+          case Resp.Arr(Seq(Resp.Bulk(Some(kind)), _, Resp.Bulk(Some(payload))))
+              if kind.equalsIgnoreCase("message") =>
+            buf.synchronized { buf += payload }
+          case _ => ()
+        }
+      }
+    } catch {
+      case _: java.io.IOException if !running.get() => () // closed by stop()
+    }
+  }, s"resp-subscribe-$host:$port/$channel")
+  receiver.setDaemon(true)
+  receiver.start()
+
+  override def initialOffset(): Offset = CountOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    CountOffset(json.trim.toLong)
+
+  override def latestOffset(): Offset =
+    buf.synchronized { CountOffset(base + buf.size) }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CountOffset].n
+    val e = end.asInstanceOf[CountOffset].n
+    val slice = buf.synchronized {
+      // offsets before `base` were committed and trimmed; a restart that
+      // asks for them gets an empty slice (pub/sub cannot replay)
+      val from = math.max(0L, s - base).toInt
+      val until = math.max(0L, math.min(buf.size.toLong, e - base)).toInt
+      if (from >= until) Array.empty[String]
+      else buf.slice(from, until).toArray
+    }
+    if (slice.isEmpty) Array.empty
+    else Array(MessagesPartition(slice))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val msgs = p.asInstanceOf[MessagesPartition].messages
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < msgs.length }
+          override def get(): InternalRow =
+            new GenericInternalRow(Array[Any](UTF8String.fromString(msgs(i))))
+          override def close(): Unit = ()
+        }
+      }
+    }
+
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[CountOffset].n
+    buf.synchronized {
+      val drop = math.max(0L, math.min(buf.size.toLong, e - base)).toInt
+      buf.remove(0, drop)
+      base += drop
+    }
+  }
+
+  override def stop(): Unit = {
+    running.set(false)
+    try sock.close() catch { case _: java.io.IOException => () }
+  }
+}
+
+/** The micro-batch slice ships inside the partition (driver → executor
+  * task), exactly like Spark's TextSocket source partitions. */
+private[io] case class MessagesPartition(messages: Array[String])
+    extends InputPartition

@@ -161,6 +161,7 @@ object Ann {
     // through candidate generation).
     val vecs = data.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    vecs.count()   // eager: the plan reads vecs from three subtrees
     val cells = assignCells(vecs, "id", "v", cents, nProbe)
     val assigned = cells.where(col("rn") === 1)
     val l = cells.select(col("cell"), col("id").as("query_id"))

@@ -12,15 +12,26 @@ import graft.io._
 import graft.jobs.{RecommenderModel, ServeJob}
 
 /** Hermetic RESP server speaking enough of the Redis wire protocol for the
-  * connector tests: PING / SET / GET / DEL against an in-memory map. One
-  * thread per connection; `dropConnections` force-closes live sockets so
-  * tests can exercise the client's reconnect path. */
+  * connector tests: PING / SET / GET / DEL against an in-memory map, plus
+  * SUBSCRIBE / PUBLISH pub/sub. One thread per connection;
+  * `dropConnections` force-closes live sockets so tests can exercise the
+  * client's reconnect path. */
 class RespTestServer {
   val store = new ConcurrentHashMap[String, String]()
+  // channel -> output streams of subscribed connections (writes are
+  // synchronized per-stream: the publisher thread races the serve loop)
+  private val subscribers =
+    new ConcurrentHashMap[String, CopyOnWriteArrayList[java.io.OutputStream]]()
   private val server = new ServerSocket(0)
   private val conns = new CopyOnWriteArrayList[Socket]()
   @volatile private var running = true
   def port: Int = server.getLocalPort
+  def subscriberCount(channel: String): Int =
+    Option(subscribers.get(channel)).map(_.size).getOrElse(0)
+
+  private def bulk(s: String): String = {
+    val b = s.getBytes(UTF_8); s"$$${b.length}\r\n$s\r\n"
+  }
 
   private val acceptor = new Thread(() => {
     while (running) {
@@ -55,10 +66,26 @@ class RespTestServer {
               case Some("DEL") if args.length == 2 =>
                 val had = store.remove(args(1)) != null
                 s":${if (had) 1 else 0}\r\n"
+              case Some("SUBSCRIBE") if args.length == 2 =>
+                subscribers
+                  .computeIfAbsent(args(1), _ => new CopyOnWriteArrayList())
+                  .add(out)
+                s"*3\r\n${bulk("subscribe")}${bulk(args(1))}:1\r\n"
+              case Some("PUBLISH") if args.length == 3 =>
+                val subs = Option(subscribers.get(args(1)))
+                  .map(_.asScala.toSeq).getOrElse(Nil)
+                val frame =
+                  s"*3\r\n${bulk("message")}${bulk(args(1))}${bulk(args(2))}"
+                subs.foreach { o =>
+                  o.synchronized { o.write(frame.getBytes(UTF_8)); o.flush() }
+                }
+                s":${subs.size}\r\n"
               case _ => "-ERR unknown command\r\n"
             }
-            out.write(reply.getBytes(UTF_8))
-            out.flush()
+            out.synchronized {
+              out.write(reply.getBytes(UTF_8))
+              out.flush()
+            }
           case _ =>
             out.write("-ERR expected array\r\n".getBytes(UTF_8)); out.flush()
         }
@@ -148,6 +175,78 @@ class ConnectorSpec extends SparkSuite {
       val retrying = new RetryingKV(plain, maxRetries = 2, backoffMs = 1L)
       retrying.put("after", "3")
       assert(retrying.get("after").contains("3"))
+    } finally server.stop()
+  }
+
+  test("K3/ST1: RESP pub/sub source — subscribe, publish, micro-batch rows") {
+    val server = new RespTestServer()
+    try {
+      val frames = spark.readStream
+        .format("graft.io.RespSubscribeProvider")
+        .option("host", "127.0.0.1")
+        .option("port", server.port.toString)
+        .option("channel", "chatu")
+        .load()
+      val q = frames.writeStream
+        .format("memory")
+        .queryName("pubsub_rows")
+        .outputMode("append")
+        .start()
+      // wait for the driver-side subscription to land, then publish
+      val deadline = System.currentTimeMillis() + 30000
+      while (server.subscriberCount("chatu") == 0 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(server.subscriberCount("chatu") == 1)
+      val pub = new RespClient("127.0.0.1", server.port)
+      assert(pub.command("PUBLISH", "chatu", """{"userId": 101}""") == Resp.IntVal(1))
+      assert(pub.command("PUBLISH", "chatu", """{"userId": 106}""") == Resp.IntVal(1))
+      pub.close()
+      while (spark.table("pubsub_rows").count() < 2 &&
+             System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(20)
+      }
+      q.stop()
+      import spark.implicits._
+      val got = spark.table("pubsub_rows").as[String].collect().toSet
+      assert(got == Set("""{"userId": 101}""", """{"userId": 106}"""))
+    } finally server.stop()
+  }
+
+  test("K3/ST3: the reference loop live — pub/sub event in, recs SET in KV") {
+    val server = new RespTestServer()
+    try {
+      val fitted = RecommenderModel.fit(
+        Fixtures.books(spark), Fixtures.tags(spark), Fixtures.bookTags(spark),
+        Fixtures.collects(spark),
+        minCollected = 2, minDf = 1.0, stopWords = Nil, k = 2, hotN = 3)
+      val frames = spark.readStream
+        .format("graft.io.RespSubscribeProvider")
+        .option("host", "127.0.0.1")
+        .option("port", server.port.toString)
+        .option("channel", "chatu")
+        .load()
+      val kv = new RetryingKV(new RespKV("127.0.0.1", server.port),
+        maxRetries = 2, backoffMs = 10L)
+      val q = ServeJob.start(frames, fitted, Fixtures.collects(spark), kv,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      val deadline = System.currentTimeMillis() + 60000
+      while (server.subscriberCount("chatu") == 0 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(20)
+      val pub = new RespClient("127.0.0.1", server.port)
+      pub.command("PUBLISH", "chatu", """{"userId": 101}""")
+      pub.close()
+      while (!server.store.containsKey("b_like:101") &&
+             System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(20)
+      }
+      q.stop()
+      assert(server.store.containsKey("b_like:101"),
+        s"KV store after timeout: ${server.store}")
+      val recs101 = server.store.get("b_like:101")
+        .split(",").map(_.toLong).toSet
+      assert(recs101.intersect(Set(1L, 3L, 5L, 7L)).isEmpty)
     } finally server.stop()
   }
 

@@ -46,4 +46,42 @@ class KVSinkSpec extends SparkSuite {
     java.nio.file.Files.write(dir.resolve("book.log"), "1,x,x,x,x,2".getBytes)
     assert(graft.prep.LogIngest.logExists(spark, dir.toString + "/book.log"))
   }
+
+  test("S9: schema'd CSV scan drops malformed rows, keeps typed good ones") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("s9")
+    java.nio.file.Files.write(dir.resolve("ids.csv"),
+      "1,9787020002207\n2,9787536692930\nnot-a-number,xyz\n3,9787544253994\n"
+        .getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("isbn", StringType)))
+    val got = Sources.csv(spark, dir.toString, schema)
+    assert(got.schema == schema)
+    // DROPMALFORMED: the unparseable id row vanishes instead of erroring
+    assert(got.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("S9/K4: schema'd JSON-lines scan with drop-malformed semantics") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("s9json")
+    java.nio.file.Files.write(dir.resolve("events.jsonl"),
+      """{"userId": 101, "bookIds": [1, 2]}
+        |garbage line
+        |{"userId": 106}
+        |""".stripMargin.getBytes("UTF-8"))
+    val got = Sources.jsonLines(spark, dir.toString, io.EventSource.eventSchema)
+    assert(got.where(org.apache.spark.sql.functions.col("userId").isNotNull)
+      .select("userId").as[Long].collect().toSet == Set(101L, 106L))
+  }
+
+  test("S10-adjacent: binaryFiles reads opaque content with metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("s10")
+    java.nio.file.Files.write(dir.resolve("img.bin"),
+      Array[Byte](1, 2, 3, 4, 5))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), "no".getBytes)
+    val got = Sources.binaryFiles(spark, dir.toString, glob = "*.bin").collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3, 4, 5))
+    assert(got.head.getAs[Long]("length") == 5L)
+  }
 }

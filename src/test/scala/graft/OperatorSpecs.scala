@@ -160,4 +160,20 @@ class SimilarityJoinSpec extends SparkSuite {
     val got = SimilarityJoin.exactCosineTopK(docs, "id", "toks", k = 5, maxDf = 2L)
     assert(got.count() == 0)
   }
+
+  test("J7: maxDfFraction prunes corpus-relative hot terms; norms stay full-vocab") {
+    val docs = Seq(
+      (1L, Seq("x", "a")), (2L, Seq("x", "a")),
+      (3L, Seq("x", "b")), (4L, Seq("x", "c"))).toDF("id", "toks")
+    // "x" is in 4/4 docs (df 4 > floor(4*0.5)=2) → pruned; "a" is in 2/4
+    // (df 2 <= 2) → kept, so only the 1↔2 pair survives
+    val got = SimilarityJoin.exactCosineTopK(docs, "id", "toks", k = 5,
+        maxDfFraction = 0.5)
+      .select("a", "b", "sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet == Set((1L, 2L), (2L, 1L)))
+    // documented underestimate semantics: dot drops pruned "x" (1*1 from
+    // "a" only) but norms keep the full vocabulary (sqrt(2) each)
+    assert(math.abs(got((1L, 2L)) - 1.0 / 2.0) < 1e-12)
+  }
 }

@@ -39,4 +39,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"))
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
   }
+
+  test("J7: maxDfFraction adds the df-prune semi-ish join before pair generation") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenize(col("text")).as("toks"))
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      "Join".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    val unpruned = graft.operators.SimilarityJoin
+      .exactCosineTopK(docs, "doc_id", "toks", k = 10)
+    val pruned = graft.operators.SimilarityJoin
+      .exactCosineTopK(docs, "doc_id", "toks", k = 10, maxDfFraction = 0.5)
+    // the pruned plan carries the extra df-filter join (postings ⋈ kept
+    // terms) on BOTH join sides plus the broadcast of the single-row
+    // total — strictly more join nodes than the exact plan
+    assert(joins(pruned) > joins(unpruned),
+      s"pruned=${joins(pruned)} unpruned=${joins(unpruned)}")
+  }
 }
