@@ -75,4 +75,41 @@ class PropertySpecs extends SparkSuite {
     val dupPairs = pairs.filter { case (a, b, _) => b == a + 100 }
     assert(dupPairs.nonEmpty && dupPairs.forall(_._3 > 0.9999))
   }
+
+  test("RESP property: encode(args) parses back as the same bulk-string array") {
+    import graft.io.Resp
+    // arbitrary unicode commands (incl. CJK + CRLF-bearing payloads): the
+    // $-length prefix counts BYTES, so parse(encode(x)) must be lossless
+    val argGen = Gen.listOfN(3, Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.const("三体,活着 图书"),
+      Gen.const("line1\r\nline2\n$5\r\nfake"),
+      Gen.const("")))
+    samples(argGen, 40).filter(_.nonEmpty).foreach { args =>
+      val in = new java.io.BufferedInputStream(
+        new java.io.ByteArrayInputStream(Resp.encode(args)))
+      val got = Resp.readValue(in)
+      assert(got == Resp.Arr(args.map(a => Resp.Bulk(Some(a)))),
+        s"round-trip failed for $args")
+    }
+  }
+
+  test("F9 property: broadcast and literal dictionaries segment identically") {
+    implicit val s = spark
+    val dict = TextFunctions.defaultCjkDict
+    val cjkChar = Gen.oneOf("三体黑暗森林活着围城小王子战争与和平abc 123".toSeq)
+    val strGen = Gen.listOfN(20, cjkChar).map(_.mkString)
+    val texts = samples(strGen, 30)
+    val lit = texts.toDF("t").select(TextFunctions.segment(col("t"), dict))
+      .as[Seq[String]].collect().toSeq
+    val bc = texts.toDF("t")
+      .select(TextFunctions.segmentBroadcast(col("t"), dict))
+      .as[Seq[String]].collect().toSeq
+    assert(bc == lit)
+    // segmentation is a partition: concatenating tokens (minus whitespace)
+    // reconstructs the input
+    texts.zip(lit).foreach { case (t, toks) =>
+      assert(toks.mkString == t.replace(" ", ""))
+    }
+  }
 }
