@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for the cases AQE does not cover.
+  *
+  * AQE splits skewed partitions of a shuffle JOIN at runtime, but a skewed
+  * aggregation key still funnels every row of the hot key through one
+  * reducer, and a join whose hot key sits in BOTH sides cannot be split
+  * losslessly. Salting is the classical fix (pre-AQE Spark folklore,
+  * documented in the Spark performance-tuning guide): spread each hot key
+  * over `salts` sub-keys for the wide phase, then recombine.
+  *
+  * Both operators are deterministic (salt = row-content hash, not rand()),
+  * so results are reproducible and exactly equal to their unsalted
+  * equivalents — asserted by the a15/j11 oracle queries and SkewSpec.
+  */
+object Skew {
+
+  /** Row-content salt in [0, salts): deterministic (reproducible runs,
+    * unlike rand()), spreading a hot key's rows by the hash of the FULL
+    * row. Caveat: diversity comes from row content — keep at least one
+    * non-key column in the frame, or identical rows share a salt and the
+    * hot key stays hot. */
+  private def salt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong))
+
+  /** Two-phase salted sum: partial-aggregate on (keys, salt) — ≤ salts
+    * rows per hot key reach any one reducer — then final-aggregate on
+    * keys. Only algebraic aggregates (sum/count/min/max) re-combine like
+    * this; use partial counts + sums for averages. */
+  def saltedSum(df: DataFrame, keys: Seq[String], value: String,
+                out: String, salts: Int = 16): DataFrame = {
+    require(salts > 0, s"salts must be positive (got $salts)")
+    val partial = df.withColumn("__salt", salt(df, salts))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(value)).as("__partial"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(out))
+  }
+
+  /** Salted inner equi-join for a skewed fact key: fact rows take a
+    * content-hash salt, the (small-but-not-broadcastable) right side is
+    * replicated `salts` times, and the join key becomes (key, salt) — the
+    * hot key's rows now land on `salts` reducers instead of one. Right-
+    * side cost is |right| x salts rows shuffled; keep salts modest. */
+  def saltedJoin(fact: DataFrame, right: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    require(salts > 0, s"salts must be positive (got $salts)")
+    val fs = fact.withColumn("__salt", salt(fact, salts))
+    val rs = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    fs.join(rs, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -164,6 +164,40 @@ object Relational2 {
         .orderBy("userId")
     },
 
+    // Skew-salted two-phase aggregation: l_returnflag has 3 hot values
+    // spanning the whole fact table — the aggregation-skew shape AQE does
+    // NOT split (it only handles skewed join partitions). Salting must be
+    // value-exact: the oracle is the plain GROUP BY.
+    Q("a15_salted_agg",
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      graft.operators.Skew.saltedSum(
+          Tables.lineitem(s, d).select("l_returnflag", "l_quantity"),
+          Seq("l_returnflag"), "l_quantity", out = "sum_qty", salts = 16)
+        .select(col("l_returnflag"), round(col("sum_qty"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Skew-salted join: fact side salted, right side replicated 16x, join
+    // on (key, salt) — the manual fix when the hot key sits on the fact
+    // side and the right side is too big to broadcast. Value-exact vs the
+    // plain join oracle.
+    Q("j11_salted_join",
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      // keep a payload column on the fact side: the content-hash salt
+      // needs within-key row diversity to spread a hot key
+      graft.operators.Skew.saltedJoin(
+          Tables.lineitem(s, d)
+            .select(col("l_partkey").as("p_partkey"), col("l_orderkey")),
+          Tables.part(s, d).select("p_partkey", "p_brand"),
+          key = "p_partkey", salts = 16)
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+
     // F17: chained replace sanitization (the scraper's &nbsp;/brand-word
     // stripping, NB cell-4).
     Q("f17_chained_replace",

@@ -137,6 +137,65 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // TF-IDF weighting (the standard upgrade of the reference's raw BoW
+    // counts): per-doc term frequency x smoothed corpus idf, statistics
+    // computed over the FULL corpus, output restricted to doc_id < 100 —
+    // exercises the global-statistic + per-doc projection shape.
+    Q("a14_tfidf",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf)
+        |SELECT doc_id, term, tf,
+        |  round(tf * (ln((n + 1) / (df + 1)) + 1), 6) AS tfidf
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |WHERE doc_id < 100
+        |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokenize(col("text")).as("toks"))
+      graft.operators.TfIdf.tfidf(docs, "doc_id", "toks")
+        .where(col("id") < 100)
+        .select(col("id").as("doc_id"), col("term"), col("tf"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "term")
+    },
+
+    // Exact distribution stats per language: linear-interpolated
+    // percentiles of document length — corpus profiling every training-
+    // data pipeline runs before filtering on length.
+    Q("t7_length_percentiles",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 4) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+          round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
+        .orderBy("lang")
+    },
+
+    // The sketch form of t7: approx_percentile (t-digest-class mergeable
+    // sketch) — at 100 TB the exact sort-based percentile gives way to
+    // this one-pass mergeable summary (same pattern as a13 -> a13b).
+    // Approximation is engine-specific — rows-only; ApproxSpec bounds the
+    // error against the exact form.
+    Q.rowsOnly("t7b_approx_length_percentiles") { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(n_chars, 0.5)").as("p50"),
+          expr("approx_percentile(n_chars, 0.9)").as("p90"),
+          expr("approx_percentile(n_chars, 0.99)").as("p99"))
+        .orderBy("lang")
+    },
+
     // P8/F8: token filters — length >= 2, not all-digits
     // (simility_books.py:11-15).
     Q("p8_token_filter",

@@ -20,6 +20,19 @@ class ApproxSpec extends SparkSuite {
       assert(math.abs(a - e) / e < 0.05, s"exact=$e approx=$a")
     }
   }
+
+  test("T7b: approx percentiles within 5% of exact on document lengths") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = docs.groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.9)").as("e"))
+    val approx = docs.groupBy("lang")
+      .agg(expr("approx_percentile(n_chars, 0.9)").cast("double").as("a"))
+    exact.join(approx, "lang").select(col("e"), col("a"))
+      .as[(Double, Double)].collect()
+      .foreach { case (e, a) =>
+        assert(math.abs(a - e) / math.max(e, 1.0) < 0.05, s"exact=$e approx=$a")
+      }
+  }
 }
 
 class MultimodalSpec extends SparkSuite {
