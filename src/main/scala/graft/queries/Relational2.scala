@@ -90,6 +90,38 @@ object Relational2 {
         .orderBy("hour", "event_type")
     },
 
+    // ST8 (engine ext): gap-based sessionization — the batch/window form
+    // of Structured Streaming's session_window, over the event log (30-min
+    // gap). One Window operator, one shuffle on user_id; ts handled as
+    // integer microseconds end-to-end (ns DIV 1000 — never float math on
+    // epoch values, and raw ts is never emitted).
+    Q("st8_sessionize",
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |m AS (SELECT user_id, event_id, us,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |             OR us - lag(us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
+        |      FROM m),
+        |per AS (SELECT user_id, sid, count(*) AS n_ev,
+        |          (max(us) - min(us)) // 1000000 AS dur
+        |        FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  CAST(max(dur) AS BIGINT) AS max_dur_s
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+      graft.operators.Sessionize.sessionStats(ev, "user_id", "us",
+          gap = 1800000000L, tieBreak = col("event_id"), durUnit = 1000000L)
+        .select(col("user_id"), col("n_sessions"), col("n_events"),
+          col("max_dur").as("max_dur_s"))
+        .orderBy("user_id")
+    },
+
     // SO: intersect (inherited from Spark; absent in the reference,
     // SURVEY §2.6).
     Q("so4_intersect",

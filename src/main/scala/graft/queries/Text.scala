@@ -196,6 +196,19 @@ object Text {
         .orderBy("lang")
     },
 
+    // Deterministic train/val/test split: membership is a pure function
+    // of xxhash64(doc_id, seed) — stable across runs, partitionings, and
+    // clusters (what training reproducibility requires; `sample()` is
+    // none of those). Engine hashing → rows-only; proportions, disjoint
+    // cover, and repartition-stability asserted in SessionizeSamplingSpec.
+    Q.rowsOnly("s11_hash_split") { (s, d) =>
+      graft.operators.Sampling.hashSplit(
+          Tables.documents(s, d), "doc_id", seed = 42L,
+          fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")
+    },
+
     // P8/F8: token filters — length >= 2, not all-digits
     // (simility_books.py:11-15).
     Q("p8_token_filter",
