@@ -209,6 +209,86 @@ object Text {
         .orderBy("split", "lang")
     },
 
+    // Sequence packing (2048-token windows, 8 parallel buckets): the
+    // pre-tokenization layout step of an LLM training pipeline. Window
+    // cumsum per bucket — parallel by construction; a global-order cumsum
+    // would serialize the corpus through one partition.
+    Q("s12_sequence_pack",
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS bucket,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, bucket, n,
+        |        sum(n) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+        |      FROM t)
+        |SELECT bucket, CAST((cum - n) // 2048 AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY bucket, pack_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("bucket"),
+          size(tokenize(col("text"))).cast("long").as("n"))
+      graft.operators.Packing.contiguousPack(docs, "n", maxTokens = 2048L,
+          bucketCol = col("bucket"), orderCol = col("doc_id"))
+        .groupBy("bucket", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .orderBy("bucket", "pack_id")
+    },
+
+    // Repetition quality signals (the Gopher-rule family): duplicate
+    // token fraction and duplicate token-trigram fraction per document —
+    // high values flag boilerplate/spam for corpus filtering.
+    Q("t8_repetition",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |        CASE WHEN len(toks) >= 3 THEN
+        |          list_transform(range(1, len(toks) - 1),
+        |            i -> array_to_string(toks[i:i+2], ' '))
+        |        ELSE [] END AS tris
+        |      FROM t)
+        |SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+        |    AS dup_token_ratio,
+        |  CASE WHEN len(tris) > 0 THEN
+        |    round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris), 6)
+        |  ELSE 0.0 END AS dup_trigram_ratio
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokenize(col("text"))
+      val tris = when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => array_join(slice(toks, i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(s, d)
+        .withColumn("toks", toks).withColumn("tris", tris)
+        .select(col("doc_id"),
+          round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")), 6).as("dup_token_ratio"),
+          when(size(col("tris")) > 0,
+            round(lit(1.0) - size(array_distinct(col("tris"))).cast("double") /
+              size(col("tris")), 6)).otherwise(0.0).as("dup_trigram_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus-wide top token bigrams (contamination / boilerplate audit):
+    // explode → partial+final count → global top-k
+    // (TakeOrderedAndProject, no global sort).
+    Q("t9_top_ngrams",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |        i -> array_to_string(toks[i:i+1], ' '))) AS gram
+        |      FROM t WHERE len(toks) >= 2)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 50""".stripMargin) { (s, d) =>
+      val toks = tokenize(col("text"))
+      Tables.documents(s, d)
+        .where(size(toks) >= 2)
+        .select(explode(transform(sequence(lit(1), size(toks) - 1),
+          i => array_join(slice(toks, i, lit(2)), " "))).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram").asc).limit(50)
+    },
+
     // P8/F8: token filters — length >= 2, not all-digits
     // (simility_books.py:11-15).
     Q("p8_token_filter",

@@ -49,6 +49,17 @@ class SessionizeSamplingSpec extends SparkSuite {
     assert(math.abs(counts("test") - 1000L) < 200, counts.toString)
   }
 
+  test("contiguousPack: boundary at the token budget, straddlers allowed") {
+    import graft.operators.Packing
+    // budget 10: docs of 4,4,4 → cum 4,8,12 → packs 0,0,0 (third starts
+    // at 8 < 10 and straddles); then 7 → starts at 12 → pack 1
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 7L)).toDF("id", "n")
+    val got = Packing.contiguousPack(docs, "n", maxTokens = 10L,
+        bucketCol = lit(0), orderCol = col("id"))
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("hashSplit: membership is a pure function of (id, seed)") {
     val ids = (1L to 500L).toDF("id")
     def assign(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
