@@ -20,10 +20,17 @@ object Bench {
     // jobs are never cold-JVM per query, so steady-state is the
     // representative number; the median damps the ±40% box-load variance
     // a single timed run is exposed to.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // release the previous queries' dropped cache blocks —
-      // ContextCleaner frees them only after GC, and accumulated blocks
-      // from ~60 queries otherwise evict the current query's working set
+    // Sorted name order: Map iteration order reshuffles whenever a query
+    // is added, and cross-query JVM state (cache occupancy, GC pressure)
+    // is the main run-to-run variance source — fixed order keeps
+    // round-over-round numbers comparable.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Self-contained queries: operators persist intermediates
+      // (MEMORY_AND_DISK) that the lazy API cannot unpersist, and
+      // CacheManager holds them for the session — clear between queries
+      // (never between a query's own warm/timed runs, which legitimately
+      // reuse their caches) and GC the dropped blocks.
+      spark.catalog.clearCache()
       System.gc()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val times = (1 to 3).map { _ =>
@@ -40,7 +47,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

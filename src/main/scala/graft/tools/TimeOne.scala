@@ -9,6 +9,7 @@ object TimeOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.tail.foreach { n =>
+      spark.catalog.clearCache() // mirror Bench: queries are self-contained
       (1 to 3).foreach { i =>
         System.gc() // let ContextCleaner drop prior runs' cached blocks
         val t0 = System.nanoTime()
