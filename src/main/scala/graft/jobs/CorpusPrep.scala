@@ -1,0 +1,59 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Packing, Sampling}
+
+/** The composed training-data preparation pipeline: every stage is an
+  * operator this engine already gates individually, chained the way a
+  * pretraining corpus actually flows —
+  *
+  *   quality filter (t3) → language filter (t4) → near-dup removal (d5)
+  *   → deterministic split (s11) → sequence packing (s12)
+  *
+  * One call, one DAG: the only actions are the ones `Dedup.dedupCorpus`'s
+  * iterative cluster resolution needs; everything else stays lazy for the
+  * caller to write/partition as they choose. Scale properties are the
+  * stages' own (see SCALING.md) — nothing here adds a shuffle beyond
+  * them.
+  */
+object CorpusPrep {
+
+  final case class Config(
+      minQuality: Double = 0.3,
+      langs: Set[String] = Set.empty,      // empty = keep every language
+      shingleN: Int = 3,
+      dedupMinJaccard: Double = 0.8,
+      splitSeed: Long = 42L,
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      packTokens: Long = 2048L,
+      packBuckets: Int = 32)
+
+  /** docs: (idCol, textCol, ...). Returns the surviving rows with
+    * `quality`, `lang` (computed if absent), `split`, `n_tokens`,
+    * `bucket`, `pack_id` attached. */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+              cfg: Config = Config()): DataFrame = {
+    val scored = docs
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .where(col("quality") >= cfg.minQuality)
+    val withLang =
+      if (scored.columns.contains("lang")) scored
+      else scored.withColumn("lang", TextFunctions.langIdHeuristic(col(textCol)))
+    val langFiltered =
+      if (cfg.langs.isEmpty) withLang
+      else withLang.where(col("lang").isin(cfg.langs.toSeq: _*))
+    val deduped = Dedup.dedupCorpus(langFiltered, idCol, textCol,
+      shingleN = cfg.shingleN, minJaccard = cfg.dedupMinJaccard)
+    val split = Sampling.hashSplit(deduped, idCol, cfg.splitSeed, cfg.fractions)
+    val counted = split
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(cfg.packBuckets.toLong)))
+    // pack within (split, bucket): packs never mix train/val/test rows,
+    // and the cumsum window stays partition-parallel
+    Packing.contiguousPack(counted, "n_tokens", cfg.packTokens,
+      bucketCol = struct(col("split"), col("bucket")), orderCol = col(idCol))
+  }
+}

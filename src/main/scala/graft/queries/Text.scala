@@ -289,6 +289,20 @@ object Text {
         .orderBy(col("n").desc, col("gram").asc).limit(50)
     },
 
+    // The composed corpus-preparation pipeline (quality → lang → dedup →
+    // split → pack) in one call — engine hashing in dedup/split makes it
+    // rows-only; every stage is oracle-gated individually (t3/t4/d5/s11/
+    // s12) and CorpusPrepSpec asserts the composition invariants.
+    Q.rowsOnly("e2e_corpus_prep") { (s, d) =>
+      graft.jobs.CorpusPrep.prepare(
+          Tables.documents(s, d), "doc_id", "text")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("bucket"), col("pack_id")).as("n_packs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("split")
+    },
+
     // P8/F8: token filters — length >= 2, not all-digits
     // (simility_books.py:11-15).
     Q("p8_token_filter",

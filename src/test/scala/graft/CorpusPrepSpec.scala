@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.jobs.CorpusPrep
+
+/** Composition invariants of the end-to-end corpus-prep pipeline; each
+  * stage's exactness is gated by its own oracle query (t3/t4/d5/s11/s12). */
+class CorpusPrepSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus = {
+    // genuinely distinct CHARACTER content per doc (char-3-gram Jaccard is
+    // what dedup sees — a shared word template merges the whole corpus)
+    def body(i: Long): String = {
+      val rnd = new scala.util.Random(i)
+      (1 to 8).map(_ => rnd.alphanumeric.filter(_.isLetter).take(7).mkString)
+        .mkString(" ")
+    }
+    val base = (1L to 60L).map(i => (i, s"doc ${body(i)}"))
+    // near-duplicates of docs 1-5 (one char appended) and two junk rows
+    // the quality filter should drop (scores ~0.33, below 0.4)
+    val dups = (1L to 5L).map(i => (100L + i, s"doc ${body(i)}!"))
+    val junk = Seq((200L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+      (201L, "$$$ ### @@@ %%%"))
+    (base ++ dups ++ junk).toDF("doc_id", "text")
+  }
+
+  test("prepare: quality junk dropped, near-dups collapsed, survivors ⊆ input") {
+    val out = CorpusPrep.prepare(corpus, "doc_id", "text",
+      CorpusPrep.Config(minQuality = 0.4, dedupMinJaccard = 0.7))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(200L) && !ids.contains(201L), "junk survived")
+    // min-id survivorship: each near-dup pair keeps the smaller id
+    (1L to 5L).foreach { i =>
+      assert(ids.contains(i) && !ids.contains(100L + i),
+        s"dup of $i not collapsed: $ids")
+    }
+    // distinct docs survive (no over-merging from the shared "doc" prefix)
+    assert((6L to 60L).forall(ids.contains), s"distinct docs dropped: $ids")
+    assert(ids.subsetOf((1L to 201L).toSet))
+  }
+
+  test("prepare: packs never mix splits; token budget respected at pack starts") {
+    val out = CorpusPrep.prepare(corpus, "doc_id", "text",
+      CorpusPrep.Config(packTokens = 30L, packBuckets = 2))
+    // a (bucket, pack_id) group exists within exactly one split by
+    // construction (bucketCol includes split) — verify the attached
+    // columns are consistent and n_tokens is positive
+    val bad = out.groupBy("split", "bucket", "pack_id")
+      .agg(countDistinct("split").as("ns"))
+      .where(col("ns") > 1).count()
+    assert(bad == 0L)
+    assert(out.where(col("n_tokens") <= 0).count() == 0L)
+  }
+
+  test("prepare: deterministic across runs") {
+    val cfg = CorpusPrep.Config()
+    def run() = CorpusPrep.prepare(corpus, "doc_id", "text", cfg)
+      .select("doc_id", "split", "pack_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(run() == run())
+  }
+}
