@@ -7,14 +7,19 @@ import org.apache.spark.sql.functions._
   * pipeline: opaque `binary` content columns + typed metadata structs, with
   * decode / feature-extraction / resize / frame-sampling stages.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernels are STUBBED with deterministic byte-derived fakes — but
-  * all the Spark-side plumbing is real and load-bearing: binary columns
-  * survive shuffles/spills, metadata travels as a struct column, features
-  * come out as `array<float>` ready for the ANN operators, and batch shape
-  * follows `spark.sql.files.maxPartitionBytes` exactly as it would with
-  * real decoders. Swap [[fakeEmbed]]/[[fakeFrame]] for real codec calls
-  * (e.g. JNI/FFI decoders invoked per partition) and nothing else changes.
+  * Decode comes in two tiers:
+  *   - REAL, codec-free parsers for self-describing containers —
+  *     [[decodeWav]] (RIFF/PCM16) and [[decodeBmp]] (uncompressed 24-bit
+  *     BMP) are full native decoders validated against hand-computed
+  *     signals in MultimodalSpec;
+  *   - compressed formats (JPEG/MP3/H.264) require codec libraries this
+  *     environment lacks, so those kernels are STUBBED with deterministic
+  *     byte-derived fakes. The Spark-side plumbing is real either way:
+  *     binary columns survive shuffles/spills, metadata travels as a
+  *     struct, features come out as `array<float>` ready for [[Ann]], and
+  *     batch shape follows `spark.sql.files.maxPartitionBytes`. Swap
+  *     [[fakeEmbed]]/[[sampleFrames]] byte-ranges for codec calls and
+  *     nothing else changes.
   */
 object Multimodal {
 
@@ -65,4 +70,22 @@ object Multimodal {
     pack(df, idCol, payloadCol)
       .select(col("media_id"), col("meta"),
         fakeEmbed(col("content"), dim).as("features"))
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  /** REAL audio decode for RIFF/WAVE 16-bit PCM (no codec library needed):
+    * struct(sample_rate, n_channels, n_samples, duration_s, rms, peak),
+    * null for malformed/unsupported payloads — the silence/clipping
+    * filter stats of an audio-corpus pipeline. One native pass
+    * ([[graft.expressions.WavFeatures]]); compressed formats stay behind
+    * the documented stubs. */
+  def decodeWav(content: Column): Column =
+    column(graft.expressions.WavFeatures(expression(content)))
+
+  /** REAL image decode for uncompressed 24-bit BMP: struct(width, height,
+    * mean_r, mean_g, mean_b), null for malformed/unsupported — dimension
+    * and brightness profiling without a codec
+    * ([[graft.expressions.BmpFeatures]]). */
+  def decodeBmp(content: Column): Column =
+    column(graft.expressions.BmpFeatures(expression(content)))
 }

@@ -71,5 +71,36 @@ object Ml {
           length(col("frame")).cast("long").as("frame_bytes"))
         .orderBy("media_id", "frame_no")
     },
+
+    // REAL audio decode (RIFF/PCM16, no codec library): deterministic
+    // square-wave tones synthesized per doc id — amplitude i/100 ⇒
+    // rms == peak == i/100 exactly, a decode correctness check the
+    // rows-only gate can at least row-count and the spec verifies
+    // bit-exactly. Input synthesis is driver-side by necessity (the
+    // testdata ships no media files); decode itself is the native
+    // executor-side WavFeatures expression.
+    Q.rowsOnly("mm3_wav_decode") { (s, d) =>
+      import s.implicits._
+      def wav(amp: Short): Array[Byte] = {
+        val samples = Array.tabulate[Short](400)(j =>
+          if (j % 2 == 0) amp else (-amp).toShort)
+        val bb = java.nio.ByteBuffer.allocate(44 + 800)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes).putInt(36 + 800).put("WAVE".getBytes)
+        bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+          .putInt(8000).putInt(16000).putShort(2).putShort(16)
+        bb.put("data".getBytes).putInt(800)
+        samples.foreach(bb.putShort)
+        bb.array()
+      }
+      val tones = (1 to 64).map(i => (i.toLong, wav((i * 327).toShort))) :+
+        (65L, "corrupt payload".getBytes)
+      tones.toDF("media_id", "content")
+        .select(col("media_id"), Multimodal.decodeWav(col("content")).as("w"))
+        .select(col("media_id"), col("w.sample_rate").as("sample_rate"),
+          col("w.n_samples").as("n_samples"),
+          round(col("w.rms"), 6).as("rms"), round(col("w.peak"), 6).as("peak"))
+        .orderBy("media_id")
+    },
   )
 }

@@ -74,4 +74,77 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.count(_._1 == 1L) == 4)
     assert(frames.filter(_._1 == 3L).nonEmpty)  // 1-byte payload still yields frames
   }
+
+  /** Minimal valid WAV: 16-bit PCM mono, `samples` as raw amplitudes. */
+  private def wavBytes(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Minimal 24-bit BMP from row-major (r,g,b) pixels, bottom-up rows. */
+  private def bmpBytes(w: Int, h: Int,
+                       px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+      .putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    (h - 1 to 0 by -1).foreach { y =>   // bottom-up row order
+      (0 until w).foreach { x =>
+        val (r, g, b) = px(x, y)
+        bb.put(b.toByte).put(g.toByte).put(r.toByte)
+      }
+      (w * 3 until stride).foreach(_ => bb.put(0.toByte))
+    }
+    bb.array()
+  }
+
+  test("decodeWav: REAL decode — square wave has rms == peak == amplitude") {
+    // 1000 samples of a ±8192 square wave at 8 kHz: rms = peak = 0.25
+    val square = Array.tabulate[Short](1000)(i =>
+      if (i % 2 == 0) 8192 else -8192)
+    val silent = Array.fill[Short](500)(0)
+    val rows = Seq(
+      (1L, wavBytes(8000, square)),
+      (2L, wavBytes(16000, silent)),
+      (3L, "not a wav at all".getBytes)).toDF("id", "content")
+    val got = rows.select(col("id"), Multimodal.decodeWav(col("content")).as("w"))
+      .select(col("id"), col("w.sample_rate"), col("w.n_samples"),
+        col("w.duration_s"), col("w.rms"), col("w.peak"))
+      .as[(Long, Option[Int], Option[Long], Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, rate, n, dur, rms, peak) = got(1L)
+    assert(rate.contains(8000) && n.contains(1000L))
+    assert(math.abs(dur.get - 0.125) < 1e-12)
+    assert(math.abs(rms.get - 0.25) < 1e-9 && math.abs(peak.get - 0.25) < 1e-9)
+    assert(got(2L)._5.contains(0.0))               // silence: rms 0
+    assert(got(3L)._2.isEmpty)                     // malformed → null struct
+  }
+
+  test("decodeBmp: REAL decode — dimensions and channel means, padded rows") {
+    // 3x2 image: left column pure red, rest black → mean_r = 2/6
+    val img = bmpBytes(3, 2, (x, _) => if (x == 0) (255, 0, 0) else (0, 0, 0))
+    val rows = Seq((1L, img), (2L, Array[Byte](1, 2, 3))).toDF("id", "content")
+    val got = rows.select(col("id"), Multimodal.decodeBmp(col("content")).as("b"))
+      .select(col("id"), col("b.width"), col("b.height"),
+        col("b.mean_r"), col("b.mean_g"), col("b.mean_b"))
+      .as[(Long, Option[Int], Option[Int], Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, w, h, mr, mg, mb) = got(1L)
+    assert(w.contains(3) && h.contains(2))
+    assert(math.abs(mr.get - 2.0 / 6.0) < 1e-12)
+    assert(mg.contains(0.0) && mb.contains(0.0))
+    assert(got(2L)._2.isEmpty)                     // malformed → null struct
+  }
 }
