@@ -55,7 +55,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es(1).eval().asInstanceOf[Int])),
     (FunctionIdentifier("cjk_segment"),
       info("cjk_segment", "cjk_segment(text) - dictionary-FMM CJK segmentation"),
-      (es: Seq[Expression]) => Segment(es.head, TextFunctions.defaultCjkDict)))
+      (es: Seq[Expression]) => Segment(es.head, TextFunctions.defaultCjkDict)),
+    (FunctionIdentifier("intersection_size"),
+      info("intersection_size", "intersection_size(a, b) - |A ∩ B| without materializing it"),
+      (es: Seq[Expression]) => IntersectionSize(es(0), es(1))),
+    (FunctionIdentifier("wav_features"),
+      info("wav_features", "wav_features(bin) - RIFF/PCM16 decode: rate, channels, samples, duration, rms, peak"),
+      (es: Seq[Expression]) => WavFeatures(es.head)),
+    (FunctionIdentifier("bmp_features"),
+      info("bmp_features", "bmp_features(bin) - uncompressed 24-bit BMP decode: dims + channel means"),
+      (es: Seq[Expression]) => BmpFeatures(es.head)))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

@@ -36,4 +36,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("ns") == 3)
     assert(row.getAs[scala.collection.Seq[String]]("seg") == Seq("三体", "test"))
   }
+
+  test("set and media kernels callable from spark.sql") {
+    val row = spark.sql(
+      """SELECT intersection_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS i,
+        |  wav_features(CAST('junk' AS BINARY)) AS w,
+        |  bmp_features(CAST('junk' AS BINARY)) AS b""".stripMargin)
+      .collect().head
+    assert(row.getAs[Int]("i") == 2)
+    assert(row.isNullAt(1) && row.isNullAt(2))   // malformed → null, no throw
+  }
 }

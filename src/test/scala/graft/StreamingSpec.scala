@@ -64,4 +64,28 @@ class StreamingSpec extends SparkSuite {
     q.stop()
     assert(got == Set(("10:00", "view", 2L), ("11:00", "click", 1L)))
   }
+
+  test("ST8 streaming: native session_window matches the batch gap semantics") {
+    // the streaming-native form of Sessionize (st8): Spark's session_window
+    // merges events within a 30-minute gap incrementally under a watermark
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val sessions = stream.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), date_format(col("session_window.start"), "HH:mm").as("s"),
+        col("n"))
+    val q = sessions.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    stream.addData(
+      (Timestamp.valueOf("2017-03-03 10:00:00"), 1L),   // session A...
+      (Timestamp.valueOf("2017-03-03 10:20:00"), 1L),   // ...extends A to 10:50
+      (Timestamp.valueOf("2017-03-03 11:30:00"), 1L),   // gap > 30min: session B
+      (Timestamp.valueOf("2017-03-03 10:05:00"), 2L))
+    q.processAllAvailable()
+    val got = spark.table("sess_out").as[(Long, String, Long)].collect().toSet
+    q.stop()
+    assert(got == Set((1L, "10:00", 2L), (1L, "11:30", 1L), (2L, "10:05", 1L)))
+  }
 }
