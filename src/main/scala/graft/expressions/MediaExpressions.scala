@@ -59,6 +59,9 @@ case class WavFeatures(child: Expression)
     while (off + 8 <= b.length && (rate == 0 || dataOff < 0)) {
       val id = tag(b, off)
       val sz = u32(b, off + 4).toInt
+      // corrupt chunk length (negative after truncation) would walk the
+      // cursor backwards into an infinite loop — bail to null instead
+      if (sz < 0) return null
       if (id == "fmt " && off + 8 + 16 <= b.length) {
         val audioFormat = u16(b, off + 8)
         channels = u16(b, off + 10)
@@ -118,7 +121,11 @@ case class BmpFeatures(child: Expression)
     val heightRaw = i32(b, 22)
     val bpp = u16(b, 28)
     val compression = u32(b, 30)
-    if (width <= 0 || heightRaw == 0 || bpp != 24 || compression != 0L)
+    // dimension sanity bound: a forged header with width ~2^30 would
+    // overflow the int stride math into negative offsets and throw from
+    // a task — cap far above any real bitmap and return null instead
+    if (width <= 0 || heightRaw == 0 || bpp != 24 || compression != 0L ||
+        width > (1 << 20) || math.abs(heightRaw) > (1 << 20))
       return null
     val height = math.abs(heightRaw) // negative = top-down row order
     val stride = ((width * 3 + 3) / 4) * 4

@@ -114,6 +114,12 @@ private[io] class RespSubscribeStream(host: String, port: Int, channel: String)
       }
     } catch {
       case _: java.io.IOException if !running.get() => () // closed by stop()
+      case e: java.io.IOException =>
+        // unexpected disconnect: the subscription is gone and pub/sub has
+        // no replay — surface it loudly rather than silently stalling the
+        // stream (the reference's consumer dies and restarts here too)
+        System.err.println(
+          s"[resp-subscribe] connection to $host:$port lost: ${e.getMessage}")
     }
   }, s"resp-subscribe-$host:$port/$channel")
   receiver.setDaemon(true)

@@ -19,8 +19,9 @@ object Sampling {
     * Fractions must sum to ~1; every row lands in exactly one split. */
   def hashSplit(df: DataFrame, idCol: String, seed: Long,
                 fractions: Seq[(String, Double)]): DataFrame = {
-    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
-      s"fractions must sum to 1 (got $fractions)")
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must be positive and sum to 1 (got $fractions)")
     val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(10000L))
     // cumulative upper bounds in buckets-of-1/10000 (rounding to the last
     // split keeps the cover exhaustive)

@@ -147,4 +147,23 @@ class MultimodalSpec extends SparkSuite {
     assert(mg.contains(0.0) && mb.contains(0.0))
     assert(got(2L)._2.isEmpty)                     // malformed → null struct
   }
+
+  test("media decode fuzz: arbitrary and truncated bytes yield null, never throw") {
+    val rnd = new scala.util.Random(42)
+    // random garbage, valid-magic-then-garbage, and truncations of a real
+    // file — a corrupt payload must never kill a 100 TB scan
+    val realWav = wavBytes(8000, Array.fill[Short](100)(123))
+    val cases: Seq[Array[Byte]] =
+      (1 to 30).map(i => Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt.toByte)) ++
+      Seq("RIFF....WAVE".getBytes, "BM".getBytes,
+        realWav.take(20), realWav.take(43),
+        bmpBytes(2, 2, (_, _) => (1, 2, 3)).take(40))
+    val df = cases.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "content")
+    val out = df.select(
+        Multimodal.decodeWav(col("content")).as("w"),
+        Multimodal.decodeBmp(col("content")).as("b"))
+      .collect()   // must not throw
+    assert(out.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
 }
