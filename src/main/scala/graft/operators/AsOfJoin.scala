@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: match each left row to the LATEST right row with the same
+  * key and right.ts <= left.ts (inclusive) — the standard temporal join
+  * (market data, attribution: "which view preceded this purchase").
+  *
+  * Spark-first plan — the union + ordered-window trick, not a range join:
+  * tag both sides, union them, and take `last_value(payload, ignoreNulls)`
+  * over (key ORDER BY ts, side) with right rows sorting before left rows
+  * at equal timestamps. ONE shuffle on the key, no time-bucket explosion,
+  * no per-row range scan — the inequality-join formulation Catalyst would
+  * otherwise plan as a broadcast nested loop (quadratic per key). Scales
+  * as a plain window: partition by key, bounded history per key.
+  */
+object AsOfJoin {
+
+  /** left (keyCols, tsCol, ...) ⟕ right (keyCols, tsCol, payloadCols):
+    * every left row, plus each `payloadCols` value from the latest
+    * right row at-or-before its timestamp (null when none). Right rows
+    * should be unique per (key, ts) — pre-aggregate otherwise (at equal
+    * (key, ts) the window picks one arbitrarily). */
+  def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // union schema: key + ts + side tag + left columns + right payloads
+    val l = left
+      .withColumn("__side", lit(1))
+      .select(keyCols.map(col) ++ Seq(col(tsCol), col("__side")) ++
+        leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+          .map(c => col(c)) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("__side", lit(0))
+      .select(keyCols.map(col) ++ Seq(col(tsCol), col("__side")) ++
+        leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(col): _*)
+    // right rows (side 0) sort before left rows (side 1) at equal ts, so
+    // "at-or-before" is inclusive
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    matched.where(col("__side") === 1).drop("__side")
+  }
+}

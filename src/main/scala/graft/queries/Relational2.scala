@@ -122,6 +122,41 @@ object Relational2 {
         .orderBy("user_id")
     },
 
+    // J12 (engine ext): AS-OF join — each purchase matched to the user's
+    // latest view at-or-before it (attribution). Union + ordered-window
+    // plan: ONE shuffle on the key, no inequality-join nested loop.
+    // Views pre-aggregated per (user, us) so the match is deterministic;
+    // DuckDB's native ASOF JOIN is the oracle.
+    Q("j12_asof_join",
+      """WITH p AS (SELECT user_id, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+        |        max(value) AS view_value
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id,
+        |  CAST((p.us - v.us) // 1000000 AS BIGINT) AS lag_s,
+        |  round(v.view_value, 2) AS view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.us >= v.us
+        |ORDER BY p.user_id, p.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts DIV 1000").as("us"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "event_id", "us")
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "us").agg(max(col("value")).as("view_value"))
+        .withColumn("view_us", col("us"))
+      graft.operators.AsOfJoin.asOf(purchases, views,
+          keyCols = Seq("user_id"), tsCol = "us",
+          payloadCols = Seq("view_value", "view_us"))
+        .select(col("user_id"), col("event_id"),
+          floor((col("us") - col("view_us")) / 1000000L).cast("long").as("lag_s"),
+          round(col("view_value"), 2).as("view_value"))
+        .orderBy("user_id", "event_id")
+    },
+
     // SO: intersect (inherited from Spark; absent in the reference,
     // SURVEY §2.6).
     Q("so4_intersect",

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("asOf: latest right at-or-before, inclusive ties, null when none") {
+    val left = Seq(
+      (1L, 100L, "p1"),   // after right@50 and right@100 → matches ts 100 (inclusive)
+      (1L, 60L, "p2"),    // between 50 and 100 → matches 50
+      (1L, 10L, "p3"),    // before any right row → null
+      (2L, 500L, "p4")    // key with no right rows at all → null
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 50L, 5.0),
+      (1L, 100L, 9.0),
+      (1L, 200L, 7.0)     // later than every left row — never matched
+    ).toDF("k", "ts", "v").withColumn("rts", col("ts"))
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", Seq("v", "rts"))
+      .select("tag", "v", "rts")
+      .as[(String, Option[Double], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("p1") == ((Some(9.0), Some(100L))))  // inclusive at equal ts
+    assert(got("p2") == ((Some(5.0), Some(50L))))
+    assert(got("p3") == ((None, None)))
+    assert(got("p4") == ((None, None)))
+  }
+
+  test("asOf: preserves every left row exactly once with its own columns") {
+    val left = (1 to 40).map(i => (i.toLong % 3, i.toLong * 10, s"row$i"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((0L, 15L, 1.0), (1L, 5L, 2.0)).toDF("k", "ts", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", Seq("v"))
+    assert(out.count() == 40)
+    assert(out.select("tag").distinct().count() == 40)
+  }
+}
