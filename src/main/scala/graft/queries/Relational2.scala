@@ -157,6 +157,29 @@ object Relational2 {
         .orderBy("user_id", "event_id")
     },
 
+    // J13 (engine ext): range join (point-in-interval) via bucketed
+    // equi-join — Catalyst would plan the bare BETWEEN as a broadcast
+    // nested loop; bucketing restores a shuffled equi-join with an exact
+    // post-filter. Oracle is the plain inequality join.
+    Q("j13_range_join",
+      """SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT s_suppkey, s_acctbal AS lo, s_acctbal + 500 AS hi
+        |      FROM supplier WHERE s_suppkey <= 100)
+        |JOIN (SELECT c_acctbal FROM customer WHERE c_custkey <= 500)
+        |  ON c_acctbal BETWEEN lo AND hi
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val intervals = Tables.supplier(s, d).where(col("s_suppkey") <= 100)
+        .select(col("s_suppkey"), col("s_acctbal").as("lo"),
+          (col("s_acctbal") + 500).as("hi"))
+      val points = Tables.customer(s, d).where(col("c_custkey") <= 500)
+        .select(col("c_acctbal"))
+      graft.operators.RangeJoin.pointInInterval(points, intervals,
+          pointCol = "c_acctbal", loCol = "lo", hiCol = "hi",
+          bucketWidth = 500.0)
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n"))
+        .orderBy("s_suppkey")
+    },
+
     // SO: intersect (inherited from Spark; absent in the reference,
     // SURVEY §2.6).
     Q("so4_intersect",
