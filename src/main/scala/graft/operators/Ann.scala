@@ -69,16 +69,17 @@ object Ann {
     // count and the candidate re-attach joins read it instead of
     // re-executing the upstream plan. MEMORY_AND_DISK persist, not
     // localCheckpoint: keeps lineage so executor loss recomputes rather
-    // than failing the job on a real cluster.
+    // than failing the job on a real cluster. Eagerly counted: the final
+    // plan reads it from three subtrees, and racing scans against an
+    // unpopulated cache each recompute the upstream projection.
     val vecs = data.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = vecs.count()
     val nBits =
       if (bits > 0) bits
-      else {
-        val n = vecs.count()
+      else
         math.max(4, math.min(16,
           math.ceil(math.log(math.max(n, 64L) / 8.0) / math.log(2.0)).toInt))
-      }
     val planes = hyperplanes(dim, tables, nBits, seed)
     val sigCols = planes.zipWithIndex.map { case (tablePlanes, t) =>
       val sig = tablePlanes.zipWithIndex.map { case (h, j) =>
@@ -103,9 +104,17 @@ object Ann {
     val scored = cand.withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val ranked = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+    // Cache contract (same as Dedup.minHashLsh): materialize the n*k-sized
+    // result into a persist the CALLER owns, then release the internal
+    // vector cache — repeated calls retain nothing but their returned
+    // handle.
+    val out = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    vecs.unpersist()
+    out
   }
 
   /** IVF-style ANN: sample `nCentroids` seed vectors as coarse centroids,
@@ -175,9 +184,14 @@ object Ann {
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
+    val ranked = cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+    // Same caller-owned-result cache contract as lshTopK.
+    val out = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    vecs.unpersist()
+    out
   }
 
   /** Nearest `nCells` centroid ids per vector via broadcast centroid join;

@@ -9,8 +9,8 @@ object TimeOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.tail.foreach { n =>
-      spark.catalog.clearCache() // mirror Bench: queries are self-contained
       (1 to 3).foreach { i =>
+        spark.catalog.clearCache() // mirror Bench: cold cache, warm JVM
         System.gc() // let ContextCleaner drop prior runs' cached blocks
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, args.head).count()
