@@ -22,31 +22,42 @@ object AsOfJoin {
     * every left row, plus each `payloadCols` value from the latest
     * right row at-or-before its timestamp (null when none). Right rows
     * should be unique per (key, ts) — pre-aggregate otherwise (at equal
-    * (key, ts) the window picks one arbitrarily). */
+    * (key, ts) the window picks one arbitrarily).
+    *
+    * Payloads ride the window as ONE struct, not per-column `last(...,
+    * ignoreNulls)`: the struct is non-null exactly when a right row
+    * exists, so a matched right row whose payload VALUE is null yields
+    * null (true as-of semantics) instead of falling through to an older
+    * right row's value. */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            tsCol: String, payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    // union schema: key + ts + side tag + left columns + right payloads
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c).copy(name = c)))
+    // union schema: key + ts + side tag + left columns + payload struct
     val l = left
       .withColumn("__side", lit(1))
       .select(keyCols.map(col) ++ Seq(col(tsCol), col("__side")) ++
         leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
-          .map(c => col(c)) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+          .map(c => col(c)) :+
+        lit(null).cast(payloadType).as("__p"): _*)
     val r = right
       .withColumn("__side", lit(0))
       .select(keyCols.map(col) ++ Seq(col(tsCol), col("__side")) ++
         leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(col): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map(col): _*).as("__p"): _*)
     // right rows (side 0) sort before left rows (side 1) at equal ts, so
     // "at-or-before" is inclusive
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    matched.where(col("__side") === 1).drop("__side")
+    val matched = l.unionByName(r)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    val outCols =
+      keyCols.map(col) ++ Seq(col(tsCol)) ++
+        leftCols.filterNot(c => keyCols.contains(c) || c == tsCol).map(col) ++
+        payloadCols.map(c => col("__p").getField(c).as(c))
+    matched.where(col("__side") === 1).select(outCols: _*)
   }
 }

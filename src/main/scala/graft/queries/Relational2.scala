@@ -157,6 +157,45 @@ object Relational2 {
         .orderBy("user_id", "event_id")
     },
 
+    // J12b: AS-OF with genuinely-NULL right payloads — a matched view row
+    // whose value is nulled out must surface NULL (the match), not an older
+    // view's value. Distinguishes true ASOF semantics from per-column
+    // last(ignoreNulls) fallthrough; view_us stays non-null on every match
+    // as the witness that the row matched.
+    Q("j12b_asof_null_payload",
+      """WITH p AS (SELECT user_id, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+        |        CASE WHEN max(value) < 30 THEN NULL ELSE max(value) END
+        |          AS view_value
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id,
+        |  CAST((p.us - v.us) // 1000000 AS BIGINT) AS lag_s,
+        |  round(v.view_value, 2) AS view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.us >= v.us
+        |ORDER BY p.user_id, p.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts DIV 1000").as("us"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "event_id", "us")
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "us").agg(max(col("value")).as("mv"))
+        .select(col("user_id"), col("us"),
+          when(col("mv") < 30, lit(null).cast("double"))
+            .otherwise(col("mv")).as("view_value"),
+          col("us").as("view_us"))
+      graft.operators.AsOfJoin.asOf(purchases, views,
+          keyCols = Seq("user_id"), tsCol = "us",
+          payloadCols = Seq("view_value", "view_us"))
+        .select(col("user_id"), col("event_id"),
+          floor((col("us") - col("view_us")) / 1000000L).cast("long").as("lag_s"),
+          round(col("view_value"), 2).as("view_value"))
+        .orderBy("user_id", "event_id")
+    },
+
     // J13 (engine ext): range join (point-in-interval) via bucketed
     // equi-join — Catalyst would plan the bare BETWEEN as a broadcast
     // nested loop; bucketing restores a shuffled equi-join with an exact

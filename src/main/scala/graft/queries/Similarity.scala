@@ -127,6 +127,38 @@ object Similarity {
         .select(col("doc_id")).orderBy("doc_id")
     },
 
+    // d5's hash-matched little sibling: end-to-end corpus dedup on a
+    // bounded sub-corpus, checked against DuckDB computing the SAME
+    // survivor set from first principles — exact all-pairs jaccard >= 0.8,
+    // connected components via recursive CTE, min-id survivor per
+    // component. High-recall banding (24 x 4: P(miss) ≈ 3e-6 per true pair,
+    // and deterministic given the fixed hash seeds) makes the LSH pair set
+    // equal the exact pair set here, so the survivor sets hash-match.
+    Q("d5b_dedup_corpus_exact",
+      """WITH RECURSIVE
+        |s AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 2, 1) + 1),
+        |      i -> t[i:i+2])) AS sh
+        |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |        FROM documents WHERE doc_id < 400)),
+        |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |      FROM s a, s b WHERE a.doc_id < b.doc_id
+        |        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |cc AS (
+        |  SELECT a AS id, a AS reach FROM edges
+        |  UNION
+        |  SELECT cc.id, edges.b AS reach FROM cc JOIN edges ON cc.reach = edges.a),
+        |losers AS (SELECT id FROM cc GROUP BY id HAVING min(reach) <> id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.dedupCorpus(Tables.documents(s, d).where(col("doc_id") < 400),
+          "doc_id", "text", bands = 24, rows = 4, minJaccard = 0.8)
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+
     // SimHash near-dup pairs (64-bit, chunk blocking, hamming <= 12).
     Q.rowsOnly("d4_simhash") { (s, d) =>
       Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 12)

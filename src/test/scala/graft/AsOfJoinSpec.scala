@@ -28,6 +28,23 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got("p4") == ((None, None)))
   }
 
+  test("asOf: a matched right row with a NULL payload yields null, not an older value") {
+    val left = Seq(
+      (1L, 100L, "after-null"),   // latest right at-or-before is ts=90 (v=null)
+      (1L, 60L, "after-value")    // latest is ts=50 (v=5.0)
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 50L, Some(5.0)),
+      (1L, 90L, None: Option[Double])   // real right row, genuinely null payload
+    ).toDF("k", "ts", "v")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", Seq("v"))
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    // DuckDB ASOF semantics: the ts=90 row IS the match; its null payload
+    // must come through, not be skipped in favor of ts=50's 5.0
+    assert(got("after-null").isEmpty, s"null payload was skipped: $got")
+    assert(got("after-value").contains(5.0))
+  }
+
   test("asOf: preserves every left row exactly once with its own columns") {
     val left = (1 to 40).map(i => (i.toLong % 3, i.toLong * 10, s"row$i"))
       .toDF("k", "ts", "tag")
