@@ -56,6 +56,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier("cjk_segment"),
       info("cjk_segment", "cjk_segment(text) - dictionary-FMM CJK segmentation"),
       (es: Seq[Expression]) => Segment(es.head, TextFunctions.defaultCjkDict)),
+    (FunctionIdentifier("cjk_segment_dict"),
+      info("cjk_segment_dict",
+        "cjk_segment_dict(text, dictName) - FMM segmentation with a broadcast dictionary pre-registered via TextFunctions.SegmentDicts.register"),
+      (es: Seq[Expression]) => {
+        val name = Option(es(1).eval())
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+          .getOrElse(throw new IllegalArgumentException(
+            "cjk_segment_dict: dictName must be a non-null string literal"))
+        SegmentDict(es.head, TextFunctions.SegmentDicts.get(name))
+      }),
     (FunctionIdentifier("intersection_size"),
       info("intersection_size", "intersection_size(a, b) - |A ∩ B| without materializing it"),
       (es: Seq[Expression]) => IntersectionSize(es(0), es(1))),

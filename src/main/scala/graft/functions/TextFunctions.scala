@@ -133,6 +133,36 @@ object TextFunctions {
     column(graft.expressions.SegmentDict(expression(text), bc))
   }
 
+  /** Named broadcast dictionaries, so `spark.sql` users can reach the
+    * corpus-scale segmenter: register once on the driver, then reference
+    * by name — `cjk_segment_dict(text, 'name')`. The SQL builder resolves
+    * the name at PLAN time to the broadcast handle, so the query ships
+    * only the handle (same task-size property as [[segmentBroadcast]]).
+    * Keyed per JVM: on a cluster, registration and planning both happen on
+    * the driver. */
+  object SegmentDicts {
+    private val dicts = new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.broadcast.Broadcast[Array[String]]]()
+
+    def register(spark: org.apache.spark.sql.SparkSession, name: String,
+                 words: Seq[String]): Unit =
+      dicts.put(name, spark.sparkContext.broadcast(words.toArray))
+
+    /** Release the broadcast blocks and forget the name. */
+    def unregister(name: String): Unit = {
+      val bc = dicts.remove(name)
+      if (bc != null) bc.unpersist()
+    }
+
+    def get(name: String): org.apache.spark.broadcast.Broadcast[Array[String]] = {
+      val bc = dicts.get(name)
+      require(bc != null,
+        s"no segmentation dictionary registered as '$name' — call " +
+          "TextFunctions.SegmentDicts.register(spark, name, words) first")
+      bc
+    }
+  }
+
   /** Compact CJK lexicon for the bundled segmenter (book-domain words the
     * fixtures and reference data use; production callers pass their own). */
   val defaultCjkDict: Seq[String] = Seq(

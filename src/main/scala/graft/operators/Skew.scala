@@ -18,13 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Row-content salt in [0, salts): deterministic (reproducible runs,
-    * unlike rand()), spreading a hot key's rows by the hash of the FULL
-    * row. Caveat: diversity comes from row content — keep at least one
-    * non-key column in the frame, or identical rows share a salt and the
-    * hot key stays hot. */
-  private def salt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong))
+  /** Row-content salt in [0, salts): hash of the full row MIXED WITH a
+    * per-row monotonic id, so even bit-identical duplicate rows (a hot key
+    * with no distinguishing payload — the worst skew case) spread across
+    * salts instead of piling onto one reducer. Safe despite the id's
+    * formal nondeterminism: both operators' RESULTS are invariant to the
+    * salt assignment (the salt only picks which reducer a row visits), so
+    * a task retry that re-salts differently still recombines to the same
+    * answer — asserted by the a15/j11 oracle queries. */
+  private[graft] def salt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col) :+ monotonically_increasing_id(): _*),
+      lit(salts.toLong))
 
   /** Two-phase salted sum: partial-aggregate on (keys, salt) — ≤ salts
     * rows per hot key reach any one reducer — then final-aggregate on

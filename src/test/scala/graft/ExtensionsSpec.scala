@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SQL-surface access to the native kernels via SparkSessionExtensions. */
@@ -35,6 +36,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("c") == 0.0)
     assert(row.getAs[Int]("ns") == 3)
     assert(row.getAs[scala.collection.Seq[String]]("seg") == Seq("三体", "test"))
+  }
+
+  test("cjk_segment_dict: corpus-scale broadcast dictionary reachable from SQL") {
+    import spark.implicits._
+    // >10k-word lexicon: SQL form must match the function-API broadcast
+    // form exactly (same kernel, same broadcast shipping)
+    val bigDict = graft.functions.TextFunctions.defaultCjkDict ++
+      (0 until 12000).map(i => s"词$i")
+    assert(bigDict.size > 10000)
+    graft.functions.TextFunctions.SegmentDicts.register(spark, "big", bigDict)
+    try {
+      val texts = Seq("三体黑暗森林与activity小王子123 测试x",
+        "词11999在词典里词99999不在", "战争与和平 百年孤独").toDF("t")
+      texts.createOrReplaceTempView("seg_in")
+      val viaSql = spark.sql("SELECT cjk_segment_dict(t, 'big') AS s FROM seg_in")
+        .as[Seq[String]].collect().toSeq
+      implicit val s = spark
+      val viaApi = texts.select(
+          graft.functions.TextFunctions.segmentBroadcast(col("t"), bigDict))
+        .as[Seq[String]].collect().toSeq
+      assert(viaSql == viaApi)
+      assert(viaSql(1).contains("词11999") && !viaSql(1).contains("词99999"))
+      // unknown name fails with a actionable message at plan time
+      val err = intercept[Exception] {
+        spark.sql("SELECT cjk_segment_dict(t, 'nope') FROM seg_in").collect()
+      }
+      assert(err.getMessage.contains("no segmentation dictionary"))
+    } finally graft.functions.TextFunctions.SegmentDicts.unregister("big")
   }
 
   test("set and media kernels callable from spark.sql") {

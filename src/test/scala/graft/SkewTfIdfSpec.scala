@@ -43,6 +43,25 @@ class SkewTfIdfSpec extends SparkSuite {
     assert(got == exp)
   }
 
+  test("duplicate fact rows spread across salts and still join/sum correctly") {
+    // the worst skew case: a hot key whose rows are BIT-IDENTICAL — a
+    // content-only salt would put them all on one reducer; the monotonic
+    // mix-in must spread them while leaving results exactly unsalted-equal
+    val dup = Seq.fill(512)(("hot", 1.0)).toDF("k", "v")
+    val used = dup.select(Skew.salt(dup, 8).as("s")).distinct().count()
+    assert(used >= 6, s"identical rows used only $used of 8 salts")
+
+    val gotSum = Skew.saltedSum(dup, Seq("k"), "v", out = "s", salts = 8)
+      .as[(String, Double)].collect().toMap
+    assert(gotSum == Map("hot" -> 512.0))
+
+    val fact = Seq.fill(300)((7L, "same")).toDF("key", "payload")
+    val dim = Seq((7L, "name7")).toDF("key", "name")
+    val got = Skew.saltedJoin(fact, dim, "key", salts = 4)
+    assert(got.count() == 300)
+    assert(got.select("name").distinct().as[String].collect().toSeq == Seq("name7"))
+  }
+
   test("tfidf matches the smoothed formula on a hand-checked corpus") {
     // 3 docs; "a" in all 3, "b" in 1 (twice), "c" in 2
     val docs = Seq(
