@@ -206,3 +206,36 @@ case class ShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Membership hit-count against a BROADCAST sorted long-array set: counts
+  * how many elements of an `array<long>` input are present in the set
+  * (binary search — 8 bytes per entry, no boxing, no hash-table load
+  * factor). This is the corpus side of benchmark decontamination: a pure
+  * projection over the scan — no explode, no join, no shuffle — with the
+  * benchmark n-gram set shipped to each executor ONCE via torrent
+  * broadcast, so task size is independent of benchmark size. The array
+  * MUST be sorted (the operator entry point sorts before broadcasting). */
+case class BroadcastSetHits(child: Expression,
+    setBc: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val sorted: Array[Long] = setBc.value
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    var hits = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

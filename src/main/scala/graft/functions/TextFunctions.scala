@@ -163,6 +163,36 @@ object TextFunctions {
     }
   }
 
+  /** PII redaction for training corpora: emails, URLs, IPv4 addresses and
+    * long digit runs (phones/ids) replaced by typed placeholders. Applied
+    * in containment order — URL first (it can embed emails, IPs and
+    * digits), then email, then IP, then digit runs — and the placeholders
+    * contain no digits or '@', so one rule's output can't re-trigger
+    * another. Patterns are RE2-compatible (no lookarounds/backrefs): the
+    * SAME strings run under Java regex here and RE2 in the DuckDB oracle.
+    * A codegen'd `regexp_replace` chain — one projection, no UDF. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^ \\t\\r\\n]+"
+  val ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val longDigitsRe = "[0-9]{7,}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, urlRe, "<URL>"),
+          emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      longDigitsRe, "<NUM>")
+
+  /** Pre-redaction PII hit counts (audit surface: find documents worth
+    * redacting, measure PII density per source). */
+  def piiCounts(text: Column): Column =
+    struct(
+      regexp_count(text, lit(urlRe)).as("n_url"),
+      regexp_count(text, lit(emailRe)).as("n_email"),
+      regexp_count(text, lit(ipv4Re)).as("n_ip"))
+
   /** Compact CJK lexicon for the bundled segmenter (book-domain words the
     * fixtures and reference data use; production callers pass their own). */
   val defaultCjkDict: Seq[String] = Seq(

@@ -33,4 +33,48 @@ object Sampling {
       }
     df.withColumn("split", expr)
   }
+
+  /** Deterministic per-stratum downsampling: a row survives iff its
+    * id-hash bucket falls under its stratum's keep-fraction. Same
+    * membership properties as [[hashSplit]] — a pure function of
+    * (id, seed), stable across runs, clusters and repartitions — and a
+    * pure projection+filter over the scan: no shuffle, no sampling state.
+    * Strata absent from `fractions` keep `defaultFraction` of their rows. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       seed: Long, fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0, 1] (got $fractions, default $defaultFraction)")
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(10000L))
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    df.where(bucket < frac * lit(10000.0))
+  }
+
+  /** Domain mixing: downsample strata so the output approaches the target
+    * composition (e.g. 60% web / 30% books / 10% code) at the LARGEST
+    * feasible size — the binding stratum (the one whose availability runs
+    * out first at the target ratio) is kept whole and every other stratum
+    * is hash-downsampled pro rata. One count() action over the strata
+    * (#domains rows to the driver — bounded), then a pure filter; strata
+    * not named in `targets` are dropped. Bucket granularity is 1/10000, so
+    * achieved proportions track targets to ~0.01% of each stratum. */
+  def domainMix(df: DataFrame, stratumCol: String, idCol: String, seed: Long,
+                targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      s"targets must be positive (got $targets)")
+    val z = targets.values.sum
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    targets.keys.foreach(k => require(counts.contains(k),
+      s"target stratum '$k' absent from the data (have ${counts.keys.toSeq.sorted})"))
+    // largest total T with composition `targets`: the binding stratum s*
+    // has n_{s*} = T * t_{s*}, every other stratum keeps T * t_s <= n_s
+    val total = targets.map { case (k, t) => counts(k) * z / t }.min
+    val fracs = targets.map { case (k, t) =>
+      k -> math.min(1.0, total * (t / z) / counts(k))
+    }
+    stratifiedSample(df, stratumCol, idCol, seed, fracs, defaultFraction = 0.0)
+  }
 }

@@ -159,6 +159,64 @@ object Similarity {
         .select(col("doc_id")).orderBy("doc_id")
     },
 
+    // Benchmark decontamination (training-data guard against test-set
+    // leakage): docs >= 450 stand in for the held-out eval set, docs < 450
+    // are the corpus; a corpus doc sharing >= 3 distinct 20-char n-grams
+    // with ANY benchmark doc is contaminated. Spark side is the broadcast-
+    // set scan kernel (no explode/join/shuffle on the corpus side); oracle
+    // recomputes with string n-grams — hash-collision-exact to ~2^-64.
+    Q("dc1_decontaminate",
+      """WITH norm AS (SELECT doc_id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 19, 1) + 1),
+        |      i -> t[i:i+19])) AS sh FROM norm),
+        |b AS (SELECT DISTINCT unnest(sh) AS g FROM s
+        |     WHERE doc_id >= 450 AND doc_id < 500),
+        |c2 AS (SELECT doc_id, unnest(sh) AS g FROM s
+        |      WHERE doc_id < 450 OR doc_id >= 500),
+        |h AS (SELECT doc_id, count(*) AS hits FROM c2 JOIN b USING (g)
+        |      GROUP BY doc_id)
+        |SELECT doc_id FROM documents
+        |WHERE (doc_id < 450 OR doc_id >= 500)
+        |  AND doc_id NOT IN (SELECT doc_id FROM h WHERE hits >= 3)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Decontaminate.decontaminate(
+          docs.where(col("doc_id") < 450 || col("doc_id") >= 500),
+          docs.where(col("doc_id") >= 450 && col("doc_id") < 500),
+          "text", n = 20, minHits = 3)
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+
+    // The audit form: per-document overlap hit counts for contaminated
+    // docs (inspect the overlap distribution before choosing the cut).
+    Q("dc2_overlap_hits",
+      """WITH norm AS (SELECT doc_id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 19, 1) + 1),
+        |      i -> t[i:i+19])) AS sh FROM norm),
+        |b AS (SELECT DISTINCT unnest(sh) AS g FROM s
+        |     WHERE doc_id >= 450 AND doc_id < 500),
+        |c2 AS (SELECT doc_id, unnest(sh) AS g FROM s
+        |      WHERE doc_id < 450 OR doc_id >= 500),
+        |h AS (SELECT doc_id, count(*) AS hits FROM c2 JOIN b USING (g)
+        |      GROUP BY doc_id)
+        |SELECT doc_id, CAST(hits AS BIGINT) AS hits FROM h WHERE hits >= 3
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Decontaminate.withHits(
+          docs.where(col("doc_id") < 450 || col("doc_id") >= 500),
+          docs.where(col("doc_id") >= 450 && col("doc_id") < 500),
+          "text", n = 20)
+        .where(col("overlap_hits") >= 3)
+        .select(col("doc_id"), col("overlap_hits").cast("long").as("hits"))
+        .orderBy("doc_id")
+    },
+
     // SimHash near-dup pairs (64-bit, chunk blocking, hamming <= 12).
     Q.rowsOnly("d4_simhash") { (s, d) =>
       Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 12)

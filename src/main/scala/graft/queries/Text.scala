@@ -209,6 +209,20 @@ object Text {
         .orderBy("split", "lang")
     },
 
+    // Domain mixing to a target composition (the training-mix step):
+    // downsample each source deterministically so the output approaches
+    // 40/30/20/10 across the four document sources at the largest feasible
+    // size. Engine hashing → rows-only; composition + determinism +
+    // binding-stratum maximality asserted in SessionizeSamplingSpec.
+    Q.rowsOnly("s13_domain_mix") { (s, d) =>
+      graft.operators.Sampling.domainMix(
+          Tables.documents(s, d), "source", "doc_id", seed = 7L,
+          targets = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+            "src3" -> 0.1))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    },
+
     // Sequence packing (2048-token windows, 8 parallel buckets): the
     // pre-tokenization layout step of an LLM training pipeline. Window
     // cumsum per bucket — parallel by construction; a global-order cumsum
@@ -301,6 +315,44 @@ object Text {
           countDistinct(col("bucket"), col("pack_id")).as("n_packs"),
           sum(col("n_tokens")).as("n_tokens"))
         .orderBy("split")
+    },
+
+    // PII redaction (training-data scrubbing): emails / URLs / IPv4s /
+    // long digit runs → typed placeholders. The PII is constructed
+    // deterministically from doc_id so every row exercises every rule;
+    // patterns are RE2-compatible, so the SAME regex strings run under
+    // Java regex (Spark) and RE2 (DuckDB oracle).
+    Q("t10_redact_pii",
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id
+        |      || '@mail.example.com or see https://site' || doc_id
+        |      || '.example.org/a?b=1 from 10.1.' || (doc_id % 256)
+        |      || '.42 ref 99' || doc_id || '00123' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    'https?://[^ \t\r\n]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^ \t\r\n]+')) AS BIGINT) AS n_url,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val id = col("doc_id").cast("string")
+      val t = concat(col("text"),
+        lit(" contact user"), id, lit("@mail.example.com or see https://site"),
+        id, lit(".example.org/a?b=1 from 10.1."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".42 ref 99"), id, lit("00123"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          redactPii(col("t")).as("redacted"),
+          piiCounts(col("t")).getField("n_url").cast("long").as("n_url"),
+          piiCounts(col("t")).getField("n_email").cast("long").as("n_email"),
+          piiCounts(col("t")).getField("n_ip").cast("long").as("n_ip"))
+        .orderBy("doc_id")
     },
 
     // P8/F8: token filters — length >= 2, not all-digits

@@ -126,6 +126,27 @@ class TextFunctionsSpec extends SparkSuite {
     assert(!bc(1).contains("词99999"))
   }
 
+  test("redactPii: typed placeholders, containment order, counts") {
+    val got = Seq(
+      "mail a.b+c@x-1.co.uk now",
+      "go to https://u:p@host.com/a?q=1&r=2 please",   // email-like inside URL
+      "server 192.168.0.1 port",
+      "call 12345678901 ref 999999",                    // 6 digits stays
+      "clean text stays clean"
+    ).toDF("t").select(TextFunctions.redactPii(col("t"))).as[String].collect()
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "go to <URL> please", s"URL must win containment: ${got(1)}")
+    assert(got(2) == "server <IP> port")
+    assert(got(3) == "call <NUM> ref 999999")
+    assert(got(4) == "clean text stays clean")
+
+    val c = Seq("x@y.io and http://a.b plus 10.0.0.1 and 10.0.0.2")
+      .toDF("t").select(TextFunctions.piiCounts(col("t")).as("c"))
+      .select("c.n_url", "c.n_email", "c.n_ip")
+      .as[(Int, Int, Int)].collect().head
+    assert(c == ((1, 1, 2)))
+  }
+
   test("langId: script + marker heuristics") {
     val got = Seq("the cat is on the mat and it is happy",
       "el gato que está en la casa y los perros",

@@ -60,6 +60,54 @@ class SessionizeSamplingSpec extends SparkSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("stratifiedSample: per-stratum fractions, default keeps unnamed strata") {
+    val df = (0 until 4000).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
+    val got = Sampling.stratifiedSample(df, "src", "id", seed = 3L,
+        fractions = Map("s0" -> 0.5, "s1" -> 0.1, "s2" -> 0.0))
+      .groupBy("src").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(got("s0") - 500) < 80, s"s0: $got")
+    assert(math.abs(got("s1") - 100) < 50, s"s1: $got")
+    assert(!got.contains("s2"))
+    assert(got("s3") == 1000)   // defaultFraction = 1.0 keeps all
+  }
+
+  test("domainMix: composition tracks targets, binding stratum kept whole") {
+    // availability 1000/1000/1000/200 with targets 40/30/20/10 → src3 is
+    // NOT binding (200 >= 0.1*T for T<=2000); src0 binds at T=2500 > data?
+    // T = min(n_s/t_s) = min(2500, 3333, 5000, 2000) = 2000: src3 whole
+    val df = ((0 until 1000).map(i => (i.toLong, "a")) ++
+      (10000 until 11000).map(i => (i.toLong, "b")) ++
+      (20000 until 21000).map(i => (i.toLong, "c")) ++
+      (30000 until 30200).map(i => (i.toLong, "d"))).toDF("id", "src")
+    val got = Sampling.domainMix(df, "src", "id", seed = 9L,
+        targets = Map("a" -> 0.4, "b" -> 0.3, "c" -> 0.2, "d" -> 0.1))
+      .groupBy("src").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // binding stratum d (n=200, target 10% → T=2000) survives whole
+    assert(got("d") == 200, s"binding stratum downsampled: $got")
+    // others track T * target within hash-bucket noise
+    assert(math.abs(got("a") - 800) < 120, s"a: $got")
+    assert(math.abs(got("b") - 600) < 110, s"b: $got")
+    assert(math.abs(got("c") - 400) < 100, s"c: $got")
+    // membership is deterministic: same call, same survivors
+    val again = Sampling.domainMix(df, "src", "id", seed = 9L,
+        targets = Map("a" -> 0.4, "b" -> 0.3, "c" -> 0.2, "d" -> 0.1))
+      .select("id").as[Long].collect().toSet
+    val first = Sampling.domainMix(df.repartition(13), "src", "id", seed = 9L,
+        targets = Map("a" -> 0.4, "b" -> 0.3, "c" -> 0.2, "d" -> 0.1))
+      .select("id").as[Long].collect().toSet
+    assert(again == first, "membership must not depend on partitioning")
+  }
+
+  test("domainMix: unknown target stratum fails fast") {
+    val df = Seq((1L, "a")).toDF("id", "src")
+    val err = intercept[IllegalArgumentException] {
+      Sampling.domainMix(df, "src", "id", 1L, Map("a" -> 0.5, "zz" -> 0.5))
+    }
+    assert(err.getMessage.contains("zz"))
+  }
+
   test("hashSplit: membership is a pure function of (id, seed)") {
     val ids = (1L to 500L).toDF("id")
     def assign(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
