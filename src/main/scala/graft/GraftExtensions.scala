@@ -66,6 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "cjk_segment_dict: dictName must be a non-null string literal"))
         SegmentDict(es.head, TextFunctions.SegmentDicts.get(name))
       }),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode canonical composition (NFC)"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)),
     (FunctionIdentifier("intersection_size"),
       info("intersection_size", "intersection_size(a, b) - |A ∩ B| without materializing it"),
       (es: Seq[Expression]) => IntersectionSize(es(0), es(1))),

@@ -239,3 +239,55 @@ case class BroadcastSetHits(child: Expression,
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Unicode NFC normalization (canonical composition) — the first step of
+  * corpus text cleaning (ftfy-style): decomposed accent sequences
+  * (e + U+0301) compose to their canonical form (é) so downstream hashing,
+  * dedup and tokenization see one representation. JDK Normalizer implements
+  * the published Unicode algorithm, so results match any conformant
+  * implementation (the DuckDB oracle uses utf8proc). */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // fast path: already-NFC text (the overwhelming majority) costs one
+    // quick-check scan, no allocation
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Bloom-filter membership against a BROADCAST
+  * `org.apache.spark.util.sketch.BloomFilter` (the sketch
+  * `DataFrameStatFunctions.bloomFilter` builds). Long/int keys probe via
+  * `mightContainLong`, strings via their UTF-8 bytes — both matching what
+  * the builder inserted. False positives possible (callers must re-check
+  * exactly), false negatives impossible. */
+case class BloomMightContain(child: Expression,
+    bfBc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val bf = bfBc.value
+
+  override def nullSafeEval(input: Any): Any = input match {
+    case l: java.lang.Long    => bf.mightContainLong(l)
+    case i: java.lang.Integer => bf.mightContainLong(i.toLong)
+    case s: UTF8String        => bf.mightContainBinary(s.getBytes)
+    case other => throw new IllegalArgumentException(
+      s"bloom_might_contain supports long/int/string keys, got ${other.getClass}")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -163,6 +163,21 @@ object TextFunctions {
     }
   }
 
+  /** Unicode NFC normalization ([[graft.expressions.NfcNormalize]]):
+    * canonical composition so decomposed accent sequences collapse to one
+    * representation before hashing/dedup/tokenization. */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expressions.NfcNormalize(expression(text)))
+  }
+
+  /** Corpus text cleaning: NFC normalize, then strip C0 control characters
+    * (keeping tab/newline/CR — they carry document structure). The regex is
+    * RE2-compatible so the identical pattern runs in the DuckDB oracle. */
+  val controlCharsRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  def cleanText(text: Column): Column =
+    regexp_replace(nfc(text), controlCharsRe, "")
+
   /** PII redaction for training corpora: emails, URLs, IPv4 addresses and
     * long digit runs (phones/ids) replaced by typed placeholders. Applied
     * in containment order — URL first (it can embed emails, IPs and

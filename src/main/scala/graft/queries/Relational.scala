@@ -334,6 +334,24 @@ object Relational {
         .orderBy("p_brand", "p_type")
     },
 
+    // Bloom-pruned anti-join (100 TB id exclusion): customers with no
+    // orders, but the big side probes a broadcast Bloom filter first so
+    // definite non-members never enter the shuffle — only possible members
+    // (true ∪ ~fpp) take the exact anti-join. Result is EXACTLY the plain
+    // anti-join (false negatives impossible), which the oracle states.
+    Q("so5_bloom_anti_join",
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      graft.operators.BloomPrune.antiJoin(
+          Tables.customer(s, d).select("c_custkey"),
+          Tables.orders(s, d).where(col("o_totalprice") > 350000)
+            .select(col("o_custkey").as("c_custkey")),
+          "c_custkey", expectedItems = 1L << 16)
+        .orderBy("c_custkey")
+    },
+
     // Flagship-style grouped pricing summary (A-family smoke: multi-agg,
     // avg, partial aggregation).
     Q("q1_pricing_summary",

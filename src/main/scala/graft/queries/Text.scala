@@ -355,6 +355,26 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Text cleaning: NFC canonical composition + C0 control-char strip.
+    // Decomposed accents (e + U+0301) and a BEL are appended from chr()
+    // so every row exercises both rules; JDK Normalizer (Spark) and
+    // utf8proc (DuckDB) implement the same published algorithm.
+    Q("t11_clean_text",
+      """SELECT doc_id,
+        |  regexp_replace(nfc_normalize(
+        |      text || ' cafe' || chr(769) || ' x' || chr(7) || 'y'),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS cleaned
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // NOTE: Spark's chr() is mod-256 (ASCII-only) — the combining acute
+      // and BEL must be string literals on this side; DuckDB's chr() is a
+      // real codepoint constructor, so the SQL uses chr(769)/chr(7).
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          cleanText(concat(col("text"), lit(" café"),
+            lit(" xy"))).as("cleaned"))
+        .orderBy("doc_id")
+    },
+
     // P8/F8: token filters — length >= 2, not all-digits
     // (simility_books.py:11-15).
     Q("p8_token_filter",

@@ -126,6 +126,18 @@ class TextFunctionsSpec extends SparkSuite {
     assert(!bc(1).contains("词99999"))
   }
 
+  test("cleanText: NFC composition + control strip, structure kept") {
+    val decomposed = "cafe\u0301"          // e + combining acute U+0301
+    val got = Seq(s"ab\u0007c $decomposed\tkeep\nlines\r")
+      .toDF("t").select(TextFunctions.cleanText(col("t")))
+      .as[String].collect().head
+    assert(got == "abc caf\u00e9\tkeep\nlines\r")   // BEL gone, e-acute composed
+    // idempotent on already-clean text (NFC fast path returns input as-is)
+    val clean = "plain ascii text"
+    assert(Seq(clean).toDF("t").select(TextFunctions.cleanText(col("t")))
+      .as[String].collect().head == clean)
+  }
+
   test("redactPii: typed placeholders, containment order, counts") {
     val got = Seq(
       "mail a.b+c@x-1.co.uk now",

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.operators.{Dedup, TopK, Weighting}
+import graft.operators.{AsOfJoin, Dedup, RangeJoin, TopK, Weighting}
 import graft.functions.TextFunctions
 
 /** Property-based invariants (SURVEY §5.4), driven by raw scalacheck
@@ -91,6 +91,54 @@ class PropertySpecs extends SparkSuite {
       val got = Resp.readValue(in)
       assert(got == Resp.Arr(args.map(a => Resp.Bulk(Some(a)))),
         s"round-trip failed for $args")
+    }
+  }
+
+  test("J12 property: asOf equals the brute-force latest-at-or-before match") {
+    // random (key, ts) event sets with duplicate timestamps and sparse
+    // keys — asOf must agree with the quadratic reference on every row
+    val evGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 30L)))
+    } yield rows
+    samples(Gen.zip(evGen, evGen), 8).foreach { case (lRows, rRowsRaw) =>
+      // right unique per (key, ts): asOf's documented precondition
+      val rRows = rRowsRaw.distinct.map { case (k, ts) => (k, ts, k * 100 + ts) }
+      val left = lRows.toDF("k", "ts")
+      val right = rRows.toDF("k", "ts", "v")
+      val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", Seq("v"))
+        .select("k", "ts", "v").as[(Long, Long, Option[Long])]
+        .collect().sorted.toSeq
+      val exp = lRows.map { case (k, ts) =>
+        val m = rRows.filter(r => r._1 == k && r._2 <= ts)
+        (k, ts, m.sortBy(_._2).lastOption.map(_._3))
+      }.sorted.toSeq
+      assert(got == exp, s"left=$lRows right=$rRows")
+    }
+  }
+
+  test("J13 property: bucketed range join equals the brute-force BETWEEN join") {
+    val ptsGen: Gen[List[(Long, Double)]] = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 999L), Gen.choose(0.0, 50.0)))
+    } yield rows
+    val ivGen: Gen[List[(Long, Double, Double)]] = for {
+      n <- Gen.choose(1, 10)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 99L),
+        Gen.choose(0.0, 45.0), Gen.choose(0.0, 12.0)))
+    } yield rows.map { case (id, lo, span) => (id, lo, lo + span) }
+    samples(Gen.zip(ptsGen, ivGen), 8).foreach { case (pts, ivs) =>
+      val p = pts.toDF("pid", "x")
+      val i = ivs.toDF("iid", "lo", "hi")
+      val got = RangeJoin.pointInInterval(p, i, "x", "lo", "hi",
+          bucketWidth = 5.0)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      val exp = (for {
+        (pid, x) <- pts
+        (iid, lo, hi) <- ivs
+        if x >= lo && x <= hi
+      } yield (pid, iid)).sorted.toSeq
+      assert(got == exp, s"pts=$pts ivs=$ivs")
     }
   }
 
