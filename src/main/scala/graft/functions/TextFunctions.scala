@@ -67,7 +67,11 @@ object TextFunctions {
   /** Quality score in [0,1]: blends mean-word-length sanity, alpha ratio and
     * stopword presence — the standard cheap heuristics a pretraining
     * pipeline applies before expensive model-based filtering. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
+
+  /** [[qualityScore]] before output rounding — the form to AGGREGATE over
+    * (mean-of-rounded diverges from rounded-mean). */
+  def qualityScoreRaw(text: Column): Column = {
     val toks = tokenize(text)
     val nTok = size(toks).cast("double")
     val meanLen = length(regexp_replace(text, "\\s+", "")).cast("double") /
@@ -77,7 +81,7 @@ object TextFunctions {
     val stopRatio = size(filter(toks, t => t.isin(stopWords: _*))).cast("double") /
       greatest(nTok, lit(1.0))
     val lenOk = when(meanLen >= 3 && meanLen <= 10, lit(1.0)).otherwise(lit(0.0))
-    round((lenOk + alphaRatio + least(stopRatio * 4, lit(1.0))) / 3.0, 6)
+    (lenOk + alphaRatio + least(stopRatio * 4, lit(1.0))) / 3.0
   }
 
   private val stopWords = Seq("the", "a", "an", "of", "to", "in", "and",

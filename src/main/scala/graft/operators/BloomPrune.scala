@@ -37,7 +37,12 @@ object BloomPrune {
                expectedItems: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
       s"need expectedItems > 0 and fpp in (0,1), got $expectedItems / $fpp")
-    val probe = mightContain(exclude, key, col(key), expectedItems, fpp)
+    // NULL keys never match an equi-join key, so a plain left_anti KEEPS
+    // them — coalesce routes them to the no-shuffle branch (a bare
+    // where(!probe) would evaluate NULL and silently drop the row from
+    // both branches)
+    val probe = coalesce(
+      mightContain(exclude, key, col(key), expectedItems, fpp), lit(false))
     val definiteNo = big.where(!probe)
     val maybe = big.where(probe)
       .join(exclude.select(col(key)).distinct(), Seq(key), "left_anti")

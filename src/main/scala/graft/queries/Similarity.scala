@@ -159,6 +159,38 @@ object Similarity {
         .select(col("doc_id")).orderBy("doc_id")
     },
 
+    // Incremental dedup: the [450,500) band plays the NEW shard, the rest
+    // of the corpus is the precomputed LSH index — the shard's survivors
+    // (docs that are not near-dups of the accumulated corpus) may append.
+    // High-recall banding (24 x 4) makes the LSH candidates equal the
+    // exact >=0.8 set here, so the survivor list hash-matches the all-pairs
+    // oracle (same argument as d5b).
+    Q("d7_dedup_increment",
+      """WITH s AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 2, 1) + 1),
+        |      i -> t[i:i+2])) AS sh
+        |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |        FROM documents)),
+        |dup AS (SELECT DISTINCT n.doc_id FROM s n, s c
+        |        WHERE n.doc_id >= 450 AND n.doc_id < 500
+        |          AND (c.doc_id < 450 OR c.doc_id >= 500)
+        |          AND CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+        |            / (len(n.sh) + len(c.sh) - len(list_intersect(n.sh, c.sh))) >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id >= 450 AND doc_id < 500
+        |  AND doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val index = Dedup.lshIndex(
+        docs.where(col("doc_id") < 450 || col("doc_id") >= 500),
+        "doc_id", "text", shingleN = 3, bands = 24, rows = 4)
+      Dedup.dedupIncrement(
+          docs.where(col("doc_id") >= 450 && col("doc_id") < 500), index,
+          "doc_id", "text", shingleN = 3, bands = 24, rows = 4,
+          minJaccard = 0.8)
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+
     // Benchmark decontamination (training-data guard against test-set
     // leakage): docs >= 450 stand in for the held-out eval set, docs < 450
     // are the corpus; a corpus doc sharing >= 3 distinct 20-char n-grams

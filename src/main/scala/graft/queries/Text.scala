@@ -87,6 +87,59 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Corpus report card: the per-source audit a data pipeline runs before
+    // training — doc counts, quality mean, language mix, token volume —
+    // composing the gated t1/t3/t4 kernels into one grouped aggregate.
+    // Partial aggregation keeps it one shuffle on the (few) sources.
+    Q("t12_corpus_report",
+      """WITH q AS (
+        |  SELECT source, doc_id,
+        |    ((CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.0 END)
+        |      + alpha_ratio + least(stop_ratio * 4, 1.0)) / 3.0 AS quality,
+        |    n_toks,
+        |    CASE
+        |      WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |      WHEN es > en AND es >= fr THEN 'es'
+        |      WHEN fr > en AND fr > es THEN 'fr'
+        |      ELSE 'en' END AS lang_pred
+        |  FROM (
+        |    SELECT source, doc_id, text,
+        |      CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |        / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0) AS mean_len,
+        |      CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |        / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio,
+        |      CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','in','and','is','on','for',
+        |                   'with','that','as','it','at','by'))) AS DOUBLE)
+        |        / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stop_ratio,
+        |      CAST(len(toks) AS BIGINT) AS n_toks,
+        |      len(list_filter(ltoks, x -> x IN ('the','a','of','and','to','is','in','that'))) AS en,
+        |      len(list_filter(ltoks, x -> x IN ('el','la','de','que','y','los','en','un'))) AS es,
+        |      len(list_filter(ltoks, x -> x IN ('le','la','de','et','les','des','un','une'))) AS fr
+        |    FROM (SELECT source, doc_id, text,
+        |            string_split_regex(trim(text), '\s+') AS toks,
+        |            string_split_regex(trim(lower(text)), '\s+') AS ltoks
+        |          FROM documents)))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(quality), 6) AS avg_quality,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE lang_pred = 'en') AS BIGINT) AS n_en,
+        |  CAST(count(*) FILTER (WHERE lang_pred <> 'en') AS BIGINT) AS n_other
+        |FROM q GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          qualityScoreRaw(col("text")).as("quality"),
+          size(tokenize(col("text"))).cast("long").as("n_toks"),
+          langIdHeuristic(col("text")).as("lang_pred"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 6).as("avg_quality"),
+          sum(col("n_toks")).as("n_tokens"),
+          count(when(col("lang_pred") === "en", 1)).as("n_en"),
+          count(when(col("lang_pred") =!= "en", 1)).as("n_other"))
+        .select("source", "n_docs", "avg_quality", "n_tokens", "n_en", "n_other")
+        .orderBy("source")
+    },
+
     // Rolling-hash document fingerprint (order-sensitive, mod 1e9+7).
     Q("t5_fingerprint",
       """SELECT doc_id, list_reduce(

@@ -28,6 +28,20 @@ class BloomPruneSpec extends SparkSuite {
     assert(got == (2 to 500 by 2).map(i => s"user$i").toSet)
   }
 
+  test("null big-side keys are kept, matching plain left_anti semantics") {
+    val big = Seq(Some(1L), Some(2L), None, Some(3L), None)
+      .toDF("k")
+    val excl = Seq(2L).toDF("k")
+    val got = BloomPrune.antiJoin(big, excl, "k", expectedItems = 16)
+      .as[Option[Long]].collect().toSeq
+      .sortBy(_.getOrElse(Long.MinValue))
+    val exp = big.join(excl, Seq("k"), "left_anti")
+      .as[Option[Long]].collect().toSeq
+      .sortBy(_.getOrElse(Long.MinValue))
+    assert(got == exp)
+    assert(got.count(_.isEmpty) == 2, "null-key rows must survive")
+  }
+
   test("prune actually bypasses the join for most rows") {
     // with a tiny exclusion set, the 'maybe' branch must be a sliver:
     // count rows that probe positive — bounded by |true members| + fpp*n

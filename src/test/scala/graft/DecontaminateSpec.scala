@@ -41,6 +41,31 @@ class DecontaminateSpec extends SparkSuite {
     assert(err.getMessage.contains("shards"))
   }
 
+  test("dedupIncrement: shard survivors are exactly the non-near-dups of the index") {
+    import graft.operators.Dedup
+    val corpusDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),    // dup of 1
+      (11L, "the  quick   brown fox jumps over the lazy dog"), // ws-dup of 1
+      (12L, "novel text that matches nothing in the corpus"),
+      (13L, "spark engines process completely different content") // shares tokens, low jaccard
+    ).toDF("doc_id", "text")
+    val index = Dedup.lshIndex(corpusDocs, "doc_id", "text",
+      shingleN = 3, bands = 16, rows = 4)
+    val kept = Dedup.dedupIncrement(shard, index, "doc_id", "text",
+        shingleN = 3, bands = 16, rows = 4, minJaccard = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L), s"got $kept")
+    // the pair surface agrees with the exact query-vs-corpus Jaccard
+    val pairs = Dedup.lshPairsAgainstIndex(shard, index, "doc_id", "text",
+        shingleN = 3, bands = 16, rows = 4, minJaccard = 0.7)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 1L), (11L, 1L)))
+  }
+
   test("corpus-side plan is a pure scan: no shuffle, no join") {
     val grams = Decontaminate.benchmarkGrams(benchmark, "text", n = 20)
     val plan = corpus.withColumn("h",
