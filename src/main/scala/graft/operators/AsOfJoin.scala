@@ -30,7 +30,20 @@ object AsOfJoin {
     * null (true as-of semantics) instead of falling through to an older
     * right row's value. */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-           tsCol: String, payloadCols: Seq[String]): DataFrame = {
+           tsCol: String, payloadCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, keyCols, tsCol, payloadCols, backward = true)
+
+  /** Forward as-of: each left row matched to the EARLIEST right row with
+    * the same key and right.ts >= left.ts (inclusive) — "next event after"
+    * attribution (e.g. purchase → next support contact). Same one-shuffle
+    * union + ordered-window plan, with the window order reversed. */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  tsCol: String, payloadCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, keyCols, tsCol, payloadCols, backward = false)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                       tsCol: String, payloadCols: Seq[String],
+                       backward: Boolean): DataFrame = {
     val leftCols = left.columns
     val payloadType = org.apache.spark.sql.types.StructType(
       payloadCols.map(c => right.schema(c).copy(name = c)))
@@ -48,9 +61,10 @@ object AsOfJoin {
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payloadCols.map(col): _*).as("__p"): _*)
     // right rows (side 0) sort before left rows (side 1) at equal ts, so
-    // "at-or-before" is inclusive
+    // the equal-ts match is inclusive in BOTH directions; forward = the
+    // same scan over reversed time
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(if (backward) col(tsCol).asc else col(tsCol).desc, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))

@@ -157,6 +157,42 @@ object Relational2 {
         .orderBy("user_id", "event_id")
     },
 
+    // J12c: FORWARD as-of — each purchase matched to the user's EARLIEST
+    // view at-or-after it ("what did they look at next"). DuckDB ASOF
+    // only does backward, so the oracle is the explicit min-ts inequality
+    // join + unique (user, us) payload attach.
+    Q("j12c_asof_forward",
+      """WITH p AS (SELECT user_id, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+        |        max(value) AS view_value
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |m AS (SELECT p.user_id, p.event_id, p.us, min(v.us) AS vus
+        |      FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.us >= p.us
+        |      GROUP BY 1, 2, 3)
+        |SELECT m.user_id, m.event_id,
+        |  CAST((m.vus - m.us) // 1000000 AS BIGINT) AS lead_s,
+        |  round(v.view_value, 2) AS view_value
+        |FROM m LEFT JOIN v ON m.user_id = v.user_id AND m.vus = v.us
+        |ORDER BY m.user_id, m.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts DIV 1000").as("us"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "event_id", "us")
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "us").agg(max(col("value")).as("view_value"))
+        .withColumn("view_us", col("us"))
+      graft.operators.AsOfJoin.asOfForward(purchases, views,
+          keyCols = Seq("user_id"), tsCol = "us",
+          payloadCols = Seq("view_value", "view_us"))
+        .select(col("user_id"), col("event_id"),
+          floor((col("view_us") - col("us")) / 1000000L).cast("long").as("lead_s"),
+          round(col("view_value"), 2).as("view_value"))
+        .orderBy("user_id", "event_id")
+    },
+
     // J12b: AS-OF with genuinely-NULL right payloads — a matched view row
     // whose value is nulled out must surface NULL (the match), not an older
     // view's value. Distinguishes true ASOF semantics from per-column

@@ -85,3 +85,24 @@ object Stateful {
       }
   }
 }
+
+/** Watermark-bounded streaming dedup — the built-in recipe that replaces
+  * [[Stateful.dedupedEvents]] when events carry EVENT TIME: state for a
+  * key is dropped once the watermark passes it, so the store is bounded by
+  * the lateness budget (not by maxSeen/processing-time heuristics), and
+  * duplicates arriving within the budget are dropped even across
+  * micro-batches. The streaming counterpart of the batch exact-dedup.
+  */
+object WatermarkDedup {
+  import org.apache.spark.sql.DataFrame
+
+  /** `dropDuplicatesWithinWatermark` over `keys`, with the event-time
+    * watermark `delay` (e.g. "10 minutes") on `eventTimeCol`. Emits each
+    * key's FIRST arrival; duplicates within the watermark window are
+    * dropped; a duplicate arriving after the state expired would re-emit —
+    * the documented at-least-once trade every watermark dedup makes. */
+  def dedup(events: DataFrame, keys: Seq[String], eventTimeCol: String,
+            delay: String): DataFrame =
+    events.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+}

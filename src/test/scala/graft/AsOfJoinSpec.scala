@@ -45,6 +45,27 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got("after-value").contains(5.0))
   }
 
+  test("asOfForward: earliest right at-or-after, inclusive ties") {
+    val left = Seq(
+      (1L, 100L, "at-tie"),    // right rows at 100 and 200 → matches 100
+      (1L, 120L, "between"),   // → matches 200
+      (1L, 250L, "after-all"), // no right row at-or-after → null
+      (2L, 10L, "no-right")
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 50L, 3.0),          // before every left row — never matched
+      (1L, 100L, 5.0),
+      (1L, 200L, 9.0)
+    ).toDF("k", "ts", "v")
+    val got = graft.operators.AsOfJoin.asOfForward(
+        left, right, Seq("k"), "ts", Seq("v"))
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(got("at-tie").contains(5.0))
+    assert(got("between").contains(9.0))
+    assert(got("after-all").isEmpty)
+    assert(got("no-right").isEmpty)
+  }
+
   test("asOf: preserves every left row exactly once with its own columns") {
     val left = (1 to 40).map(i => (i.toLong % 3, i.toLong * 10, s"row$i"))
       .toDF("k", "ts", "tag")

@@ -65,6 +65,31 @@ class StreamingSpec extends SparkSuite {
     assert(got == Set(("10:00", "view", 2L), ("11:00", "click", 1L)))
   }
 
+  test("watermark dedup: duplicates dropped across batches, state bounded by event time") {
+    import graft.streaming.WatermarkDedup
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val deduped = WatermarkDedup.dedup(
+      stream.toDF().toDF("ts", "event_id"), Seq("event_id"), "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup_out").start()
+    // batch 1: event 1 twice (same batch), event 2 once
+    stream.addData(
+      (Timestamp.valueOf("2017-03-03 10:00:00"), 1L),
+      (Timestamp.valueOf("2017-03-03 10:00:30"), 1L),
+      (Timestamp.valueOf("2017-03-03 10:01:00"), 2L))
+    q.processAllAvailable()
+    // batch 2: event 1 AGAIN within the watermark → dropped; event 3 new
+    stream.addData(
+      (Timestamp.valueOf("2017-03-03 10:02:00"), 1L),
+      (Timestamp.valueOf("2017-03-03 10:03:00"), 3L))
+    q.processAllAvailable()
+    val got = spark.table("wm_dedup_out").select("event_id")
+      .as[Long].collect().toSeq.sorted
+    q.stop()
+    assert(got == Seq(1L, 2L, 3L), s"got $got")
+  }
+
   test("ST8 streaming: native session_window matches the batch gap semantics") {
     // the streaming-native form of Sessionize (st8): Spark's session_window
     // merges events within a 30-minute gap incrementally under a watermark
