@@ -1,0 +1,135 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Layout-controlled parquet sinks. At 100 TB the WRITE layout decides the
+  * read performance of every downstream job: partition-directory pruning
+  * only prunes what partitionBy laid out, row-group skipping only skips
+  * what was sorted, and a million 2 MB files turn the next scan's task
+  * scheduling into the bottleneck. These helpers make the three knobs —
+  * directory partitioning, within-file ordering, file sizing — explicit,
+  * plus the compaction pass that repairs layouts after incremental appends.
+  */
+object Sink {
+
+  /** Write `df` as parquet partitioned by `partitionCols` with a controlled
+    * file layout:
+    *
+    *   - exactly up to `filesPerPartition` files per partition-directory:
+    *     rows shuffle on (partitionCols, salt) where salt =
+    *     xxhash64(sortCols) mod filesPerPartition — deterministic (no
+    *     rand()), and a HOT partition value still writes in parallel
+    *     instead of through one task;
+    *   - rows within each file sorted by `sortCols`
+    *     (sortWithinPartitions — a local sort, no extra shuffle), so
+    *     parquet min/max row-group stats actually skip on those columns
+    *     and RLE/dictionary encodings compress runs;
+    *   - `maxRecordsPerFile` as the overflow bound (0 = unlimited).
+    *
+    * The salt column never reaches the files — it is dropped after the
+    * repartition (a projection, which preserves the shuffle's partitioning).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String], sortCols: Seq[String],
+                       filesPerPartition: Int = 1,
+                       maxRecordsPerFile: Long = 0L): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(sortCols.nonEmpty, "sortCols must be non-empty")
+    require(filesPerPartition >= 1,
+      s"filesPerPartition must be >= 1 (got $filesPerPartition)")
+    val salt = pmod(xxhash64(sortCols.map(col): _*),
+      lit(filesPerPartition.toLong))
+    df.withColumn("__salt", salt)
+      .repartition((partitionCols :+ "__salt").map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .drop("__salt")
+      .write
+      .partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  final case class CompactionReport(filesBefore: Long, filesAfter: Long,
+                                    bytes: Long)
+
+  /** Compact the parquet dataset at `path` toward `targetBytes` per file:
+    * list the current data files, size the output at
+    * ceil(totalBytes / targetBytes) files (per partition-directory when the
+    * dataset is partitioned — partition columns are re-derived from the
+    * directory layout and re-written), rewrite to a temp sibling, then
+    * atomically swap directories. The repair pass for the small-file
+    * buildup that incremental/streaming appends leave behind; idempotent —
+    * re-running on a compacted dataset rewrites it to the same shape.
+    *
+    * The swap is rename-based (tmp → live with the old live renamed aside
+    * first and deleted last), so a crash mid-swap leaves either the old or
+    * the new complete dataset on disk, never a partial mix. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 512L << 20): CompactionReport = {
+    require(targetBytes >= 1L, s"targetBytes must be >= 1 (got $targetBytes)")
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val dataFiles = listDataFiles(fs, p)
+    require(dataFiles.nonEmpty, s"no parquet data files under $path")
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+
+    val df = spark.read.parquet(path)
+    // partition dirs (col=value) become ordinary columns on read; re-write
+    // them as partition dirs so the layout (and pruning) survives compaction
+    val partCols = partitionColsFromLayout(dataFiles.head.getPath, p)
+    val tmp = new Path(p.getParent, p.getName + "__compact_tmp")
+    fs.delete(tmp, true)
+    val writer =
+      if (partCols.isEmpty) df.repartition(nOut).write
+      else {
+        // size per partition DIRECTORY: nOut total files spread over the
+        // dirs, at least one per dir. The salt hashes the DATA columns —
+        // deterministic (xxhash64 of row content, so a task retry re-derives
+        // the same assignment — rand() here could lose/duplicate rows under
+        // partial stage recompute), and row-dependent (a salt of the
+        // partition columns would be constant per dir and collapse every
+        // dir to one file regardless of its size).
+        val nDirs = dataFiles
+          .map(_.getPath.getParent.toString).distinct.length
+        val filesPerDir = math.max(1L, math.round(nOut.toDouble / nDirs))
+        val dataCols = df.columns.filterNot(partCols.contains).toSeq
+        df.withColumn("__salt",
+            pmod(xxhash64(dataCols.map(col): _*), lit(filesPerDir)))
+          .repartition((partCols :+ "__salt").map(col): _*)
+          .drop("__salt")
+          .write.partitionBy(partCols: _*)
+      }
+    writer.mode("overwrite").parquet(tmp.toString)
+
+    val old = new Path(p.getParent, p.getName + "__compact_old")
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"compaction swap failed: cannot move $p aside")
+    require(fs.rename(tmp, p), s"compaction swap failed: cannot move $tmp in")
+    fs.delete(old, true)
+    CompactionReport(dataFiles.length.toLong, listDataFiles(fs, p).length.toLong,
+      totalBytes)
+  }
+
+  private def listDataFiles(fs: FileSystem, root: Path) = {
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.LocatedFileStatus]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+    }
+    buf.toSeq
+  }
+
+  /** Recover hive-style partition column names (`col=value` path segments)
+    * from one data file's path relative to the dataset root. */
+  private def partitionColsFromLayout(file: Path, root: Path): Seq[String] = {
+    val rel = file.toString.stripPrefix(root.toString).stripPrefix("/")
+    rel.split('/').dropRight(1).toSeq
+      .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+  }
+}

@@ -122,6 +122,36 @@ object Relational2 {
         .orderBy("user_id")
     },
 
+    // Key-distribution profiling (the pre-join skew audit): per-key count
+    // histogram on log2 buckets over the event log's user key. Two-level
+    // agg — one shuffle on the key with map-side partials, then <= 64
+    // bucket rows.
+    Q("s15_key_histogram",
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+        |SELECT CAST(floor(log2(cnt)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(min(cnt) AS BIGINT) AS min_cnt,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt
+        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      graft.operators.Profile.keyHistogram(Tables.events(s, d), col("user_id"))
+    },
+
+    // The one-row decision summary: hottest-key share + max/mean skew
+    // ratio — the numbers that decide salted vs plain shuffle.
+    Q("s15b_skew_stats",
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |  round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+        |  round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top1_share,
+        |  round(CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt), 4) AS skew_ratio
+        |FROM c""".stripMargin) { (s, d) =>
+      graft.operators.Profile.skewStats(Tables.events(s, d), col("user_id"))
+    },
+
     // J12 (engine ext): AS-OF join — each purchase matched to the user's
     // latest view at-or-before it (attribution). Union + ordered-window
     // plan: ONE shuffle on the key, no inequality-join nested loop.

@@ -191,6 +191,37 @@ object Similarity {
         .select(col("doc_id")).orderBy("doc_id")
     },
 
+    // Chunk-level exact dedup (the "remove repeated PASSAGES" step, not
+    // whole-document dedup): 10-token chunks, global first occurrence
+    // survives, survivors reassemble in order. Fully deterministic — the
+    // window tie-break is (doc_id, position) — so the reassembled text
+    // hash-matches the oracle recomputing the same rule.
+    Q("d8_chunk_dedup",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(1, greatest(CAST(ceil(len(toks) / 10.0) AS BIGINT), 1) + 1),
+        |      i -> struct_pack(pos := i,
+        |        chunk := array_to_string(toks[(i-1)*10+1:(i-1)*10+10], ' ')))) AS pc
+        |  FROM t),
+        |r AS (SELECT doc_id, pc.pos AS pos, pc.chunk AS chunk FROM c),
+        |k AS (SELECT doc_id, pos, chunk,
+        |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |      FROM r)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '')
+        |    AS kept_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.chunkDedup(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 10)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_kept"),
+          col("kept_text"))
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination (training-data guard against test-set
     // leakage): docs >= 450 stand in for the held-out eval set, docs < 450
     // are the corpus; a corpus doc sharing >= 3 distinct 20-char n-grams
@@ -320,6 +351,19 @@ object Similarity {
     Q.rowsOnly("ann3_ivf_topk") { (s, d) =>
       Ann.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
           k = 5, nCentroids = 16, nProbe = 4, seed = 42L)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // Int8-quantized brute force + exact shortlist re-rank: the memory-
+    // bandwidth path (coarse pass reads 1/4 the bytes). Quantization is
+    // engine arithmetic → rows-only; recall + cosine-error bounds vs ann1
+    // are asserted in QuantAnnSpec.
+    Q.rowsOnly("ann4_quantized_topk") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Ann.quantizedTopK(emb.where(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long"))
         .orderBy("query_id", "rank")
