@@ -72,6 +72,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier("intersection_size"),
       info("intersection_size", "intersection_size(a, b) - |A ∩ B| without materializing it"),
       (es: Seq[Expression]) => IntersectionSize(es(0), es(1))),
+    (FunctionIdentifier("int8_quantize"),
+      info("int8_quantize", "int8_quantize(vec) - symmetric per-vector int8 quantization to binary"),
+      (es: Seq[Expression]) => Int8Quantize(es.head)),
+    (FunctionIdentifier("int8_cosine"),
+      info("int8_cosine", "int8_cosine(qa, qb) - cosine over int8-quantized vectors"),
+      (es: Seq[Expression]) => Int8Cosine(es(0), es(1))),
     (FunctionIdentifier("wav_features"),
       info("wav_features", "wav_features(bin) - RIFF/PCM16 decode: rate, channels, samples, duration, rms, peak"),
       (es: Seq[Expression]) => WavFeatures(es.head)),

