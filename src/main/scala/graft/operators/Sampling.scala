@@ -52,6 +52,39 @@ object Sampling {
     df.where(bucket < frac * lit(10000.0))
   }
 
+  /** Token-budget cut: per stratum, take rows in `orderCol` order until the
+    * cumulative `tokensCol` reaches that stratum's budget (the row that
+    * crosses the boundary is included, so every non-empty budget yields at
+    * least one row). Real training mixes are specified in TOKENS, not doc
+    * counts — this is the "fill each source's token quota" step.
+    *
+    * One window shuffle keyed on the stratum; with `orderCol =
+    * xxhash64(id)` the prefix is a uniform sample, with a curation score it
+    * is best-first. Per-stratum ordering serializes WITHIN a stratum (a
+    * prefix cut is inherently sequential in the order) but strata fill in
+    * parallel — at 100 TB budgets are per-source, so the window's partition
+    * count is the source count; shard hot sources upstream if one source
+    * alone exceeds executor-sort scale. Strata without a budget are
+    * dropped. */
+  def tokenBudget(df: DataFrame, stratumCol: String, orderCol: String,
+                  tokensCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ > 0),
+      s"budgets must be positive (got $budgets)")
+    val budget = budgets.foldLeft(lit(null).cast("long")) { case (acc, (k, b)) =>
+      when(col(stratumCol) === k, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__budget", budget)
+      .where(col("__budget").isNotNull)
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      // keep while the PREVIOUS cumulative total was under budget: the
+      // boundary-crossing row is in, everything after is out
+      .where(col("__cum") - col(tokensCol) < col("__budget"))
+      .drop("__budget", "__cum")
+  }
+
   /** Domain mixing: downsample strata so the output approaches the target
     * composition (e.g. 60% web / 30% books / 10% code) at the LARGEST
     * feasible size — the binding stratum (the one whose availability runs

@@ -276,6 +276,32 @@ object Text {
         .orderBy("source")
     },
 
+    // Token-budget mixing (training mixes are specified in TOKENS, not doc
+    // counts): per source, take docs in doc_id order until the cumulative
+    // token count reaches the source's budget; the boundary-crossing doc is
+    // included. Deterministic ordering column → fully SQL-expressible.
+    Q("s16_token_budget",
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT doc_id, source, n,
+        |        sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM c
+        |WHERE cum - n < CASE source WHEN 'src0' THEN 5000 ELSE 2000 END
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(tokenize(col("text"))).cast("long").as("n"))
+      graft.operators.Sampling.tokenBudget(docs, "source", "doc_id", "n",
+          budgets = Map("src0" -> 5000L, "src1" -> 2000L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .orderBy("source")
+    },
+
     // Sequence packing (2048-token windows, 8 parallel buckets): the
     // pre-tokenization layout step of an LLM training pipeline. Window
     // cumsum per bucket — parallel by construction; a global-order cumsum

@@ -40,6 +40,31 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
   }
 
+  test("d8: chunk dedup stays shuffle-shaped — no cross product anywhere") {
+    val p = plan("d8_chunk_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"))
+  }
+
+  test("s15: key profile aggregates partial+final on both levels") {
+    val p = plan("s15_key_histogram")
+    assert("HashAggregate".r.findAllIn(p).size >= 3,
+      "expected partial+final at the key level and again at the bucket level")
+  }
+
+  test("s16: token budget is one window shuffle, no join, no cross product") {
+    val p = plan("s16_token_budget")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "prefix cut should shuffle on the stratum key (plus the final agg)")
+  }
+
+  test("ann4: coarse pass broadcasts the quantized query side") {
+    val p = plan("ann4_quantized_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "quantized scoring should broadcast queries, never shuffle the corpus")
+  }
+
   test("J7: maxDfFraction adds the df-prune semi-ish join before pair generation") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -108,6 +108,24 @@ class SessionizeSamplingSpec extends SparkSuite {
     assert(err.getMessage.contains("zz"))
   }
 
+  test("tokenBudget: prefix cut per stratum, boundary row included") {
+    val docs = Seq(
+      (1L, "a", 3L), (2L, "a", 4L), (3L, "a", 5L), (4L, "a", 2L),
+      (5L, "b", 10L), (6L, "b", 1L),
+      (7L, "c", 99L)                       // no budget -> dropped
+    ).toDF("id", "src", "n")
+    def take(budgets: Map[String, Long]): Seq[Long] =
+      Sampling.tokenBudget(docs, "src", "id", "n", budgets)
+        .select("id").as[Long].collect().sorted.toSeq
+    // budget 8 on a: 3,4 fill 7 < 8, doc 3 crosses the boundary -> in;
+    // doc 4 would start at 12 >= 8 -> out. b: doc 5 alone crosses 5.
+    assert(take(Map("a" -> 8L, "b" -> 5L)) === Seq(1L, 2L, 3L, 5L))
+    // exact-boundary budget: doc 3 starts AT 7 -> excluded
+    assert(take(Map("a" -> 7L)) === Seq(1L, 2L))
+    // tiny budget still yields the first row
+    assert(take(Map("a" -> 1L)) === Seq(1L))
+  }
+
   test("hashSplit: membership is a pure function of (id, seed)") {
     val ids = (1L to 500L).toDF("id")
     def assign(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
