@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** OLAP reporting surface: subtotal lattices (ROLLUP/CUBE), pivot
+  * cross-tabs, and quantile binning — the aggregation shapes a reporting
+  * layer over the reference's analytics tables (SURVEY §2.4) needs beyond
+  * plain GROUP BY. All are single-pass declarative plans: ROLLUP/CUBE run as
+  * ONE Expand + partial/final aggregate (not one job per grouping set),
+  * pivot is a grouped conditional aggregate, ntile is a per-key window — all
+  * partial-agg friendly and AQE-replannable, nothing driver-side.
+  */
+object Olap {
+
+  val queries: Seq[Q] = Seq(
+
+    // ROLLUP subtotals: (rf, ls), (rf), () in one aggregate. grouping() in
+    // the output disambiguates a subtotal row from a genuine group — the
+    // standard cell-type discriminator — and grouped-out keys are
+    // sentinel'd so every output cell is non-null scalar.
+    Q("a16_rollup",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg((grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("long").as("gid"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("sum_qty"), col("n"))
+        .orderBy("gid", "rf", "ls")
+    },
+
+    // CUBE: the full 2^k grouping-set lattice, with a DISTINCT aggregate
+    // under it (distinct customer count per cell — exact integers, so the
+    // oracle comparison is bit-stable).
+    Q("a17_cube",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |  coalesce(o_orderpriority, 'ALL') AS pri,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, st, pri""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg((grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+            .cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("gid"), col("n"), col("n_cust"))
+        .orderBy("gid", "st", "pri")
+    },
+
+    // Pivot cross-tab: order-status counts spread into columns per
+    // priority. Explicit value list (the Spark form that skips the extra
+    // distinct-values job — at scale the value list is knowledge the
+    // caller has); absent cells are 0, not null.
+    Q("a18_pivot",
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Quantile binning: ntile quartiles per size class. PARTITIONED window
+    // (one shuffle on the key, no global sort) — the form that scales; a
+    // global ntile would serialize the corpus through one partition. The
+    // (price, partkey) order key is total, so bucket assignment is
+    // deterministic.
+    Q("w8_ntile",
+      """SELECT p_size, p_partkey,
+        |  CAST(ntile(4) OVER (PARTITION BY p_size
+        |    ORDER BY p_retailprice, p_partkey) AS BIGINT) AS quartile
+        |FROM part ORDER BY p_size, p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_size"), col("p_partkey"),
+          ntile(4).over(Window.partitionBy("p_size")
+              .orderBy(col("p_retailprice"), col("p_partkey")))
+            .cast("long").as("quartile"))
+        .orderBy("p_size", "p_partkey")
+    }
+  )
+}

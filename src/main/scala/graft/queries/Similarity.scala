@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{SimilarityJoin, Dedup, Ann}
+import graft.operators.{SimilarityJoin, Dedup, Ann, FuzzyJoin}
 
 /** Similarity-join, deduplication, and ANN queries (SURVEY §2.3 J7/J8 plus
   * the training-data dedup/similarity-search surface) over `documents` and
@@ -367,6 +367,48 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+
+    // Edit-distance fuzzy join (typo-tolerant matching): the string-level
+    // near-dup metric shingle operators miss — a 1-char edit disturbs up to
+    // n shingles but is distance 1 here. Query-vs-corpus broadcast with the
+    // length prune in the join condition and the thresholded levenshtein
+    // kernel; oracle recomputes the full unpruned distance.
+    Q("d9_edit_distance",
+      """SELECT a.p_partkey AS a, b.p_partkey AS b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a, part b
+        |WHERE a.p_partkey % 211 = 3 AND a.p_partkey <> b.p_partkey
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      FuzzyJoin.editDistanceForQueries(Tables.part(s, d), "p_partkey",
+          "p_name", queryPred = col("id") % 211 === 3, maxDist = 2)
+        .select(col("a"), col("b"), col("dist").cast("long"))
+        .orderBy("a", "b")
+    },
+
+    // n-gram CONTAINMENT (asymmetric): |S(q) ∩ S(c)| / |S(q)| — catches a
+    // query document embedded inside a longer one, which symmetric Jaccard
+    // under-scores exactly when |S(c)| >> |S(q)|. Same broadcast
+    // query-vs-corpus shape and string shingles as d2.
+    Q("d10_containment",
+      """WITH s AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 2, 1) + 1),
+        |      i -> t[i:i+2])) AS sh
+        |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |        FROM documents))
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
+        |    AS containment
+        |FROM s a, s b
+        |WHERE a.doc_id < 25 AND a.doc_id <> b.doc_id
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.9
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.ngramContainmentForQueries(Tables.documents(s, d), "doc_id",
+          "text", n = 3, queryPred = col("id") < 25, minContainment = 0.9)
+        .select(col("a"), col("b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("a", "b")
     },
   )
 }
