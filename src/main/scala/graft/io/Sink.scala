@@ -52,6 +52,32 @@ object Sink {
       .parquet(path)
   }
 
+  /** Write `df` as a BUCKETED (optionally bucket-sorted) parquet table:
+    * rows are hash-distributed into `buckets` files per partition by
+    * `bucketCols`. Bucketing is the PRE-SHUFFLE a 100 TB pipeline pays once
+    * at write time: every later equi-join or aggregation on the bucket key
+    * between tables bucketed the same way runs with NO Exchange — the scan
+    * itself reports the hash partitioning Catalyst needs (asserted by
+    * BucketedJoinSpec). Use for fact tables joined repeatedly on the same
+    * key (user id, doc id): one write-side shuffle replaces a read-side
+    * shuffle per downstream job.
+    *
+    * Spark requires bucketed data to be table-backed (`saveAsTable`) so the
+    * bucket spec lives in the catalog — a plain path write has nowhere to
+    * record it, which is why this takes a table name, unlike
+    * [[writePartitioned]]. */
+  def writeBucketedTable(df: DataFrame, table: String, buckets: Int,
+                         bucketCols: Seq[String],
+                         sortCols: Seq[String] = Nil): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w = df.write.format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val ws =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.mode("overwrite").saveAsTable(table)
+  }
+
   final case class CompactionReport(filesBefore: Long, filesAfter: Long,
                                     bytes: Long)
 

@@ -65,6 +65,43 @@ class PlanSpec extends SparkSuite {
       "quantized scoring should broadcast queries, never shuffle the corpus")
   }
 
+  test("a16/a17: ROLLUP and CUBE plan ONE Expand + partial/final aggregate") {
+    for (q <- Seq("a16_rollup", "a17_cube")) {
+      val p = plan(q)
+      assert("Expand".r.findAllIn(p).size >= 1, s"$q lost the Expand lattice")
+      assert(!p.contains("Union"),
+        s"$q must be one Expand+aggregate, not one job per grouping set:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q lost partial agg")
+    }
+  }
+
+  test("a18: pivot is pure aggregation — no join, no distinct-values job") {
+    val p = plan("a18_pivot")
+    assert(!p.contains("Join"))
+    // Spark plans pivot as two stacked aggregates: (key, pivotCol) partials
+    // then PivotFirst on key — two hash exchanges, both combine map-side.
+    // More than that would mean the explicit value list stopped working
+    // and a distinct-values subquery crept in.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("w8: partitioned ntile is one window shuffle, no global sort") {
+    val p = plan("w8_ntile")
+    assert(p.contains("Window"))
+    // rangepartitioning appears once for the output ORDER BY only — the
+    // window itself must run on hashpartitioning (per-key, parallel)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("d9: fuzzy join broadcasts the query side; corpus side never shuffles") {
+    val p = plan("d9_edit_distance")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus side of the fuzzy join must not shuffle:\n$p")
+  }
+
   test("J7: maxDfFraction adds the df-prune semi-ish join before pair generation") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
