@@ -35,16 +35,28 @@ object Ml {
     // recommendation list is emitted as the comma-joined KV value shape
     // (F6) so the driver's row checker can sort scalar cells.
     Q.rowsOnly("ml2_als_recommend") { (s, d) =>
+      import s.implicits._
+      // the interaction matrix feeds BOTH the fit and the active-user
+      // ranking — cache it once for the two passes, and release it before
+      // returning: the user list is collected (bounded by limit(2000), the
+      // same capped-collect pattern as rank/Blend) so the returned plan
+      // reads only the fitted factors plus a 2,000-row local relation,
+      // never the interaction pipeline
       val interactions = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
         .agg(count(lit(1)).cast("double").as("rating"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      interactions.count()   // materialize before the two dependent passes
       val fitted = graft.model.Collaborative.fit(interactions,
         rank = 4, maxIter = 3)
       val activeUsers = interactions
         .groupBy("user").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("user").asc).limit(2000)
-      graft.model.Collaborative.recommendForUsers(fitted, activeUsers, k = 5)
+        .select("user").as[Long].collect()
+      interactions.unpersist()
+      graft.model.Collaborative.recommendForUsers(fitted,
+          activeUsers.toSeq.toDF("user"), k = 5)
         .select(col("user"),
           array_join(transform(col("items"), i => i.cast("string")), ",")
             .as("items"))

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join — the event-enrichment primitive (clicks
+  * joined to the impressions that caused them, acks to requests, payments
+  * to orders) the reference's per-event loop cannot express but a 100 TB
+  * event pipeline needs constantly.
+  *
+  * Spark-first shape: BOTH sides carry event-time watermarks and the join
+  * condition bounds the right timestamp to a window around the left one —
+  * exactly the two ingredients Structured Streaming needs to know when
+  * buffered join state is safe to evict (right rows older than
+  * left-watermark − `before`, left rows older than right-watermark −
+  * `after`). Without the time bound the state store grows without limit;
+  * with it, state per key is O(events within the interval), independent of
+  * stream lifetime.
+  */
+object StreamJoin {
+
+  /** Inner-join `left` and `right` on `key`, keeping (l, r) pairs whose
+    * event times satisfy `r.ts ∈ [l.ts − before, l.ts + after]`. `watermark`
+    * (e.g. "10 seconds") is the lateness bound applied to both sides;
+    * `before`/`after` are SQL interval strings (e.g. "5 minutes").
+    *
+    * Output columns: the key, both timestamps (`leftTs`, `rightTs`), and
+    * all remaining columns of both inputs — which must therefore not
+    * collide; rename upstream. Works identically on two static frames
+    * (the batch backtest of the same pipeline). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   watermark: String, before: String,
+                   after: String): DataFrame = {
+    require(leftTs != rightTs,
+      "leftTs and rightTs must be distinct column names (rename upstream)")
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"))
+      .drop(col(s"r.$key"))
+  }
+}

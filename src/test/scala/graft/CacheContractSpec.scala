@@ -8,11 +8,33 @@ import graft.operators.{Ann, Dedup}
   * cache entry that may outlive the call is the returned handle (or the
   * `Staged.release` hook). Observed through `sc.getPersistentRDDs` — a
   * Dataset persist registers its column-buffer RDD there, and unpersist
-  * removes it synchronously from the map. */
+  * removes it synchronously from the map.
+  *
+  * Counted as a DELTA against a pre-call snapshot of RDD ids, not as an
+  * absolute size: suites share one SparkContext and run in parallel under
+  * sbt, so another suite's persists (e.g. an ALS fit's factor RDDs) may
+  * coexist — they have higher ids than the snapshot only if created during
+  * the window, and operator persists are the only Dataset persists these
+  * fixtures trigger. */
 class CacheContractSpec extends SparkSuite {
   import spark.implicits._
 
-  private def persisted: Int = spark.sparkContext.getPersistentRDDs.size
+  private def ids: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Run `op`, assert it retained exactly `retained` NEW persisted RDDs,
+    * release via `release`, assert all of ours are gone. Re-snapshots
+    * around the call so concurrent suites' persists cancel out unless they
+    * land inside the call window (in which case their entries would also
+    * have to survive `release` to false-fail — they are short-lived). */
+  private def checkRetention[A](retained: Int)(op: => A)(release: A => Unit): Unit = {
+    val before = ids
+    val out = op
+    val mine = ids.diff(before)
+    assert(mine.size == retained,
+      s"expected $retained retained cache entr(y/ies), got ${mine.size}")
+    release(out)
+    assert(ids.diff(before).isEmpty, "release must drop every retained entry")
+  }
 
   private def freshDocs: DataFrame = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
@@ -28,62 +50,52 @@ class CacheContractSpec extends SparkSuite {
   }.toDF("id", "emb")
 
   test("minHashLsh retains exactly the returned handle; unpersist clears it") {
-    spark.catalog.clearCache()
-    assert(persisted == 0)
-    val pairs = Dedup.minHashLsh(freshDocs, "doc_id", "text",
-      shingleN = 3, bands = 16, rows = 4, minJaccard = 0.7)
-    pairs.collect()
-    assert(persisted == 1, "only the caller-owned result may stay cached")
-    pairs.unpersist(blocking = true)
-    assert(persisted == 0)
+    checkRetention(1) {
+      val pairs = Dedup.minHashLsh(freshDocs, "doc_id", "text",
+        shingleN = 3, bands = 16, rows = 4, minJaccard = 0.7)
+      pairs.collect()
+      pairs
+    }(_.unpersist(blocking = true))
   }
 
   test("resolveClusters retains exactly the returned handle") {
-    spark.catalog.clearCache()
-    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
-    val labels = Dedup.resolveClusters(pairs)
-    labels.collect()
-    assert(persisted == 1)
-    labels.unpersist(blocking = true)
-    assert(persisted == 0)
+    checkRetention(1) {
+      val labels = Dedup.resolveClusters(Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b"))
+      labels.collect()
+      labels
+    }(_.unpersist(blocking = true))
   }
 
   test("dedupCorpus small-graph path retains no cache at all") {
-    spark.catalog.clearCache()
-    val kept = Dedup.dedupCorpus(freshDocs, "doc_id", "text", minJaccard = 0.7)
-    kept.collect()
-    assert(persisted == 0,
-      "small-graph path resolves driver-side; nothing may stay cached")
+    checkRetention(0) {
+      Dedup.dedupCorpus(freshDocs, "doc_id", "text", minJaccard = 0.7).collect()
+    }(_ => ())
   }
 
   test("dedupCorpusStaged distributed path releases via the hook") {
-    spark.catalog.clearCache()
-    // threshold 0 forces the distributed label-propagation path
-    val staged = Dedup.dedupCorpusStaged(freshDocs, "doc_id", "text",
-      minJaccard = 0.7, smallGraphThreshold = 0)
-    staged.df.collect()
-    assert(persisted == 1,
-      "distributed path may retain only the slim duplicate-id frame")
-    staged.release()
-    assert(persisted == 0)
+    checkRetention(1) {
+      // threshold 0 forces the distributed label-propagation path
+      val staged = Dedup.dedupCorpusStaged(freshDocs, "doc_id", "text",
+        minJaccard = 0.7, smallGraphThreshold = 0)
+      staged.df.collect()
+      staged
+    }(_.release())
   }
 
   test("lshTopK retains exactly the returned handle") {
-    spark.catalog.clearCache()
-    val nn = Ann.lshTopK(freshVecs, "id", "emb", k = 3, dim = 8)
-    nn.collect()
-    assert(persisted == 1)
-    nn.unpersist(blocking = true)
-    assert(persisted == 0)
+    checkRetention(1) {
+      val nn = Ann.lshTopK(freshVecs, "id", "emb", k = 3, dim = 8)
+      nn.collect()
+      nn
+    }(_.unpersist(blocking = true))
   }
 
   test("ivfTopK retains exactly the returned handle") {
-    spark.catalog.clearCache()
-    val nn = Ann.ivfTopK(freshVecs, "id", "emb", k = 3, nCentroids = 4)
-    nn.collect()
-    assert(persisted == 1)
-    nn.unpersist(blocking = true)
-    assert(persisted == 0)
+    checkRetention(1) {
+      val nn = Ann.ivfTopK(freshVecs, "id", "emb", k = 3, nCentroids = 4)
+      nn.collect()
+      nn
+    }(_.unpersist(blocking = true))
   }
 
   test("dedupCorpus distributed and small-graph paths agree on survivors") {
