@@ -98,6 +98,54 @@ object Olap {
               .orderBy(col("p_retailprice"), col("p_partkey")))
             .cast("long").as("quartile"))
         .orderBy("p_size", "p_partkey")
+    },
+
+    // ROWS-frame running aggregate: trailing-3-shipment quantity per
+    // supplier. The frame accumulates sequentially inside each per-key
+    // sorted partition — one shuffle on the key, no whole-table sort — and
+    // the (shipdate, orderkey, linenumber) order key is total, so frame
+    // contents (hence sums) are engine-independent.
+    Q("w9_moving_sum",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity")).over(
+              Window.partitionBy("l_suppkey")
+                .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+                .rowsBetween(-2, Window.currentRow))
+            .cast("long").as("mv_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // lag/lead across a per-key ordered sequence: days since the
+    // customer's previous order, and the next order's key — the
+    // event-sequence feature shape (inter-arrival times, next-action
+    // labels) a training pipeline derives constantly. Partition edges
+    // surface as -1 sentinels so every cell stays scalar non-null.
+    Q("w10_lag_lead",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(coalesce(date_diff('day',
+        |    CAST(lag(o_orderdate) OVER w AS DATE),
+        |    CAST(o_orderdate AS DATE)), -1) AS BIGINT) AS days_since_prev,
+        |  CAST(coalesce(lead(o_orderkey) OVER w, -1) AS BIGINT) AS next_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          coalesce(
+            datediff(col("o_orderdate").cast("date"),
+              lag(col("o_orderdate"), 1).over(w).cast("date")).cast("long"),
+            lit(-1L)).as("days_since_prev"),
+          coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L))
+            .cast("long").as("next_order"))
+        .orderBy("o_custkey", "o_orderkey")
     }
   )
 }
