@@ -36,17 +36,22 @@ class CacheContractSpec extends SparkSuite {
     assert(ids.diff(before).isEmpty, "release must drop every retained entry")
   }
 
+  // Fixtures are UNIQUE to this suite (the "ccspec" marker): CacheManager
+  // dedupes persists by analyzed plan, so if a concurrently-running suite
+  // had already cached an identical fixture+operator plan, this suite's
+  // persist would register NO new entry and the retention count would read
+  // 0 — a plan-collision flake, not a contract violation.
   private def freshDocs: DataFrame = Seq(
-    (1L, "the quick brown fox jumps over the lazy dog"),
-    (2L, "the quick brown fox jumps over the lazy dog"),
-    (3L, "the quick brown fox jumped over the lazy dogs"),
-    (4L, "completely different content about spark engines"),
-    (5L, "spark engines process completely different content"),
-    (6L, "the  quick   brown fox jumps over the lazy dog  ")
+    (1L, "ccspec the quick brown fox jumps over the lazy dog"),
+    (2L, "ccspec the quick brown fox jumps over the lazy dog"),
+    (3L, "ccspec the quick brown fox jumped over the lazy dogs"),
+    (4L, "ccspec completely different content about spark engines"),
+    (5L, "ccspec spark engines process completely different content"),
+    (6L, "ccspec the  quick   brown fox jumps over the lazy dog  ")
   ).toDF("doc_id", "text")
 
   private def freshVecs: DataFrame = (0 until 40).map { i =>
-    (i.toLong, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat))
+    (i.toLong, Array.tabulate(8)(j => math.sin(i * 13 + j + 0.5).toFloat))
   }.toDF("id", "emb")
 
   test("minHashLsh retains exactly the returned handle; unpersist clears it") {
@@ -60,7 +65,8 @@ class CacheContractSpec extends SparkSuite {
 
   test("resolveClusters retains exactly the returned handle") {
     checkRetention(1) {
-      val labels = Dedup.resolveClusters(Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b"))
+      val labels = Dedup.resolveClusters(
+        Seq((101L, 202L), (202L, 303L), (707L, 909L)).toDF("a", "b"))
       labels.collect()
       labels
     }(_.unpersist(blocking = true))
