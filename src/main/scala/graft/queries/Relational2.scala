@@ -297,6 +297,36 @@ object Relational2 {
         .orderBy("o_custkey")
     },
 
+    // Schema-evolution union: merge shards whose schemas drifted (one has
+    // p_size, the other p_retailprice) by COLUMN NAME with missing columns
+    // null-filled — `unionByName(allowMissingColumns)`, the data-lake
+    // shard-merge op a positional UNION would silently corrupt. Sentinels
+    // keep every output cell scalar non-null for the gate.
+    Q("so6_union_by_name",
+      """SELECT p_partkey, p_name,
+        |  CAST(coalesce(p_size, -1) AS BIGINT) AS size_or_neg1,
+        |  coalesce(p_retailprice, -1.0) AS price_or_neg1, src
+        |FROM (
+        |  SELECT p_partkey, p_name, p_size, NULL AS p_retailprice, 'a' AS src
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, p_name, NULL, p_retailprice, 'b'
+        |  FROM part WHERE p_size > 30)
+        |ORDER BY src, p_partkey""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d)
+      val a = p.select(col("p_partkey"), col("p_name"), col("p_size"),
+        lit("a").as("src"))
+      val b = p.where(col("p_size") > 30)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+          lit("b").as("src"))
+      a.unionByName(b, allowMissingColumns = true)
+        .select(col("p_partkey"), col("p_name"),
+          coalesce(col("p_size"), lit(-1)).cast("long").as("size_or_neg1"),
+          coalesce(col("p_retailprice"), lit(-1.0)).as("price_or_neg1"),
+          col("src"))
+        .orderBy("src", "p_partkey")
+    },
+
     // F15/F6: KV key formatting + ordered id-list values — the reference's
     // Redis record shape (`'b_similar:%s' % id`, comma-joined ids,
     // simility_books.py:93-94).
