@@ -146,6 +146,36 @@ object Olap {
           coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L))
             .cast("long").as("next_order"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Time-series gap-fill: densify each customer's sparse daily order
+    // counts to one row per day of their active range, carrying the last
+    // count forward (Resample operator — per-key scaffold, no global time
+    // axis). Bounded to 20 customers so the gate output stays small; the
+    // day is emitted as a formatted string (never a raw timestamp).
+    Q("w11_gap_fill",
+      """WITH b AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+        |    count(*) AS n FROM orders WHERE o_custkey < 20 GROUP BY 1, 2),
+        |r AS (SELECT k, min(d) AS lo, max(d) AS hi FROM b GROUP BY 1),
+        |scaffold AS (SELECT k,
+        |    CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM r),
+        |j AS (SELECT s.k, s.d, b.n FROM scaffold s LEFT JOIN b USING (k, d))
+        |SELECT k, strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(last_value(n IGNORE NULLS) OVER (PARTITION BY k ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_filled,
+        |  CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
+        |FROM j ORDER BY k, day""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .where(col("o_custkey") < 20)
+        .groupBy(col("o_custkey").as("k"),
+          col("o_orderdate").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Resample.gapFillDaily(daily, "k", "d", "n")
+        .select(col("k"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_filled"), col("was_gap"))
+        .orderBy("k", "day")
     }
   )
 }

@@ -390,7 +390,11 @@ object Similarity {
     // n-gram CONTAINMENT (asymmetric): |S(q) ∩ S(c)| / |S(q)| — catches a
     // query document embedded inside a longer one, which symmetric Jaccard
     // under-scores exactly when |S(c)| >> |S(q)|. Same broadcast
-    // query-vs-corpus shape and string shingles as d2.
+    // query-vs-corpus shape as d2, on the HASHED fast path (the production
+    // form): distinct-set containment over 64-bit shingle hashes equals the
+    // string-shingle value to ~2^-64 per pair, so the string-based oracle
+    // still hash-matches (same argument as d2b; ContainmentSpec asserts the
+    // two paths agree).
     Q("d10_containment",
       """WITH s AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, greatest(length(t) - 2, 1) + 1),
@@ -405,7 +409,8 @@ object Similarity {
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.9
         |ORDER BY a, b""".stripMargin) { (s, d) =>
       Dedup.ngramContainmentForQueries(Tables.documents(s, d), "doc_id",
-          "text", n = 3, queryPred = col("id") < 25, minContainment = 0.9)
+          "text", n = 3, queryPred = col("id") < 25, minContainment = 0.9,
+          hashed = true)
         .select(col("a"), col("b"),
           round(col("containment"), 6).as("containment"))
         .orderBy("a", "b")
