@@ -83,7 +83,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => WavFeatures(es.head)),
     (FunctionIdentifier("bmp_features"),
       info("bmp_features", "bmp_features(bin) - uncompressed 24-bit BMP decode: dims + channel means"),
-      (es: Seq[Expression]) => BmpFeatures(es.head)))
+      (es: Seq[Expression]) => BmpFeatures(es.head)),
+    (FunctionIdentifier("zorder2"),
+      info("zorder2", "zorder2(a, b) - 2-D Morton interleave of bucket ranks for multi-column layout"),
+      (es: Seq[Expression]) => ZOrder2(es(0), es(1))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

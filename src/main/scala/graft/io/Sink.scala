@@ -52,6 +52,21 @@ object Sink {
       .parquet(path)
   }
 
+  /** 2-D z-order (Morton) value for layout control: sort/partition by this
+    * to keep consecutive rows close in BOTH dimensions, so parquet
+    * row-group min/max stats prune on either column's predicate (a
+    * single-column sort only prunes its leading column). Inputs must be
+    * non-negative bucket ranks in [0, 2^31) — map raw domains to ranks
+    * first; only the low 31 bits participate. Codegen'd kernel
+    * ([[graft.expressions.ZOrder2]]; SQL: `zorder2`). Typical use:
+    * `writePartitioned(df.withColumn("z", Sink.zorder($"dayRank", $"userBucket")),
+    * ..., sortCols = Seq("z"))`. */
+  def zorder(a: org.apache.spark.sql.Column,
+             b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expressions.ZOrder2(expression(a), expression(b)))
+  }
+
   /** Write `df` as a BUCKETED (optionally bucket-sorted) parquet table:
     * rows are hash-distributed into `buckets` files per partition by
     * `bucketCols`. Bucketing is the PRE-SHUFFLE a 100 TB pipeline pays once

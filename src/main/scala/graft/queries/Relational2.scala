@@ -327,6 +327,26 @@ object Relational2 {
         .orderBy("src", "p_partkey")
     },
 
+    // F16 modern form: VARIANT semi-structured extraction — parse the JSON
+    // payload ONCE into Spark's columnar variant binary, then typed path
+    // reads (`variant_get`). At 100 TB this replaces per-access string
+    // re-parsing (`get_json_object` scans the text per call, s6's form);
+    // parse_json + N extractions scans it once. Values must equal the
+    // string-path form, which is what the oracle recomputes.
+    Q("f19_variant_extract",
+      """SELECT event_id, event_type,
+        |  TRY_CAST(props->>'k' AS BIGINT) AS k_num,
+        |  CAST(props->>'k' IS NOT NULL AS BIGINT) AS has_k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          expr("try_variant_get(parse_json(props), '$.k', 'bigint')")
+            .as("k_num"),
+          expr("variant_get(parse_json(props), '$.k', 'string') is not null")
+            .cast("long").as("has_k"))
+        .orderBy("event_id")
+    },
+
     // F15/F6: KV key formatting + ordered id-list values — the reference's
     // Redis record shape (`'b_similar:%s' % id`, comma-joined ids,
     // simility_books.py:93-94).
