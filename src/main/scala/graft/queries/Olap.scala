@@ -176,6 +176,53 @@ object Olap {
         .select(col("k"), date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("n_filled"), col("was_gap"))
         .orderBy("k", "day")
+    },
+
+    // Time-RANGE window frame (w9's time-based sibling): trailing 7-DAY
+    // quantity per supplier — the frame is bounded by the ORDER-BY value
+    // (day number), not a row count, so same-day peers are all included
+    // and the result is deterministic without a total tie-break order.
+    Q("w12_trailing_time_window",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_7d
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("day_num",
+          datediff(col("l_shipdate").cast("date"), lit("1970-01-01")))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity")).over(
+              Window.partitionBy("l_suppkey").orderBy("day_num")
+                .rangeBetween(-6, Window.currentRow))
+            .cast("long").as("qty_7d"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // Group-wise winsorization: clip a heavy-tailed metric to its group's
+    // [p05, p95] — outlier control before feature scaling. EXACT
+    // interpolated percentiles per group (one partial+final agg over ≤
+    // |groups| rows) broadcast back onto the fact rows; identical
+    // interpolation rule to the oracle's quantile_cont (t7 precedent).
+    Q("a19_winsorize",
+      """WITH q AS (SELECT l_returnflag AS rf,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(least(greatest(l_extendedprice, lo), hi), 4) AS clipped
+        |FROM lineitem JOIN q ON l_returnflag = rf
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val q = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+          expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      li.join(broadcast(q), col("l_returnflag") === col("rf"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(least(greatest(col("l_extendedprice"), col("lo")), col("hi")), 4)
+            .as("clipped"))
+        .orderBy("l_orderkey", "l_linenumber")
     }
   )
 }
