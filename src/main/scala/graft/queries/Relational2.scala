@@ -327,6 +327,26 @@ object Relational2 {
         .orderBy("src", "p_partkey")
     },
 
+    // A13c: MERGEABLE distinct-count sketches (DataSketches HLL) — the
+    // incremental form a13b's scalar approx_count_distinct can't give:
+    // per-shard sketches precompute once, re-union forever (daily distinct
+    // users over a sharded 100 TB log without re-reading history). Output:
+    // per-type estimates + the union-merged global row. Estimates are
+    // engine arithmetic → rows-only; merge-consistency and error bounds
+    // are asserted in ApproxSpec.
+    Q.rowsOnly("a20_hll_mergeable") { (s, d) =>
+      val perType = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      perType
+        .select(col("event_type"),
+          expr("hll_sketch_estimate(sk)").cast("long").as("est"))
+        .union(perType
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+          .select(lit("__all__").as("event_type"), col("est").cast("long")))
+        .orderBy("event_type")
+    },
+
     // F16 modern form: VARIANT semi-structured extraction — parse the JSON
     // payload ONCE into Spark's columnar variant binary, then typed path
     // reads (`variant_get`). At 100 TB this replaces per-access string

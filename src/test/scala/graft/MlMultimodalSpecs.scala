@@ -21,6 +21,22 @@ class ApproxSpec extends SparkSuite {
     }
   }
 
+  test("A20: HLL sketches MERGE consistently — shard-union equals one pass, near exact") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val exact = ev.select(countDistinct(col("user_id"))).as[Long].head()
+    val onePass = ev.select(
+      expr("hll_sketch_estimate(hll_sketch_agg(user_id))")).as[Double].head()
+    // shard by event-id parity, sketch each shard, union the sketches:
+    // the incremental path must agree with the single-pass sketch
+    val sharded = ev.withColumn("shard", col("event_id") % 2)
+      .groupBy("shard").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .select(expr("hll_sketch_estimate(hll_union_agg(sk))")).as[Double].head()
+    assert(math.abs(sharded - onePass) / onePass < 0.01,
+      s"union-of-shards=$sharded one-pass=$onePass must agree")
+    assert(math.abs(onePass - exact) / exact < 0.05,
+      s"exact=$exact sketch=$onePass")
+  }
+
   test("T7b: approx percentiles within 5% of exact on document lengths") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = docs.groupBy("lang")
