@@ -63,6 +63,24 @@ object Ml {
         .orderBy("user")
     },
 
+    // MMR diversification over ANN candidates: top-10 cosine neighbors per
+    // query re-ranked for diversity (λ = 0.7), picking 5. The greedy is
+    // per-query local over the bounded candidate list; scores are exact
+    // doubles with a deterministic tie-break, so output is stable —
+    // rows-only because the greedy loop is not SQL-expressible.
+    Q.rowsOnly("ml3_mmr_diversify") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cands = graft.operators.Ann.bruteForceTopK(
+          emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 10)
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("vec")), "neighbor_id")
+      graft.rank.Diversify.mmrPerQuery(cands, "query_id", "neighbor_id",
+          "cosine", "vec", k = 5, lambda = 0.7)
+        .select(col("query"), col("item"), col("rank").cast("long"),
+          round(col("mmr"), 6).as("mmr"))
+        .orderBy("query", "rank")
+    },
+
     // Multimodal plumbing: pack text payloads as binary + metadata,
     // stub-decode to fixed-dim features, validate batch shape. The byte
     // length and checksum plumbing is real; the embed kernel is the

@@ -223,6 +223,28 @@ object Olap {
           round(least(greatest(col("l_extendedprice"), col("lo")), col("hi")), 4)
             .as("clipped"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Bivariate statistics per group: correlation, sample covariance,
+    // sample stddev — the feature-audit aggregates (collinearity checks,
+    // scale estimation) computed as ONE partial+final pass. Both engines
+    // use numerically-stable merge formulas; rounding absorbs the ~1e-12
+    // relative noise parallel summation order introduces.
+    Q("a21_correlation",
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_discount), 8) AS qty_disc_cov,
+        |  round(stddev_samp(l_extendedprice), 2) AS price_sd
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 8)
+            .as("qty_disc_cov"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("price_sd"))
+        .orderBy("l_returnflag")
     }
   )
 }
