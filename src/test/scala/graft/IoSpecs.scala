@@ -74,6 +74,24 @@ class KVSinkSpec extends SparkSuite {
       .select("userId").as[Long].collect().toSet == Set(101L, 106L))
   }
 
+  test("quarantine ingestion: bad lines are captured verbatim, good rows typed") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("quarantine")
+    java.nio.file.Files.write(dir.resolve("shipment.jsonl"),
+      """{"userId": 101, "bookIds": [1, 2]}
+        |{broken json!!
+        |{"userId": 106}
+        |not json at all
+        |""".stripMargin.getBytes("UTF-8"))
+    val q = Sources.jsonLinesQuarantine(spark, dir.toString,
+      io.EventSource.eventSchema)
+    assert(q.good.select("userId").as[Long].collect().toSet == Set(101L, 106L))
+    assert(!q.good.columns.contains("_corrupt_record"))
+    val bad = q.quarantine.select("raw").as[String].collect().toSet
+    assert(bad == Set("{broken json!!", "not json at all"),
+      s"quarantine must capture the raw lines verbatim, got $bad")
+  }
+
   test("S10-adjacent: binaryFiles reads opaque content with metadata") {
     val dir = java.nio.file.Files.createTempDirectory("s10")
     java.nio.file.Files.write(dir.resolve("img.bin"),
