@@ -85,6 +85,34 @@ object Sampling {
       .drop("__budget", "__cum")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    * Spirakis A-Res): each row gets key = u^(1/w) with u ∈ (0,1) derived
+    * from the id hash, and the k largest keys are the sample — inclusion
+    * probability rises with `weightCol` (quality-weighted data mixing:
+    * sample the corpus toward high-scoring documents without ever sorting
+    * by score outright, which would take only the top slice).
+    *
+    * Same determinism contract as every sampler here: u is a pure function
+    * of (id, seed), so membership is reproducible anywhere. Plan shape is
+    * a projection + global top-k — `TakeOrderedAndProject` (per-partition
+    * heaps, single reduce of k rows), no global sort, no sampling state.
+    * Zero/negative weights never survive while any positive-weight row
+    * remains (their key is 0). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     seed: Long, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    // u in (0, 1]: (bucket + 1) / 2^20 over a 20-bit hash slice — open at
+    // 0 so ln(u) is finite; pow(u, 1/w) in log space for stability
+    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 20)) + 1.0) /
+      lit((1L << 20).toDouble)
+    val key = when(col(weightCol) > 0.0,
+      exp(log(u) / col(weightCol))).otherwise(lit(0.0))
+    df.withColumn("__wkey", key)
+      .orderBy(col("__wkey").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Domain mixing: downsample strata so the output approaches the target
     * composition (e.g. 60% web / 30% books / 10% code) at the LARGEST
     * feasible size — the binding stratum (the one whose availability runs

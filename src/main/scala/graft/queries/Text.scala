@@ -276,6 +276,19 @@ object Text {
         .orderBy("source")
     },
 
+    // Quality-weighted sampling (Efraimidis-Spirakis without replacement):
+    // sample 100 docs with inclusion probability rising with document
+    // length — the "prefer high-quality, keep diversity" mixing step a
+    // pure top-by-score cut lacks. Engine hashing → rows-only; exact
+    // selection + monotonicity asserted in SessionizeSamplingSpec.
+    Q.rowsOnly("s14_weighted_sample") { (s, d) =>
+      graft.operators.Sampling.weightedSample(
+          Tables.documents(s, d).withColumn("w",
+            (col("n_chars") / lit(1000.0)) + lit(0.1)),
+          "doc_id", "w", seed = 11L, k = 100)
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+
     // Token-budget mixing (training mixes are specified in TOKENS, not doc
     // counts): per source, take docs in doc_id order until the cumulative
     // token count reaches the source's budget; the boundary-crossing doc is

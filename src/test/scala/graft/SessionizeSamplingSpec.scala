@@ -126,6 +126,40 @@ class SessionizeSamplingSpec extends SparkSuite {
     assert(take(Map("a" -> 1L)) === Seq(1L))
   }
 
+  test("weightedSample: matches local top-k over the same keys; zero weights excluded") {
+    val df = (1L to 200L).map(i => (i, if (i % 7 == 0) 0.0 else (i % 5 + 1).toDouble))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", seed = 7L, k = 20)
+      .select("id").as[Long].collect().toSet
+    // recompute the A-Res keys through Spark's own hash, select top-20
+    // locally — the operator must agree exactly (selection + tie-break)
+    val keys = df.select(col("id"),
+        (pmod(xxhash64(col("id"), lit(7L)), lit(1L << 20)) + 1.0) /
+          lit((1L << 20).toDouble), col("w"))
+      .as[(Long, Double, Double)].collect()
+    val exp = keys.map { case (id, u, w) =>
+        (id, if (w > 0.0) math.exp(math.log(u) / w) else 0.0)
+      }.sortBy { case (id, key) => (-key, id) }.take(20).map(_._1).toSet
+    assert(got == exp)
+    assert(got.forall(_ % 7 != 0), "zero-weight rows must not be sampled")
+  }
+
+  test("weightedSample: inclusion probability rises with weight across seeds") {
+    val df = ((1L to 99L).map(i => (i, 1.0)) :+ (100L, 50.0)).toDF("id", "w")
+    val hits = (1L to 20L).count { seed =>
+      Sampling.weightedSample(df, "id", "w", seed, k = 10)
+        .select("id").as[Long].collect().contains(100L)
+    }
+    assert(hits >= 18, s"the 50x-weight row should almost always survive ($hits/20)")
+  }
+
+  test("weightedSample: plans TakeOrderedAndProject, not a global sort") {
+    val df = (1L to 50L).map(i => (i, 1.0)).toDF("id", "w")
+    val plan = Sampling.weightedSample(df, "id", "w", seed = 1L, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("hashSplit: membership is a pure function of (id, seed)") {
     val ids = (1L to 500L).toDF("id")
     def assign(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
