@@ -108,6 +108,32 @@ object Similarity {
         .orderBy("a", "b")
     },
 
+    // EXACT all-pairs Jaccard via prefix filtering (PPJoin-family): the
+    // deterministic-guarantee counterpart of MinHash-LSH — only each
+    // document's rarest `|x| - ceil(t|x|) + 1` shingles are posted to the
+    // candidate join, with completeness proven by pigeonhole on the global
+    // df order. Hashed shingles; values equal the string-shingle oracle to
+    // ~2^-64 (d2b argument). PrefixJoinSpec asserts result-set equality
+    // with the plain all-pairs operator.
+    Q("d11_jaccard_prefix",
+      """WITH s AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 2, 1) + 1),
+        |      i -> t[i:i+2])) AS sh
+        |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |        FROM documents WHERE doc_id < 300)),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |      FROM s a, s b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, round(jaccard, 6) AS jaccard FROM p WHERE jaccard >= 0.6
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccardPairsPrefix(
+          Tables.documents(s, d).where(col("doc_id") < 300),
+          "doc_id", "text", n = 3, minJaccard = 0.6)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")
+    },
+
     // MinHash-LSH near-dup candidates (12 bands x 8 rows ⇒ s-curve
     // threshold ~0.73, verify >= 0.6 true Jaccard). Candidate generation
     // depends on xxhash64 so no SQL oracle; the ScalaTest suite checks it

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Prefix filtering must be a pure COST optimization: the exact result set
+  * of the plain all-pairs operator, at every threshold — completeness rides
+  * on the pigeonhole lemma, and any off-by-one in the prefix length loses
+  * real pairs silently. Checked on the full sf0.001 corpus and on
+  * adversarial fixtures (near-identical docs, singleton-shingle docs). */
+class PrefixJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("a"), col("b"), round(col("jaccard"), 9).as("j"))
+    .as[(Long, Long, Double)].collect().toSet
+
+  test("equals the plain all-pairs operator on the sf0.001 corpus, t=0.6 and t=0.9") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    for (t <- Seq(0.6, 0.9)) {
+      val plain = resultSet(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = t))
+      val prefix = resultSet(
+        Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 3, minJaccard = t))
+      assert(prefix == plain, s"t=$t: prefix filtering changed the result set")
+      assert(plain.nonEmpty, s"t=$t: fixture must actually produce pairs")
+    }
+  }
+
+  test("adversarial: identical docs (J=1) and t=1.0 prefix length 1 still match") {
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc dddd"), (2L, "aaaa bbbb cccc dddd"),
+      (3L, "aaaa bbbb cccc eeee"), (4L, "zz")
+    ).toDF("doc_id", "text")
+    val got = resultSet(
+      Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 3, minJaccard = 1.0))
+    assert(got.map(r => (r._1, r._2)) == Set((1L, 2L)))
+    assert(got.head._3 == 1.0)
+  }
+
+  test("candidate volume: prefixes post strictly fewer shingles than full posting") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    val full = sh.select(explode(col("sh"))).count()
+    val prefixLen = sh.select(
+        (size(col("sh")) - ceil(lit(0.6) * size(col("sh"))) + 1).cast("long"))
+      .as[Long].collect().sum
+    assert(prefixLen < full / 2,
+      s"prefix posting ($prefixLen) should be well under full posting ($full)")
+  }
+}
