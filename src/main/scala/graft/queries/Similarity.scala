@@ -145,6 +145,31 @@ object Similarity {
         .orderBy("a", "b")
     },
 
+    // d3's hash-matched sibling (same argument as d5b): with high-recall
+    // banding (24 x 4, P(miss) ≈ 3e-6 per true pair at J >= 0.8, seeded
+    // hashes) on a bounded sub-corpus, the LSH candidate set EQUALS the
+    // exact >= 0.8 pair set — so the verified pairs hash-match an
+    // all-pairs DuckDB oracle, turning the probabilistic operator's gate
+    // from rows-only into value-checked.
+    Q("d3b_minhash_lsh_exact",
+      """WITH s AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 2, 1) + 1),
+        |      i -> t[i:i+2])) AS sh
+        |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |        FROM documents WHERE doc_id < 400)),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |      FROM s a, s b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, round(jaccard, 6) AS jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.minHashLsh(Tables.documents(s, d).where(col("doc_id") < 400),
+          "doc_id", "text", shingleN = 3, bands = 24, rows = 4,
+          minJaccard = 0.8)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")
+    },
+
     // End-to-end corpus dedup: LSH candidates → min-label cluster
     // resolution → keep the smallest id per duplicate cluster.
     Q.rowsOnly("d5_dedup_corpus") { (s, d) =>

@@ -31,7 +31,27 @@ object StreamJoin {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
                    watermark: String, before: String,
-                   after: String): DataFrame = {
+                   after: String): DataFrame =
+    joinImpl(left, right, key, leftTs, rightTs, watermark, before, after,
+      "inner")
+
+  /** LEFT OUTER [[intervalJoin]]: left events with NO right match inside
+    * the window surface with null right columns — but only once the
+    * watermark has passed the window's end, when "no match yet" provably
+    * means "no match ever". The negative-label miner: impressions without
+    * a click inside the attribution window ARE the negative training
+    * examples, and a pipeline that only inner-joins silently loses them. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+                            leftTs: String, rightTs: String,
+                            watermark: String, before: String,
+                            after: String): DataFrame =
+    joinImpl(left, right, key, leftTs, rightTs, watermark, before, after,
+      "left_outer")
+
+  private def joinImpl(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String, watermark: String,
+                       before: String, after: String,
+                       joinType: String): DataFrame = {
     require(leftTs != rightTs,
       "leftTs and rightTs must be distinct column names (rename upstream)")
     val l = left.withWatermark(leftTs, watermark).alias("l")
@@ -39,7 +59,8 @@ object StreamJoin {
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"))
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"),
+      joinType)
       .drop(col(s"r.$key"))
   }
 }

@@ -41,6 +41,36 @@ class StreamJoinSpec extends SparkSuite {
     assert(got == Set((1L, "i1", "c1")))
   }
 
+  test("left outer: unclicked impressions surface with nulls after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp, String)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamJoin.intervalJoinLeftOuter(
+      imps.toDF().toDF("user", "imp_ts", "imp_id"),
+      clicks.toDF().toDF("user", "click_ts", "click_id"),
+      key = "user", leftTs = "imp_ts", rightTs = "click_ts",
+      watermark = "5 seconds", before = "0 seconds", after = "10 seconds")
+    val q = joined.select("user", "imp_id", "click_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sjo_out").start()
+
+    imps.addData((1L, ts(100), "i1"), (2L, ts(100), "i2"))
+    clicks.addData((1L, ts(104), "c1"))   // user 1 clicks; user 2 never does
+    q.processAllAvailable()
+    // push BOTH watermarks far past i2's window end (110 + 5s lateness):
+    // only then is "no click yet" provably "no click ever"
+    imps.addData((9L, ts(400), "i9"))
+    clicks.addData((9L, ts(401), "c9"))
+    q.processAllAvailable()
+    val got = spark.table("sjo_out")
+      .select("user", "imp_id", "click_id")
+      .as[(Long, String, Option[String])].collect().toSet
+    q.stop()
+    assert(got.contains((1L, "i1", Some("c1"))))
+    assert(got.contains((2L, "i2", None)),
+      s"unclicked impression must surface as a negative example, got $got")
+  }
+
   test("the same operator runs in batch mode for backtests") {
     val imps = Seq((1L, ts(100), "i1"), (2L, ts(200), "i2"))
       .toDF("user", "imp_ts", "imp_id")
