@@ -31,12 +31,33 @@ object CorpusPrep {
       packTokens: Long = 2048L,
       packBuckets: Int = 32)
 
+  /** [[prepare]]'s result plus its audit handles: read each Observation
+    * AFTER an action has run the returned frame. `input` covers every raw
+    * row (total, null ids, empty texts, chars); `kept` covers the rows
+    * that survived quality+language filtering (what dedup then saw). */
+  final case class Prepared(df: DataFrame,
+                            input: org.apache.spark.sql.Observation,
+                            kept: org.apache.spark.sql.Observation)
+
   /** docs: (idCol, textCol, ...). Returns the surviving rows with
     * `quality`, `lang` (computed if absent), `split`, `n_tokens`,
     * `bucket`, `pack_id` attached. */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
-              cfg: Config = Config()): DataFrame = {
-    val scored = docs
+              cfg: Config = Config()): DataFrame =
+    prepareAudited(docs, idCol, textCol, cfg).df
+
+  /** [[prepare]] with in-flight audit counters ([[graft.operators.Observe]])
+    * on the raw input and on the post-filter corpus — the "we lost N rows
+    * to quality, M to language" numbers ride the pipeline's own scan
+    * instead of a second pass. NOTE: dedupCorpus materializes the pair
+    * stage internally, so both observations are populated by the time
+    * `prepare` returns; re-running the returned frame re-observes. */
+  def prepareAudited(docs: DataFrame, idCol: String, textCol: String,
+                     cfg: Config = Config()): Prepared = {
+    val (observed, inputObs) =
+      graft.operators.Observe.corpusQuality(docs, idCol, textCol,
+        name = s"corpus_prep_input_${java.util.UUID.randomUUID}")
+    val scored = observed
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .where(col("quality") >= cfg.minQuality)
     val withLang =
@@ -45,7 +66,10 @@ object CorpusPrep {
     val langFiltered =
       if (cfg.langs.isEmpty) withLang
       else withLang.where(col("lang").isin(cfg.langs.toSeq: _*))
-    val deduped = Dedup.dedupCorpus(langFiltered, idCol, textCol,
+    val (kept, keptObs) =
+      graft.operators.Observe.corpusQuality(langFiltered, idCol, textCol,
+        name = s"corpus_prep_kept_${java.util.UUID.randomUUID}")
+    val deduped = Dedup.dedupCorpus(kept, idCol, textCol,
       shingleN = cfg.shingleN, minJaccard = cfg.dedupMinJaccard)
     val split = Sampling.hashSplit(deduped, idCol, cfg.splitSeed, cfg.fractions)
     val counted = split
@@ -53,7 +77,9 @@ object CorpusPrep {
       .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(cfg.packBuckets.toLong)))
     // pack within (split, bucket): packs never mix train/val/test rows,
     // and the cumsum window stays partition-parallel
-    Packing.contiguousPack(counted, "n_tokens", cfg.packTokens,
-      bucketCol = struct(col("split"), col("bucket")), orderCol = col(idCol))
+    Prepared(
+      Packing.contiguousPack(counted, "n_tokens", cfg.packTokens,
+        bucketCol = struct(col("split"), col("bucket")), orderCol = col(idCol)),
+      inputObs, keptObs)
   }
 }

@@ -40,6 +40,16 @@ class CorpusPrepSpec extends SparkSuite {
     assert(ids.subsetOf((1L to 201L).toSet))
   }
 
+  test("prepareAudited: in-flight counters cover raw input and post-filter corpus") {
+    val p = CorpusPrep.prepareAudited(corpus, "doc_id", "text",
+      CorpusPrep.Config(minQuality = 0.4, dedupMinJaccard = 0.7))
+    p.df.count()
+    assert(p.input.get("rows") == 67L, "input audit must cover every raw row")
+    val kept = p.kept.get("rows").asInstanceOf[Long]
+    assert(kept == 65L, s"quality filter drops exactly the two junk rows ($kept)")
+    assert(p.input.get("null_ids") == 0L)
+  }
+
   test("prepare: packs never mix splits; token budget respected at pack starts") {
     val out = CorpusPrep.prepare(corpus, "doc_id", "text",
       CorpusPrep.Config(packTokens = 30L, packBuckets = 2))
