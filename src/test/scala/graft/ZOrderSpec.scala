@@ -44,6 +44,30 @@ class ZOrderSpec extends SparkSuite {
     assert(viaCol.toSeq == exp && sql.toSeq == exp)
   }
 
+  test("written z-sorted files carry tight min/max stats on BOTH columns") {
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    val grid = (for (x <- 0 until 32; y <- 0 until 32)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    def fileExtents(sorted: org.apache.spark.sql.DataFrame, dir: String) = {
+      // range-partition on the sort key into 16 files: each file is one
+      // row group, so per-file min/max IS what row-group skipping sees
+      sorted.repartitionByRange(16, col("__s")).sortWithinPartitions("__s")
+        .drop("__s").write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).groupBy(input_file_name())
+        .agg((fmax("x") - fmin("x")).as("dx"), (fmax("y") - fmin("y")).as("dy"))
+        .select("dx", "dy").as[(Long, Long)].collect()
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("zo").toString
+    val rmDir = java.nio.file.Files.createTempDirectory("rm").toString
+    val zExt = fileExtents(grid.withColumn("__s", Sink.zorder(col("x"), col("y"))), zDir)
+    val rmExt = fileExtents(grid.withColumn("__s", col("x") * 32 + col("y")), rmDir)
+    // 1024 rows / 16 files = 64-point aligned z-tiles: 8x8 extents
+    assert(zExt.forall { case (dx, dy) => dx <= 7 && dy <= 7 },
+      s"z files must be tight in both dims: ${zExt.toSeq}")
+    // row-major files span the full y domain — a y-predicate skips nothing
+    assert(rmExt.forall { case (_, dy) => dy == 31 }, rmExt.toSeq)
+  }
+
   test("z-sorted blocks have bounded extents in BOTH dims; row-major does not") {
     // 32x32 grid, blocks of 64 consecutive rows under each ordering
     val grid = for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)
