@@ -370,5 +370,69 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
     },
+
+    // Q3-shape shipping-priority: a 3-table selective star join + grouped
+    // revenue top-10. Revenue sums in integer CENTS — both engines round
+    // the SAME IEEE double per item, then sum exactly — so the result is
+    // bit-stable where a floating sum would differ by summation order at
+    // 1e-9 relative (right at the checker's tolerance). Catalyst plans
+    // broadcast dims + partial aggregation; AQE reorders at runtime.
+    Q("q3_shipping_priority",
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d)
+          .where(col("o_orderdate") < lit("1995-03-15").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .where(col("l_shipdate") > lit("1995-03-15").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("revenue_cents"))
+        .select(col("l_orderkey"), col("revenue_cents"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Q5-shape local-supplier revenue: a 6-table snowflake join with the
+    // customer-supplier co-nation constraint, grouped by nation. Same
+    // integer-cents discipline; region/nation broadcast, the fact join
+    // shuffles once on the order key.
+    Q("q5_local_supplier",
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    },
   )
 }
