@@ -102,6 +102,17 @@ class PlanSpec extends SparkSuite {
       s"corpus side of the fuzzy join must not shuffle:\n$p")
   }
 
+  test("q3/q5: star joins broadcast dims, never cross-product; filters reach scans") {
+    val p3 = plan("q3_shipping_priority")
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    assert(!p3.contains("CartesianProduct"))
+    assert(p3.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter must reach the customer scan")
+    val p5 = plan("q5_local_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p5).size >= 2, p5)
+    assert(!p5.contains("CartesianProduct"))
+  }
+
   test("J7: maxDfFraction adds the df-prune semi-ish join before pair generation") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
