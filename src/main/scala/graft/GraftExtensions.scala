@@ -86,7 +86,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => BmpFeatures(es.head)),
     (FunctionIdentifier("zorder2"),
       info("zorder2", "zorder2(a, b) - 2-D Morton interleave of bucket ranks for multi-column layout"),
-      (es: Seq[Expression]) => ZOrder2(es(0), es(1))))
+      (es: Seq[Expression]) => ZOrder2(es(0), es(1))),
+    (FunctionIdentifier("bpe_tokenize"),
+      info("bpe_tokenize",
+        "bpe_tokenize(text, merges) - BPE with a literal merge table: 'l o|lo w|e r' (rank order, space-separated pairs, |-separated)"),
+      (es: Seq[Expression]) => {
+        val spec = Option(es(1).eval())
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+          .getOrElse(throw new IllegalArgumentException(
+            "bpe_tokenize: merges must be a non-null string literal"))
+        val merges = spec.split('|').toSeq.filter(_.nonEmpty).map { p =>
+          val parts = p.split(' ')
+          require(parts.length == 2,
+            s"bpe_tokenize: each merge must be 'left right' (got '$p')")
+          (parts(0), parts(1))
+        }
+        BpeTokenize(es.head, merges)
+      }))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

@@ -276,6 +276,25 @@ object Text {
         .orderBy("source")
     },
 
+    // Real BPE subword segmentation (merge-table application — the
+    // algorithm t2's regex heuristic approximates): token counts + the
+    // leading tokens per document under a fixed English-digraph merge
+    // table. The greedy merge loop is engine-side (plan-embedded table,
+    // primitive per-word loop) → rows-only; semantics pinned in BpeSpec.
+    Q.rowsOnly("t13_bpe_tokenize") { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+        ("an", "d"), ("in", "g"), ("e", "r"), ("o", "n"), ("r", "e"),
+        ("o", "u"), ("s", "t"), ("e", "n"))
+      val toks = column(graft.expressions.BpeTokenize(
+        expression(lower(col("text"))), merges))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_bpe"),
+          array_join(slice(col("toks"), 1, 8), " ").as("head_toks"))
+        .orderBy("doc_id")
+    },
+
     // Quality-weighted sampling (Efraimidis-Spirakis without replacement):
     // sample 100 docs with inclusion probability rising with document
     // length — the "prefer high-quality, keep diversity" mixing step a

@@ -77,6 +77,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("orth") == 0.0)
   }
 
+  test("bpe_tokenize: literal merge table reachable from SQL") {
+    val got = spark.sql(
+      "SELECT bpe_tokenize('lower low', 'l o|lo w|e r') AS toks")
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("low", "er", "low"))
+    val err = intercept[Exception] {
+      spark.sql("SELECT bpe_tokenize('x', 'bad merge spec here')").collect()
+    }
+    assert(err.getMessage.contains("left right"))
+  }
+
   test("set and media kernels callable from spark.sql") {
     val row = spark.sql(
       """SELECT intersection_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS i,
