@@ -276,6 +276,79 @@ object Text {
         .orderBy("source")
     },
 
+    // Gopher-style composite document filter: the gated quality signals
+    // (t3 score, t8 repetition ratios, token count) folded into ONE
+    // keep/drop decision with the FIRST failing rule named — the actual
+    // corpus-filter step, auditable per document. Thresholds are
+    // deliberately non-representable-round values (0.41234 …) so a 1-ulp
+    // cross-engine difference cannot straddle a boundary.
+    Q("t14_doc_filter",
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, text, toks,
+        |        CASE WHEN len(toks) >= 3 THEN
+        |          list_transform(range(1, len(toks) - 1),
+        |            i -> array_to_string(toks[i:i+2], ' '))
+        |        ELSE [] END AS tris
+        |      FROM t),
+        |m AS (SELECT doc_id,
+        |    ((CASE WHEN
+        |        CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |          / greatest(CAST(len(toks) AS DOUBLE), 1.0) BETWEEN 3 AND 10
+        |      THEN 1.0 ELSE 0.0 END)
+        |     + CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |        / greatest(CAST(length(text) AS DOUBLE), 1.0)
+        |     + least(CAST(len(list_filter(toks,
+        |          x -> x IN ('the','a','an','of','to','in','and','is','on','for',
+        |                     'with','that','as','it','at','by'))) AS DOUBLE)
+        |        / greatest(CAST(len(toks) AS DOUBLE), 1.0) * 4, 1.0)) / 3.0
+        |      AS quality,
+        |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |      AS dup_tok,
+        |    CASE WHEN len(tris) > 0 THEN
+        |      1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris)
+        |    ELSE 0.0 END AS dup_tri,
+        |    len(toks) AS n_toks
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN reason = '' THEN 1 ELSE 0 END AS BIGINT) AS kept,
+        |  reason
+        |FROM (SELECT doc_id,
+        |  CASE WHEN n_toks < 5 THEN 'too_short'
+        |       WHEN n_toks > 100000 THEN 'too_long'
+        |       WHEN quality < 0.41234 THEN 'low_quality'
+        |       WHEN dup_tok > 0.31234 THEN 'repetitive_tokens'
+        |       WHEN dup_tri > 0.21234 THEN 'repetitive_trigrams'
+        |       ELSE '' END AS reason FROM m)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokenize(col("text"))
+      val tris = when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => array_join(slice(toks, i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val m = Tables.documents(s, d)
+        .withColumn("toks", toks).withColumn("tris", tris)
+        .select(col("doc_id"),
+          qualityScoreRaw(col("text")).as("quality"),
+          (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks"))).as("dup_tok"),
+          when(size(col("tris")) > 0,
+            lit(1.0) - size(array_distinct(col("tris"))).cast("double") /
+              size(col("tris"))).otherwise(lit(0.0)).as("dup_tri"),
+          size(col("toks")).cast("long").as("n_toks"))
+      m.select(col("doc_id"),
+          when(col("n_toks") < 5, "too_short")
+            .when(col("n_toks") > 100000, "too_long")
+            .when(col("quality") < 0.41234, "low_quality")
+            .when(col("dup_tok") > 0.31234, "repetitive_tokens")
+            .when(col("dup_tri") > 0.21234, "repetitive_trigrams")
+            .otherwise("").as("reason"))
+        .select(col("doc_id"),
+          when(col("reason") === "", 1L).otherwise(0L).as("kept"),
+          col("reason"))
+        .orderBy("doc_id")
+    },
+
     // Real BPE subword segmentation (merge-table application — the
     // algorithm t2's regex heuristic approximates): token counts + the
     // leading tokens per document under a fixed English-digraph merge
