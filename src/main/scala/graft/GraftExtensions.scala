@@ -91,6 +91,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bpe_tokenize",
         "bpe_tokenize(text, merges) - BPE with a literal merge table: 'l o|lo w|e r' (rank order, space-separated pairs, |-separated)"),
       (es: Seq[Expression]) => {
+        // guard BEFORE eval: a non-foldable second argument (a column
+        // reference) or a non-string literal would otherwise surface as an
+        // unresolved-expression / ClassCastException instead of this error
+        if (!es(1).foldable ||
+            es(1).dataType != org.apache.spark.sql.types.StringType)
+          throw new IllegalArgumentException(
+            "bpe_tokenize: merges must be a non-null string LITERAL " +
+              s"(got ${es(1).sql})")
         val spec = Option(es(1).eval())
           .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
           .getOrElse(throw new IllegalArgumentException(

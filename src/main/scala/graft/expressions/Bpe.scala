@@ -31,8 +31,12 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  // earlier-wins on duplicate pairs: toMap keeps the LAST value per key,
+  // which would invert the documented "earlier = higher priority" order if
+  // a merge table repeats a pair — reverse before toMap so the first
+  // occurrence's (lower) rank survives.
   @transient private lazy val rank: Map[(String, String), Int] =
-    merges.zipWithIndex.toMap
+    merges.zipWithIndex.reverse.toMap
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString

@@ -50,7 +50,19 @@ object Resample {
   /** The generic form: any period length via `step` (a Column interval,
     * e.g. `expr("INTERVAL 1 HOUR")`) over a timestamp column, for callers
     * whose series are not daily. Same plan shape and contract as
-    * [[gapFillDaily]]. */
+    * [[gapFillDaily]].
+    *
+    * PRECONDITION — grid alignment: every observation's `tsCol` must lie
+    * ON its key's step grid (the sequence lo, lo+step, lo+2*step, …
+    * anchored at that key's earliest observation). The scaffold join is an
+    * exact equality, so a misaligned row (00:30 against an hourly grid
+    * from 00:00) would neither appear in the output nor be carried
+    * forward. Rather than lose it silently, the plan FAILS FAST: the join
+    * is full-outer with a scaffold-side marker, and any observation row
+    * that missed the grid raises a descriptive error at execution time
+    * (zero cost when all rows align — the error branch never evaluates).
+    * Truncate timestamps to the grid (`date_trunc`) before calling if the
+    * data is not already aligned. */
   def gapFill(df: DataFrame, keyCol: String, tsCol: String,
               valueCol: String, step: Column): DataFrame = {
     val obs = df.select(col(keyCol), col(tsCol).as("period"), col(valueCol))
@@ -58,11 +70,20 @@ object Resample {
       .agg(min(col("period")).as("lo"), max(col("period")).as("hi"))
     val scaffold = ranges.select(col(keyCol),
       explode(sequence(col("lo"), col("hi"), step)).as("period"))
+      .withColumn("__on_grid", lit(1))
     val w = Window.partitionBy(keyCol).orderBy("period")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scaffold.join(obs, Seq(keyCol, "period"), "left")
+    scaffold.join(obs, Seq(keyCol, "period"), "full_outer")
+      .withColumn("__filled",
+        last(col(valueCol), ignoreNulls = true).over(w))
       .select(col(keyCol), col("period"),
-        last(col(valueCol), ignoreNulls = true).over(w)
+        when(col("__on_grid").isNull,
+          raise_error(format_string(
+            "gapFill: observation at %s for key %s is not aligned to its " +
+              "key's step grid — truncate tsCol to the grid (date_trunc) " +
+              "before gap-filling",
+            col("period").cast("string"), col(keyCol).cast("string"))))
+          .otherwise(col("__filled"))
           .as(s"${valueCol}_filled"),
         when(col(valueCol).isNull, 1L).otherwise(0L).as("was_gap"))
   }

@@ -101,10 +101,14 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      seed: Long, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
-    // u in (0, 1]: (bucket + 1) / 2^20 over a 20-bit hash slice — open at
-    // 0 so ln(u) is finite; pow(u, 1/w) in log space for stability
-    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 20)) + 1.0) /
-      lit((1L << 20).toDouble)
+    // u in (0, 1) STRICTLY open: (bucket + 0.5) / 2^52 over a 52-bit hash
+    // slice. 52 bits ≈ double mantissa resolution, so weight-independent
+    // key collisions (which would tie-break toward ascending id and bias
+    // the sample tail toward low ids in large corpora) are negligible;
+    // the half-step offset keeps u < 1 so the key never saturates at 1.0
+    // regardless of weight, and u > 0 so ln(u) is finite.
+    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 52)) + 0.5) /
+      lit((1L << 52).toDouble)
     val key = when(col(weightCol) > 0.0,
       exp(log(u) / col(weightCol))).otherwise(lit(0.0))
     df.withColumn("__wkey", key)

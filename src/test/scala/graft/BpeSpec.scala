@@ -41,6 +41,16 @@ class BpeSpec extends SparkSuite {
     assert(got == Seq("a", "bc"))
   }
 
+  test("duplicate pair in the merge table keeps its FIRST (highest-priority) rank") {
+    // ("a","b") appears at rank 0 and again at rank 2; last-wins ranking
+    // would demote it below ("b","c") and produce a+bc instead of ab+c
+    val got = Seq("abc")
+      .toDF("t")
+      .select(bpe(col("t"), Seq(("a", "b"), ("b", "c"), ("a", "b"))).as("toks"))
+      .as[Seq[String]].head()
+    assert(got == Seq("ab", "c"))
+  }
+
   test("learned merges compress repeated corpus patterns end-to-end") {
     // a tiny "learned" table: common English digraphs chained to words
     val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),

@@ -86,6 +86,12 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT bpe_tokenize('x', 'bad merge spec here')").collect()
     }
     assert(err.getMessage.contains("left right"))
+    // a non-literal merge argument must fail with the descriptive error,
+    // not an unresolved-expression / ClassCastException from builder eval
+    val nonLit = intercept[Exception] {
+      spark.sql("SELECT bpe_tokenize(t, t) FROM VALUES ('x') AS v(t)").collect()
+    }
+    assert(nonLit.getMessage.contains("LITERAL"), nonLit.getMessage)
   }
 
   test("set and media kernels callable from spark.sql") {

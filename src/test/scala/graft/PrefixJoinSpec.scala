@@ -38,6 +38,37 @@ class PrefixJoinSpec extends SparkSuite {
     assert(got.head._3 == 1.0)
   }
 
+  test("fp boundary: t*sz integral but double-overshooting must not drop J==t pairs") {
+    // Char-3-grams: A="abcdefa" → {abc,bcd,cde,def,efa} (5), B="abcdef" →
+    // {abc,bcd,cde,def} (4) ⊂ A, so J = 4/5 = t exactly at t=0.8. In
+    // doubles 0.8*5 = 4.000000000000000222: an un-clamped ceil makes A's
+    // prefix one shingle short (1 instead of 2) AND the length filter
+    // rejects szb=4 >= 0.8*5. A's only exclusive gram "efa" has dfreq 1,
+    // so it is the single prefix shingle under the buggy length — every
+    // shared gram sits in the suffix and the pair vanishes silently.
+    val docs = Seq(
+      (1L, "abcdefa"),
+      (2L, "abcdef")
+    ).toDF("doc_id", "text")
+    for (op <- Seq(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.8),
+        Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 3, minJaccard = 0.8))) {
+      assert(resultSet(op) == Set((1L, 2L, 0.8)),
+        "boundary pair at J exactly t must survive")
+    }
+  }
+
+  test("equals the plain operator at thresholds with inexact double products") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    for (t <- Seq(0.55, 0.8)) {
+      val plain = resultSet(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = t))
+      val prefix = resultSet(
+        Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 3, minJaccard = t))
+      assert(prefix == plain, s"t=$t: prefix filtering changed the result set")
+    }
+  }
+
   test("candidate volume: prefixes post strictly fewer shingles than full posting") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val sh = docs.select(col("doc_id"),

@@ -35,6 +35,21 @@ class ResampleSpec extends SparkSuite {
     assert(got.length == 1 && got.head._3 == 5L && got.head._4 == 0L)
   }
 
+  test("generic gapFill fails fast on observations off the step grid") {
+    // 00:30 against an hourly grid anchored at 00:00 would silently vanish
+    // under a left join (neither emitted nor carried forward) — the full-
+    // outer + marker plan must surface it as a descriptive error instead.
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 2L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 3L)
+    ).toDF("k", "ts", "v")
+    val err = intercept[Exception] {
+      Resample.gapFill(df, "k", "ts", "v", expr("INTERVAL 1 HOUR")).collect()
+    }
+    assert(err.getMessage.contains("not aligned"), err.getMessage)
+  }
+
   test("generic gapFill handles hourly timestamps") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),

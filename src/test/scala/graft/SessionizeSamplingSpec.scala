@@ -132,10 +132,11 @@ class SessionizeSamplingSpec extends SparkSuite {
     val got = Sampling.weightedSample(df, "id", "w", seed = 7L, k = 20)
       .select("id").as[Long].collect().toSet
     // recompute the A-Res keys through Spark's own hash, select top-20
-    // locally — the operator must agree exactly (selection + tie-break)
+    // locally — the operator must agree exactly (selection + tie-break).
+    // Mirrors the 52-bit strictly-open-(0,1) slice in Sampling.weightedSample.
     val keys = df.select(col("id"),
-        (pmod(xxhash64(col("id"), lit(7L)), lit(1L << 20)) + 1.0) /
-          lit((1L << 20).toDouble), col("w"))
+        (pmod(xxhash64(col("id"), lit(7L)), lit(1L << 52)) + 0.5) /
+          lit((1L << 52).toDouble), col("w"))
       .as[(Long, Double, Double)].collect()
     val exp = keys.map { case (id, u, w) =>
         (id, if (w > 0.0) math.exp(math.log(u) / w) else 0.0)
