@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,7 +53,38 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    // The round artifact keeps only the LAST ~2000 chars of stdout, and the
+    // full per-query map (~3 KB at 114 queries) cannot fit — BENCH_r03 lost
+    // the a*/ann*/d*/e2e families to head-truncation. Loss-proofing, in
+    // print order:
+    //   1. the complete full-precision line (parsers reading full stdout
+    //      still get everything),
+    //   2. target/bench_local.json with the same content (survives any
+    //      stdout capture),
+    //   3. LAST: a compact contract-shaped line — total, per-family
+    //      subtotals, the 10 slowest queries, failure names — sized well
+    //      under the tail budget so the artifact of record always retains
+    //      the headline numbers.
+    println(fullLine)
+    val outPath = java.nio.file.Paths.get("target/bench_local.json")
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath,
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def r3(v: Double): String = f"$v%.3f"
+    val ok = results.filter(_._2 >= 0)
+    val families = ok
+      .groupBy { case (name, _) => name.takeWhile(_ != '_').takeWhile(!_.isDigit) }
+      .toSeq.sortBy(_._1)
+      .map { case (fam, rs) => s"\"$fam\":${r3(rs.map(_._2).sum)}" }
+      .mkString("{", ",", "}")
+    val slowest = ok.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nqueries":${results.size},"failed":$failed,"families":$families,"slowest":$slowest,"file":"target/bench_local.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
