@@ -64,12 +64,33 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 /** 64-bit SimHash over a token array: per-token `xxhash64` (same function
   * and seed as the built-in), one pass updating 64 counters, bit j set iff
   * the counter is positive — interchangeable with the HOF form in
-  * [[graft.operators.Dedup.simHash]]. */
-case class SimHash64(child: Expression, seed: Long = 42L)
+  * [[graft.operators.Dedup.simHash]].
+  *
+  * `fnv = true` swaps the token hash for FNV-1a-64 over Unicode code
+  * points — a hash simple enough to recompute in plain SQL (HUGEINT
+  * modular arithmetic), which is what lets the `d4b` gate hash-match a
+  * DuckDB oracle end-to-end. xxhash64 stays the default: it is faster and
+  * better-mixed, the right production choice. */
+case class SimHash64(child: Expression, seed: Long = 42L,
+                     fnv: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+
+  private def fnv1a64(s: UTF8String): Long = {
+    // FNV-1a, folded over code points (not UTF-8 bytes): identical to
+    // list_reduce over unicode(c) per character in the SQL oracle
+    var h = 0xcbf29ce484222325L
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h ^ cp) * 0x100000001b3L
+      i += Character.charCount(cp)
+    }
+    h
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -79,7 +100,8 @@ case class SimHash64(child: Expression, seed: Long = 42L)
     while (j < n) {
       val t = arr.getUTF8String(j)
       if (t != null) {
-        val h = XxHash64Function.hash(t, StringType, seed)
+        val h = if (fnv) fnv1a64(t)
+                else XxHash64Function.hash(t, StringType, seed)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -338,6 +338,57 @@ object Similarity {
         .orderBy("a", "b")
     },
 
+    // d4's hash-matched sibling (the d3b/d5b playbook applied to SimHash):
+    // the FNV-1a-64 token-hash variant is simple enough for DuckDB to
+    // recompute the full signature pipeline in SQL — per-token FNV via
+    // list_reduce with HUGEINT mod-2^64 arithmetic, 64 bit-vote sums, sign
+    // rebuild of the signature, brute-force bit_count(xor) <= h over the
+    // bounded sub-corpus. Chunk blocking is pigeonhole-COMPLETE (13 chunks
+    // at h=12 ⇒ one exact-matching chunk) and with < 200 docs the
+    // maxBucket guard never prunes, so the operator's pair set EQUALS the
+    // exact Hamming join and the rows hash-match. CAST(... AS BIGINT) on
+    // the summed signature is load-bearing: DuckDB SUM(BIGINT) widens to
+    // HUGEINT and a 128-bit xor adds 64 phantom bits on mixed-sign pairs.
+    Q("d4b_simhash_exact",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE doc_id < 60),
+        |th AS (SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(-3750763034362895579 AS BIGINT),
+        |        list_transform(regexp_split_to_array(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |      (acc, cp) -> CAST(
+        |        CASE WHEN ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT >= 9223372036854775808::HUGEINT
+        |             THEN ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT - 18446744073709551616::HUGEINT
+        |             ELSE ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT END AS BIGINT)) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+        |  FROM th CROSS JOIN generate_series(0, 63) AS g(j)
+        |  GROUP BY doc_id, j),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN votes > 0 THEN
+        |      CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |           ELSE CAST(1 AS BIGINT) << j END ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sigs a, sigs b
+        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 12
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.simHashPairs(Tables.documents(s, d).where(col("doc_id") < 60),
+          "doc_id", "text", maxHamming = 12, fnv = true)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a", "b")
+    },
+
     // Embedding-cosine near-dup mining: threshold join rather than top-k —
     // the dedup flavor of the ANN surface (pairs above a similarity
     // floor). Double index-order accumulation keeps it oracle-exact.

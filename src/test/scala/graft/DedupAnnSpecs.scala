@@ -81,6 +81,21 @@ class DedupSpec extends SparkSuite {
     assert(pairs((1L, 6L)) == 0L)   // whitespace squeezed before hashing
     assert(!pairs.contains((1L, 4L)))
   }
+
+  test("simhash fnv variant: single-token signature IS the token's FNV-1a-64") {
+    // one token → every bit votes exactly once, so the signature equals the
+    // token hash wherever its bit is 1 (ties at 0 votes stay 0 — there are
+    // none with a single vote). Hand-computed: fnv1a64("key") over code
+    // points = 0x3dc84e93...: h=0xcbf29ce484222325; h=(h^cp)*0x100000001b3
+    // for cp in 107,101,121 → 4452171178779021548.
+    val sig = Seq("key").toDF("t")
+      .select(Dedup.simHash(col("t"), fnv = true)).as[Long].head()
+    assert(sig == 4452171178779021548L)
+    // and the fnv flag actually changes the hash family
+    val xx = Seq("key").toDF("t")
+      .select(Dedup.simHash(col("t"))).as[Long].head()
+    assert(xx != sig)
+  }
 }
 
 class AnnSpec extends SparkSuite {
