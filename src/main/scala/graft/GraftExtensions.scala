@@ -84,6 +84,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier("bmp_features"),
       info("bmp_features", "bmp_features(bin) - uncompressed 24-bit BMP decode: dims + channel means"),
       (es: Seq[Expression]) => BmpFeatures(es.head)),
+    (FunctionIdentifier("png_features"),
+      info("png_features", "png_features(bin) - codec-free PNG decode (zlib inflate + filter reconstruction): dims, channels, channel means"),
+      (es: Seq[Expression]) => PngFeatures(es.head)),
     (FunctionIdentifier("zorder2"),
       info("zorder2", "zorder2(a, b) - 2-D Morton interleave of bucket ranks for multi-column layout"),
       (es: Seq[Expression]) => ZOrder2(es(0), es(1))),

@@ -97,6 +97,150 @@ case class WavFeatures(child: Expression)
     copy(child = c)
 }
 
+/** binary → struct(width, height, channels, mean_r, mean_g, mean_b) for
+  * PNG — a REAL codec-free decode: the only compression PNG uses is zlib
+  * DEFLATE, which ships in the JDK (`java.util.zip.Inflater`), so a full
+  * standards-correct decode needs no external library. Supports 8-bit
+  * non-interlaced greyscale (0), RGB (2), grey+alpha (4) and RGBA (6);
+  * all five scanline filters (None/Sub/Up/Average/Paeth) are
+  * reconstructed per the PNG spec. Alpha is ignored in the means;
+  * greyscale reports the same mean on all three channels. Malformed,
+  * palette-indexed, 16-bit, or interlaced payloads yield null (drop-bad-
+  * rows policy), and forged headers are bounded (dimension and inflated-
+  * size caps) so a decompression bomb cannot take down an executor. */
+case class PngFeatures(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    // signature + at least the IHDR chunk
+    if (b.length < 8 + 25) return null
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != sig(i)) return null; i += 1 }
+    if (be32(b, 8) != 13L || MediaBytes.tag(b, 12) != "IHDR") return null
+    val width = be32(b, 16)
+    val height = be32(b, 20)
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return null // palette (3) needs PLTE handling — out of scope
+    }
+    if (bitDepth != 8 || interlace != 0) return null
+    // bomb guard: same spirit as BmpFeatures' dimension cap, plus a cap on
+    // the total inflated size (filter bytes + samples)
+    if (width <= 0 || height <= 0 ||
+        width > (1 << 20) || height > (1 << 20)) return null
+    val w = width.toInt
+    val h = height.toInt
+    val rowLen = w * channels
+    val expected = h * (1L + rowLen)
+    if (expected > (1L << 28)) return null
+
+    // concatenate IDAT chunk payloads (chunk order is IDAT-contiguous per
+    // spec; tolerate interleaved ancillary chunks anyway)
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8 + 25
+    var sawEnd = false
+    while (!sawEnd && off + 12 <= b.length) {
+      val len = be32(b, off)
+      if (len < 0 || off + 12 + len > b.length) return null
+      val typ = MediaBytes.tag(b, off + 4)
+      if (typ == "IDAT") idat.write(b, off + 8, len.toInt)
+      else if (typ == "IEND") sawEnd = true
+      off += 12 + len.toInt
+    }
+    if (idat.size == 0) return null
+
+    val raw = new Array[Byte](expected.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && !inf.finished()) return null // truncated / dictionary
+        got += n
+      }
+      if (got < raw.length) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+
+    // per-scanline filter reconstruction, in place; `a` = left, `up` = same
+    // byte in prior row, `c` = upper-left — offsets are in BYTES at lag
+    // `channels` (bpp), per the spec
+    val stride = 1 + rowLen
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * stride) & 0xff
+      if (ft > 4) return null
+      val row = y * stride + 1
+      val prior = row - stride
+      var x = 0
+      while (x < rowLen) {
+        val a = if (x >= channels) raw(row + x - channels) & 0xff else 0
+        val up = if (y > 0) raw(prior + x) & 0xff else 0
+        val c = if (y > 0 && x >= channels) raw(prior + x - channels) & 0xff else 0
+        val recon = ft match {
+          case 0 => raw(row + x) & 0xff
+          case 1 => ((raw(row + x) & 0xff) + a) & 0xff
+          case 2 => ((raw(row + x) & 0xff) + up) & 0xff
+          case 3 => ((raw(row + x) & 0xff) + ((a + up) >> 1)) & 0xff
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+            ((raw(row + x) & 0xff) + pred) & 0xff
+        }
+        raw(row + x) = recon.toByte
+        x += 1
+      }
+      y += 1
+    }
+
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    y = 0
+    while (y < h) {
+      val row = y * stride + 1
+      var px = 0
+      while (px < w) {
+        val p = row + px * channels
+        colorType match {
+          case 0 | 4 =>
+            val g = raw(p) & 0xff; sr += g; sg += g; sb += g
+          case 2 | 6 =>
+            sr += raw(p) & 0xff; sg += raw(p + 1) & 0xff; sb += raw(p + 2) & 0xff
+        }
+        px += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h * 255.0
+    InternalRow(w, h, channels, sr / n, sg / n, sb / n)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** binary → struct(width, height, mean_r, mean_g, mean_b) for
   * uncompressed 24-bit BMP (BITMAPINFOHEADER); null otherwise. Means are
   * normalized to [0, 1]. */

@@ -88,4 +88,13 @@ object Multimodal {
     * ([[graft.expressions.BmpFeatures]]). */
   def decodeBmp(content: Column): Column =
     column(graft.expressions.BmpFeatures(expression(content)))
+
+  /** REAL image decode for PNG (8-bit grey/RGB/grey-alpha/RGBA,
+    * non-interlaced): struct(width, height, channels, mean_r, mean_g,
+    * mean_b), null for malformed/unsupported. PNG's only compression is
+    * zlib DEFLATE — `java.util.zip.Inflater` ships in the JDK — so this is
+    * a full codec-free decode including all five scanline filters
+    * ([[graft.expressions.PngFeatures]]). */
+  def decodePng(content: Column): Column =
+    column(graft.expressions.PngFeatures(expression(content)))
 }

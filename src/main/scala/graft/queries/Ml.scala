@@ -132,5 +132,97 @@ object Ml {
           round(col("w.rms"), 6).as("rms"), round(col("w.peak"), 6).as("peak"))
         .orderBy("media_id")
     },
+
+    // REAL image decode for PNG (zlib inflate + per-scanline filter
+    // reconstruction, no codec library): deterministic 8x6 RGB images
+    // synthesized per id with every filter type (row y encoded with
+    // filter y % 5) so the decode exercises None/Sub/Up/Average/Paeth in
+    // one pass. Pixel (x,y) of image i is ((i*7+x*13+y*29)%256, ...), so
+    // the channel means are exactly recomputable — PngSpec pins them
+    // bit-exactly; this gate row-counts and regression-tracks the values.
+    Q.rowsOnly("mm4_png_decode") { (s, d) =>
+      import s.implicits._
+      val imgs = (1 to 64).map(i => (i.toLong, Ml.pngRgb(8, 6) { (x, y) =>
+        ((i * 7 + x * 13 + y * 29) % 256,
+         (i * 11 + x * 3 + y * 17) % 256,
+         (i * 5 + x * 23 + y * 7) % 256)
+      })) :+ (65L, "not a png".getBytes)
+      imgs.toDF("media_id", "content")
+        .select(col("media_id"), Multimodal.decodePng(col("content")).as("p"))
+        .select(col("media_id"), col("p.width").cast("long").as("width"),
+          col("p.height").cast("long").as("height"),
+          col("p.channels").cast("long").as("channels"),
+          round(col("p.mean_r"), 6).as("mean_r"),
+          round(col("p.mean_g"), 6).as("mean_g"),
+          round(col("p.mean_b"), 6).as("mean_b"))
+        .orderBy("media_id")
+    },
   )
+
+  /** Minimal deterministic PNG encoder for the mm4 fixture: 8-bit RGB,
+    * row y stored with filter type y % 5 (forward-filtered per the spec),
+    * zlib via `Deflater`, CRCs via `java.util.zip.CRC32`. Driver-side by
+    * necessity — the testdata ships no media files (same pattern as mm3's
+    * WAV synthesis). */
+  private[queries] def pngRgb(w: Int, h: Int)(
+      px: (Int, Int) => (Long, Long, Long)): Array[Byte] = {
+    val raw = Array.tabulate(h) { y =>
+      val row = new Array[Byte](w * 3)
+      (0 until w).foreach { x =>
+        val (r, g, b) = px(x, y)
+        row(x * 3) = r.toByte; row(x * 3 + 1) = g.toByte; row(x * 3 + 2) = b.toByte
+      }
+      row
+    }
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val filtered = new java.io.ByteArrayOutputStream()
+    (0 until h).foreach { y =>
+      val ft = y % 5
+      filtered.write(ft)
+      (0 until w * 3).foreach { i =>
+        val cur = raw(y)(i) & 0xff
+        val left = if (i >= 3) raw(y)(i - 3) & 0xff else 0
+        val up = if (y > 0) raw(y - 1)(i) & 0xff else 0
+        val ul = if (y > 0 && i >= 3) raw(y - 1)(i - 3) & 0xff else 0
+        val out = ft match {
+          case 0 => cur
+          case 1 => (cur - left) & 0xff
+          case 2 => (cur - up) & 0xff
+          case 3 => (cur - ((left + up) >> 1)) & 0xff
+          case 4 => (cur - paeth(left, up, ul)) & 0xff
+        }
+        filtered.write(out)
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered.toByteArray); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array(
+        (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      out.write(be32(data.length))
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb)
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
 }
