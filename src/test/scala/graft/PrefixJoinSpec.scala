@@ -69,6 +69,26 @@ class PrefixJoinSpec extends SparkSuite {
     }
   }
 
+  test("positional filter: identical result set, strictly fewer candidates") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    for (t <- Seq(0.6, 0.8)) {
+      val plain = resultSet(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = t))
+      val pos = resultSet(Dedup.ngramJaccardPairsPrefix(
+        docs, "doc_id", "text", n = 3, minJaccard = t, positionalFilter = true))
+      assert(pos == plain, s"t=$t: positional filter changed the result set")
+    }
+    // candidate volume: the positional upper bound must prune pairs the
+    // prefix+length stage alone admits (sound pruning: every survivor of
+    // the exact join is provably kept — checked by the equality above)
+    val sh = docs.select(col("doc_id").as("id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    val without = Dedup.prefixCandidates(sh, 0.6, positionalFilter = false).count()
+    val withPos = Dedup.prefixCandidates(sh, 0.6, positionalFilter = true).count()
+    assert(withPos < without,
+      s"positional filter should shrink candidates ($withPos vs $without)")
+  }
+
   test("candidate volume: prefixes post strictly fewer shingles than full posting") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val sh = docs.select(col("doc_id"),
