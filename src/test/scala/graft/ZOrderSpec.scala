@@ -68,6 +68,42 @@ class ZOrderSpec extends SparkSuite {
     assert(rmExt.forall { case (_, dy) => dy == 31 }, rmExt.toSeq)
   }
 
+  test("end-to-end: a 2-D box predicate READS fewer rows from z-order than row-major") {
+    // The layout tests above prove tight extents; this proves the payoff —
+    // the parquet reader actually SKIPS row groups at scan time. 128x128
+    // grid → 64 files of 256 rows (one row group each, stats = file
+    // min/max). Z-order: 256 consecutive z-points = one aligned 16x16
+    // tile, so the box x,y ∈ [16,31]^2 lives in exactly ONE file.
+    // Row-major: each file spans 2 x-values and the FULL y domain, so the
+    // same box overlaps 8 files and y-stats prune nothing. The scan
+    // node's numOutputRows metric counts rows the reader emitted AFTER
+    // row-group skipping — the end-to-end number the layout exists for.
+    val grid = (for (x <- 0 until 128; y <- 0 until 128)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    def rowsRead(dir: String, sortKey: org.apache.spark.sql.Column): Long = {
+      grid.withColumn("__s", sortKey)
+        .repartitionByRange(64, col("__s")).sortWithinPartitions("__s")
+        .drop("__s").write.mode("overwrite").parquet(dir)
+      val q = spark.read.parquet(dir)
+        .where(col("x") >= 16 && col("x") <= 31 && col("y") >= 16 && col("y") <= 31)
+      // metrics live on the executed plan INSTANCE — run that exact plan
+      // (a separate count() would execute a different physical plan)
+      val plan = q.queryExecution.executedPlan
+      assert(plan.executeCollect().length == 256) // correctness before metrics
+      plan.collectLeaves().head.metrics("numOutputRows").value
+    }
+    val zRows = rowsRead(
+      java.nio.file.Files.createTempDirectory("zskip").toString,
+      Sink.zorder(col("x"), col("y")))
+    val rmRows = rowsRead(
+      java.nio.file.Files.createTempDirectory("rmskip").toString,
+      col("x") * 128 + col("y"))
+    assert(zRows < rmRows,
+      s"z-order must read fewer rows ($zRows) than row-major ($rmRows)")
+    assert(zRows <= 512, s"z-order should read ~1 row group, got $zRows rows")
+    assert(rmRows >= 1024, s"row-major should read >= 8 x-slab files, got $rmRows")
+  }
+
   test("z-sorted blocks have bounded extents in BOTH dims; row-major does not") {
     // 32x32 grid, blocks of 64 consecutive rows under each ordering
     val grid = for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)
