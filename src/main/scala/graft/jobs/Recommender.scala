@@ -24,12 +24,17 @@ object Recommender {
                         users: DataFrame) // (query, users array)
 
   /** queries: (userId, cluster, tokens) — pre-assigned query users.
-    * ownBooks: (userId, books) — books each query user already has. */
+    * ownBooks: (userId, books) — books each query user already has.
+    * corpusPostings: optional PRECOMPUTED similarity index
+    * ([[Scoring.termPostings]] over `fitted.userTokens`) — pass it from a
+    * serving loop so the static corpus side is not recomputed per batch. */
   def recommend(fitted: RecommenderModel.Fitted, queries: DataFrame,
                 ownBooks: DataFrame, p: Params = Params(),
-                filterOwn: Boolean = true): Recs = {
+                filterOwn: Boolean = true,
+                corpusPostings: Option[DataFrame] = None): Recs = {
     val vocab = fitted.cv.vocabulary.toSet
-    val sims = Scoring.clusterCosine(queries, fitted.userTokens, Some(vocab))
+    val sims = Scoring.clusterCosine(queries, fitted.userTokens, Some(vocab),
+      corpusPostings)
     val neighbors = Scoring.topNeighbors(sims, p.topFraction)
     val votes = Scoring.discountedBookVotes(neighbors, fitted.userBooks)
     val candidates = Scoring.topCandidates(votes, p.candidateCap)

@@ -48,11 +48,16 @@ object ServeJob {
                    collect: DataFrame, kv: KVSink): StreamingQuery =
     start(frames, fitted, collect, kv, filterCollected = false)
 
-  /** Score one micro-batch of decoded events (userId, bookIds). */
+  /** Score one micro-batch of decoded events (userId, bookIds).
+    * `corpusPostings`: the precomputed similarity index
+    * ([[graft.rank.Scoring.termPostings]] over `fitted.userTokens`) — the
+    * streaming path passes it so the static corpus side is built once per
+    * deployment, not once per micro-batch. */
   def scoreBatch(events: DataFrame, fitted: RecommenderModel.Fitted,
                  collect: DataFrame, latestK: Int = 3,
                  filterCollected: Boolean = true,
-                 params: Recommender.Params = Recommender.Params()): Recommender.Recs = {
+                 params: Recommender.Params = Recommender.Params(),
+                 corpusPostings: Option[DataFrame] = None): Recommender.Recs = {
     // restrict the collect snapshot to this batch's users FIRST — the
     // snapshot is large and static, the batch is small; without the
     // semi-join every micro-batch pays a full-table window + groupBy
@@ -70,7 +75,7 @@ object ServeJob {
     val collected = batchCollect.where(col("isCollect") === 1)
       .groupBy("userId").agg(collect_set(col("bookId")).as("books"))
     val recs = Recommender.recommend(fitted, queries, collected,
-      params, filterOwn = filterCollected)
+      params, filterOwn = filterCollected, corpusPostings = corpusPostings)
     // ST6: every decoded event user gets an answer — users with no query
     // context (no collections, no payload books) fall back to the hot list
     // and the default similar-user ids (the reference's evident intent on
@@ -105,24 +110,68 @@ object ServeJob {
             trigger: Trigger = Trigger.AvailableNow(),
             checkpointLocation: Option[String] = None): StreamingQuery = {
     val decoded = EventSource.decode(frames)
+    // Build the SERVING INDEX once per deployment: the corpus side of the
+    // similarity join (term postings + norms over the model users) is
+    // batch-invariant, and recomputing it per micro-batch makes batch
+    // latency scale with corpus size instead of batch size. This is the
+    // engine form of the reference's per-cluster similarity index (its
+    // 66 s build stage, simility_compute.py via BASELINE.md) — held for
+    // the stream's lifetime, released when the deployment's session ends.
+    // At 100 TB the same frame is a materialized table bucketed by
+    // (cluster, term); MEMORY_AND_DISK is its local-mode stand-in.
+    val postings = graft.rank.Scoring
+      .termPostings(fitted.userTokens, Some(fitted.cv.vocabulary.toSet))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    postings.count() // eager: the index must not rebuild lazily mid-batch
     val base = decoded.writeStream
       .outputMode("append")
     checkpointLocation.foreach(base.option("checkpointLocation", _))
-    base
+    val query = base
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val recs = scoreBatch(batch, fitted, collect,
-            filterCollected = filterCollected, params = params)
-          KVWriter.write(recs.books.select(
-            TextFunctions.kvKey("b_like", col("query")).as("key"),
-            TextFunctions.joinIds(col("books")).as("value")), kv)
-          KVWriter.write(recs.users.select(
-            TextFunctions.kvKey("u_similar", col("query")).as("key"),
-            TextFunctions.joinIds(col("users")).as("value")), kv)
+            filterCollected = filterCollected, params = params,
+            corpusPostings = Some(postings))
+          // ONE write action for both key families: the books and users
+          // plans share the whole similarity subtree (queries → sims), and
+          // two separate actions would execute it twice per batch — cross-
+          // action plans cannot reuse exchanges. Unioned into a single
+          // plan, the shared shuffles dedup via ReusedExchange.
+          KVWriter.write(
+            recs.books.select(
+              TextFunctions.kvKey("b_like", col("query")).as("key"),
+              TextFunctions.joinIds(col("books")).as("value"))
+            .unionAll(recs.users.select(
+              TextFunctions.kvKey("u_similar", col("query")).as("key"),
+              TextFunctions.joinIds(col("users")).as("value"))), kv)
         }
         ()
       }
       .trigger(trigger)
       .start()
+    withIndexCleanup(query, postings)
+  }
+
+  /** [[start]] with index-lifecycle hygiene: the serving index persist is
+    * released when THIS query terminates (a resubmitted deployment builds
+    * its own), so repeated deploy/stop cycles — restart tests, model
+    * refreshes — do not accumulate stream-lifetime caches. */
+  private def withIndexCleanup(q: StreamingQuery,
+                               postings: DataFrame): StreamingQuery = {
+    val spark = postings.sparkSession
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            postings.unpersist()
+            spark.streams.removeListener(this)
+          }
+      })
+    q
   }
 }

@@ -27,31 +27,44 @@ object Scoring {
     * Returns (query, neighbor, sim) for same-cluster pairs, self excluded.
     */
   def clusterCosine(queries: DataFrame, corpus: DataFrame,
-                    vocab: Option[Set[String]] = None): DataFrame = {
-    def post(df: DataFrame): DataFrame = {
-      val exploded = df.select(col("userId"), col("cluster"),
-        explode(col("tokens")).as("term"))
-      val pruned = vocab match {
-        case Some(v) =>
-          val vdf = exploded.sparkSession.createDataFrame(
-            v.toSeq.map(Tuple1(_))).toDF("term")
-          exploded.join(broadcast(vdf), Seq("term"), "left_semi")
-        case None => exploded
-      }
-      val tf = pruned.groupBy("userId", "cluster", "term")
-        .agg(count(lit(1)).cast("double").as("tf"))
-      val norms = tf.groupBy("userId")
-        .agg(sqrt(sum(col("tf") * col("tf"))).as("norm"))
-      tf.join(norms, "userId")
-    }
-    val q = post(queries).select(col("cluster"), col("term"),
+                    vocab: Option[Set[String]] = None,
+                    corpusPostings: Option[DataFrame] = None): DataFrame = {
+    val q = termPostings(queries, vocab).select(col("cluster"), col("term"),
       col("userId").as("query"), col("tf").as("tfq"), col("norm").as("nq"))
-    val c = post(corpus).select(col("cluster"), col("term"),
-      col("userId").as("neighbor"), col("tf").as("tfc"), col("norm").as("nc"))
+    // the corpus side is batch-invariant: a serving deployment precomputes
+    // it ONCE (the reference's "per-cluster similarity index", its 66 s
+    // build stage) and passes it here per micro-batch — see
+    // [[graft.jobs.ServeJob.start]]
+    val c = corpusPostings.getOrElse(termPostings(corpus, vocab))
+      .select(col("cluster"), col("term"),
+        col("userId").as("neighbor"), col("tf").as("tfc"), col("norm").as("nc"))
     q.join(c, Seq("cluster", "term"))
       .where(col("query") =!= col("neighbor"))
       .groupBy("query", "neighbor")
       .agg((sum(col("tfq") * col("tfc")) / (first("nq") * first("nc"))).as("sim"))
+  }
+
+  /** (userId, cluster, term, tf, norm) posting lists for a (userId,
+    * cluster, tokens) frame — the similarity index [[clusterCosine]] joins
+    * on. Exposed so the STATIC corpus side can be computed once per model
+    * deployment instead of once per scoring call: at 100 TB this is a
+    * materialized table bucketed by (cluster, term); in a live stream it
+    * is a stream-lifetime persist owned by the serving job. */
+  def termPostings(df: DataFrame, vocab: Option[Set[String]] = None): DataFrame = {
+    val exploded = df.select(col("userId"), col("cluster"),
+      explode(col("tokens")).as("term"))
+    val pruned = vocab match {
+      case Some(v) =>
+        val vdf = exploded.sparkSession.createDataFrame(
+          v.toSeq.map(Tuple1(_))).toDF("term")
+        exploded.join(broadcast(vdf), Seq("term"), "left_semi")
+      case None => exploded
+    }
+    val tf = pruned.groupBy("userId", "cluster", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val norms = tf.groupBy("userId")
+      .agg(sqrt(sum(col("tf") * col("tf"))).as("norm"))
+    tf.join(norms, "userId")
   }
 
   /** W3: keep each query's top `fraction` of neighbors (floor semantics,

@@ -24,6 +24,26 @@ class ScoringSpec extends SparkSuite {
     assert(math.abs(sims((1L, 10L)) - expected) < 1e-12)
   }
 
+  test("precomputed corpus postings give identical sims to the inline path") {
+    // the serving index: termPostings(corpus) passed in must change COST
+    // only, never a similarity value
+    val queries = Seq((1L, 0, Seq("a", "a", "b")), (2L, 1, Seq("c", "d")))
+      .toDF("userId", "cluster", "tokens")
+    val corpus = Seq(
+      (10L, 0, Seq("a", "b")), (11L, 0, Seq("b", "b", "c")),
+      (12L, 1, Seq("c")), (13L, 1, Seq("d", "c"))
+    ).toDF("userId", "cluster", "tokens")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    for (vocab <- Seq(None, Some(Set("a", "b", "c", "d")), Some(Set("a", "c")))) {
+      val inline = asMap(Scoring.clusterCosine(queries, corpus, vocab))
+      val indexed = asMap(Scoring.clusterCosine(queries, corpus, vocab,
+        corpusPostings = Some(Scoring.termPostings(corpus, vocab))))
+      assert(indexed == inline, s"vocab=$vocab")
+      assert(inline.nonEmpty)
+    }
+  }
+
   test("vocab pruning drops out-of-vocabulary terms from scoring") {
     val queries = Seq((1L, 0, Seq("a", "z"))).toDF("userId", "cluster", "tokens")
     val corpus = Seq((10L, 0, Seq("a", "z"))).toDF("userId", "cluster", "tokens")
