@@ -32,4 +32,50 @@ object TfIdf {
       .withColumn("tfidf", col("tf").cast("double") * col("idf"))
       .select("id", "term", "tf", "df", "tfidf")
   }
+
+  /** BM25 ranking of documents against a fixed bag of query terms — the
+    * standard retrieval scorer (Robertson/Spärck Jones; the k1/b form used
+    * by Lucene), and the usual first-stage ranker a training-data pipeline
+    * runs for targeted corpus queries ("find docs about X") before any
+    * embedding model. Same declarative corpus-stat shape as [[tfidf]]:
+    * df per query term, N and average document length via one broadcast
+    * single-row cross join, so the whole score is one pipelined DAG whose
+    * only shuffles are partial+final aggregations — no driver action, no
+    * per-query rescan of non-matching documents (the query-term semi-join
+    * prunes postings first).
+    *
+    * Formula (documented precisely so the SQL oracle can mirror it):
+    *   idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    *   s(d, t) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    *   score(d) = Σ_{t ∈ query} s(d, t)
+    * where dl = |tokens(d)| and avgdl averages over ALL docs (including
+    * those matching no query term). Docs matching no term are omitted.
+    *
+    * docs must carry `tokensCol: array<string>`; returns
+    * (id, score) for matching docs. */
+  def bm25(docs: DataFrame, idCol: String, tokensCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val base = docs.select(col(idCol).as("id"),
+      col(tokensCol).as("toks"), size(col(tokensCol)).cast("double").as("dl"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val q = broadcast(
+      docs.sparkSession.createDataFrame(queryTerms.distinct.map(Tuple1(_)))
+        .toDF("term"))
+    val tf = base.select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .join(q, Seq("term"))   // prune postings to query terms BEFORE the agg
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"),
+        first(col("dl")).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (k1 + 1.0) /
+          (col("tf") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("id").agg(sum(col("s")).as("score"))
+  }
 }

@@ -245,6 +245,47 @@ object Olap {
             .as("qty_disc_cov"),
           round(stddev_samp(col("l_extendedprice")), 2).as("price_sd"))
         .orderBy("l_returnflag")
+    },
+
+    // Fixed-iteration PageRank over the customer→supplier fulfillment
+    // graph (id spaces disambiguated as 2k / 2k+1) — the link-graph
+    // quality signal of web-corpus curation, 3 iterations, d = 0.85.
+    // The oracle unrolls the exact iteration formula as CTEs; parallel
+    // float-summation reorder noise is ~1e-15, far inside the checker's
+    // 1e-9 tolerance.
+    Q("g1_pagerank",
+      """WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
+        |    l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS outd
+        |         FROM e GROUP BY src),
+        |p0 AS (SELECT v, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS v, sum(p0.pr / outd.outd) AS c
+        |       FROM e JOIN p0 ON e.src = p0.v JOIN outd ON e.src = outd.src
+        |       GROUP BY e.dst),
+        |p1 AS (SELECT nodes.v, 0.15 / n + 0.85 * coalesce(c1.c, 0) AS pr
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.v = c1.v),
+        |c2 AS (SELECT e.dst AS v, sum(p1.pr / outd.outd) AS c
+        |       FROM e JOIN p1 ON e.src = p1.v JOIN outd ON e.src = outd.src
+        |       GROUP BY e.dst),
+        |p2 AS (SELECT nodes.v, 0.15 / n + 0.85 * coalesce(c2.c, 0) AS pr
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.v = c2.v),
+        |c3 AS (SELECT e.dst AS v, sum(p2.pr / outd.outd) AS c
+        |       FROM e JOIN p2 ON e.src = p2.v JOIN outd ON e.src = outd.src
+        |       GROUP BY e.dst),
+        |p3 AS (SELECT nodes.v, 0.15 / n + 0.85 * coalesce(c3.c, 0) AS pr
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.v = c3.v)
+        |SELECT v, round(pr, 9) AS pr FROM p3 ORDER BY v""".stripMargin) { (s, d) =>
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.operators.PageRank.pageRank(edges, "src", "dst",
+          iterations = 3, damping = 0.85)
+        .select(col("v"), round(col("pr"), 9).as("pr"))
+        .orderBy("v")
     }
   )
 }

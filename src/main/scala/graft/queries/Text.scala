@@ -349,6 +349,38 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // BM25 ranking against a fixed query-term bag — the first-stage
+    // retrieval scorer a pipeline runs for targeted corpus queries before
+    // any embedding model (Robertson k1/b form, k1=1.2 b=0.75; formula
+    // documented at TfIdf.bm25 and mirrored term-for-term here). Corpus
+    // stats (N, avgdl, df) are all in-DAG aggregations; postings prune to
+    // the query terms before the tf aggregation.
+    Q("t15_bm25",
+      """WITH base AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM base),
+        |toks AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |    unnest(toks) AS term FROM base),
+        |tf AS (SELECT doc_id, term, any_value(dl) AS dl,
+        |    CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks WHERE term IN ('data', 'table', 'fast')
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |s AS (SELECT doc_id,
+        |    ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats)
+        |SELECT doc_id, round(sum(s), 6) AS score FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokenize(col("text")).as("toks"))
+      graft.operators.TfIdf.bm25(docs, "doc_id", "toks",
+          Seq("data", "table", "fast"))
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    },
+
     // Real BPE subword segmentation (merge-table application — the
     // algorithm t2's regex heuristic approximates): token counts + the
     // leading tokens per document under a fixed English-digraph merge
@@ -428,6 +460,21 @@ object Text {
           bucketCol = col("bucket"), orderCol = col("doc_id"))
         .groupBy("bucket", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .orderBy("bucket", "pack_id")
+    },
+
+    // First-fit-decreasing packing (the padding-minimizing sibling of
+    // s12): per-bucket FFD via flatMapGroups — greedy order is engine-side
+    // sequential logic, so rows-only; PackingSpec pins hand-computed pack
+    // assignments and the budget/pack-count invariants vs contiguous fill.
+    Q.rowsOnly("s17_ffd_pack") { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("bucket"),
+          size(tokenize(col("text"))).cast("long").as("n"))
+      graft.operators.Packing.ffdPack(docs, "doc_id", "n",
+          maxTokens = 2048L, bucketCol = col("bucket"))
+        .groupBy("bucket", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy("bucket", "pack_id")
     },
 

@@ -210,3 +210,39 @@ class SimilarityJoinSpec extends SparkSuite {
     assert(math.abs(got((1L, 2L)) - 1.0 / 2.0) < 1e-12)
   }
 }
+
+class PageRankSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("one iteration matches the hand-worked formula on a 3-node graph") {
+    // edges 1→2, 1→3, 2→3, 3→1; N=3, out(1)=2, out(2)=1, out(3)=1,
+    // pr_0 = 1/3. Hand: pr_1(1) = 0.05 + 0.85*(1/3) = 1/3;
+    // pr_1(2) = 0.05 + 0.85*(1/6); pr_1(3) = 0.05 + 0.85*(1/6 + 1/3)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val got = graft.operators.PageRank.pageRank(e, "s", "d", iterations = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - (0.05 + 0.85 / 3.0)) < 1e-12)
+    assert(math.abs(got(2L) - (0.05 + 0.85 / 6.0)) < 1e-12)
+    assert(math.abs(got(3L) - (0.05 + 0.85 * 0.5)) < 1e-12)
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)   // no dangling nodes
+  }
+
+  test("dangling sink absorbs rank; totals drop below 1 (documented variant)") {
+    // 1→2, 3→2: node 2 has no out-edges, its mass is not redistributed
+    val e = Seq((1L, 2L), (3L, 2L)).toDF("s", "d")
+    val got = graft.operators.PageRank.pageRank(e, "s", "d", iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(got(2L) > got(1L) && got(1L) == got(3L))
+    assert(got.values.sum < 1.0)
+  }
+
+  test("converging ranks: a hub gains rank over iterations") {
+    // star: 1..5 all point to 6, 6 points to 1
+    val e = ((1L to 5L).map(i => (i, 6L)) :+ (6L, 1L)).toDF("s", "d")
+    val pr3 = graft.operators.PageRank.pageRank(e, "s", "d", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(pr3(6L) > pr3(1L) && pr3(1L) > pr3(2L))
+    assert(pr3(2L) == pr3(5L))
+    assert(math.abs(pr3.values.sum - 1.0) < 1e-12)
+  }
+}

@@ -60,6 +60,43 @@ class SessionizeSamplingSpec extends SparkSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("ffdPack: hand-computed first-fit-decreasing assignment") {
+    import graft.operators.Packing
+    // budget 10, sizes desc: 7(id4), 6(id2), 4(id1), 3(id3), 2(id5).
+    // FFD: 7→pack0(rem 3); 6→pack1(rem 4); 4→pack1(rem 0); 3→pack0(rem 0);
+    // 2→pack2(rem 8)
+    val docs = Seq((1L, 4L), (2L, 6L), (3L, 3L), (4L, 7L), (5L, 2L))
+      .toDF("id", "n")
+    val got = Packing.ffdPack(docs, "id", "n", maxTokens = 10L,
+        bucketCol = lit("b"))
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(4L -> 0L, 2L -> 1L, 1L -> 1L, 3L -> 0L, 5L -> 2L))
+  }
+
+  test("ffdPack: budget never exceeded; oversized doc gets its own pack; beats contiguous") {
+    import graft.operators.Packing
+    val rnd = new scala.util.Random(7)
+    val docs = ((1 to 400).map(i => (i.toLong, (rnd.nextInt(900) + 100).toLong))
+      :+ (401L, 5000L)).toDF("id", "n")   // one doc over the 2048 budget
+    val packed = Packing.ffdPack(docs, "id", "n", maxTokens = 2048L,
+        bucketCol = lit("b"))
+    val perPack = packed.groupBy("pack_id")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("cnt"))
+      .as[(Long, Long, Long)].collect()
+    perPack.foreach { case (pid, tot, cnt) =>
+      assert(tot <= 2048L || cnt == 1L,
+        s"pack $pid over budget with $cnt docs ($tot tokens)")
+    }
+    // classic FFD guarantee vs the token-sum lower bound (OPT >= LB):
+    // packs <= 11/9 * OPT + 1 (contiguous fill is NOT a fair comparison —
+    // it straddles boundaries, so its packs are all exactly full)
+    val ffdPacks = perPack.length.toLong
+    val total = docs.select(sum(col("n"))).as[Long].head()
+    val lb = (total + 2047) / 2048
+    assert(ffdPacks <= lb * 11 / 9 + 1,
+      s"FFD ($ffdPacks packs) exceeds its 11/9 bound over LB=$lb")
+  }
+
   test("stratifiedSample: per-stratum fractions, default keeps unnamed strata") {
     val df = (0 until 4000).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
     val got = Sampling.stratifiedSample(df, "src", "id", seed = 3L,
