@@ -87,6 +87,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier("png_features"),
       info("png_features", "png_features(bin) - codec-free PNG decode (zlib inflate + filter reconstruction): dims, channels, channel means"),
       (es: Seq[Expression]) => PngFeatures(es.head)),
+    (FunctionIdentifier("image_features"),
+      info("image_features", "image_features(bin) - JDK ImageIO decode (JPEG/PNG/GIF/TIFF/BMP): dims, format, channel means"),
+      (es: Seq[Expression]) => ImageFeatures(es.head)),
     (FunctionIdentifier("zorder2"),
       info("zorder2", "zorder2(a, b) - 2-D Morton interleave of bucket ranks for multi-column layout"),
       (es: Seq[Expression]) => ZOrder2(es(0), es(1))),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** REAL media decoders for the container formats that need no codec
   * library — pure header + sample parsing on the executor, one pass over
@@ -235,6 +236,76 @@ case class PngFeatures(child: Expression)
     }
     val n = w.toDouble * h * 255.0
     InternalRow(w, h, channels, sr / n, sg / n, sb / n)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** binary → struct(width, height, format, mean_r, mean_g, mean_b) via the
+  * JDK's built-in ImageIO readers (java.desktop ships JPEG, PNG, GIF,
+  * TIFF, BMP and WBMP decoders — no external codec library involved).
+  * This is the COMPRESSED-format image decode path: the reader converts
+  * whatever color model the file uses to sRGB, and the means are computed
+  * from the decoded raster. Dimension bomb guard runs on the HEADER
+  * (reader.getWidth/getHeight) before any pixel decode, so a forged
+  * 2^30-square header never allocates. Unreadable/unsupported payloads
+  * yield null (drop-bad-rows policy).
+  *
+  * [[PngFeatures]] stays the preferred PNG path (explicit filter
+  * reconstruction, codegen-free of awt); this expression is the breadth
+  * path for JPEG-family corpora. */
+case class ImageFeatures(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("format", StringType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          // header-level bomb guard: reject before decoding any pixels
+          if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
+              w.toLong * h > (1L << 26)) return null
+          val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          val img = r.read(0)
+          var sr = 0.0; var sg = 0.0; var sb = 0.0
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val p = row(x)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toDouble * h * 255.0
+          InternalRow(w, h, UTF8String.fromString(fmt), sr / n, sg / n, sb / n)
+        } finally r.dispose()
+      } finally if (iis != null) iis.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

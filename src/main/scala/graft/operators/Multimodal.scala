@@ -7,17 +7,21 @@ import org.apache.spark.sql.functions._
   * pipeline: opaque `binary` content columns + typed metadata structs, with
   * decode / feature-extraction / resize / frame-sampling stages.
   *
-  * Decode comes in two tiers:
-  *   - REAL, codec-free parsers for self-describing containers —
-  *     [[decodeWav]] (RIFF/PCM16) and [[decodeBmp]] (uncompressed 24-bit
-  *     BMP) are full native decoders validated against hand-computed
-  *     signals in MultimodalSpec;
-  *   - compressed formats (JPEG/MP3/H.264) require codec libraries this
-  *     environment lacks, so those kernels are STUBBED with deterministic
-  *     byte-derived fakes. The Spark-side plumbing is real either way:
-  *     binary columns survive shuffles/spills, metadata travels as a
-  *     struct, features come out as `array<float>` ready for [[Ann]], and
-  *     batch shape follows `spark.sql.files.maxPartitionBytes`. Swap
+  * Decode comes in three tiers:
+  *   - REAL, codec-free native parsers — [[decodeWav]] (RIFF/PCM16),
+  *     [[decodeBmp]] (uncompressed 24-bit BMP) and [[decodePng]] (zlib
+  *     inflate + full filter reconstruction), validated against
+  *     hand-computed signals;
+  *   - REAL compressed-image decode via the JDK's built-in ImageIO
+  *     readers ([[decodeImage]]: JPEG/PNG/GIF/TIFF/BMP/WBMP — java.desktop
+  *     ships the codecs, no external library);
+  *   - compressed AUDIO/VIDEO (MP3/H.264) still require codec libraries
+  *     this environment lacks, so those kernels are STUBBED with
+  *     deterministic byte-derived fakes. The Spark-side plumbing is real
+  *     either way: binary columns survive shuffles/spills, metadata
+  *     travels as a struct, features come out as `array<float>` ready for
+  *     [[Ann]], and batch shape follows
+  *     `spark.sql.files.maxPartitionBytes`. Swap
   *     [[fakeEmbed]]/[[sampleFrames]] byte-ranges for codec calls and
   *     nothing else changes.
   */
@@ -97,4 +101,11 @@ object Multimodal {
     * ([[graft.expressions.PngFeatures]]). */
   def decodePng(content: Column): Column =
     column(graft.expressions.PngFeatures(expression(content)))
+
+  /** REAL compressed-image decode via the JDK's built-in ImageIO readers
+    * (JPEG/PNG/GIF/TIFF/BMP/WBMP): struct(width, height, format, mean_r,
+    * mean_g, mean_b), null for unreadable payloads; header-level bomb
+    * guard before any pixel decode ([[graft.expressions.ImageFeatures]]). */
+  def decodeImage(content: Column): Column =
+    column(graft.expressions.ImageFeatures(expression(content)))
 }

@@ -157,6 +157,37 @@ object Ml {
           round(col("p.mean_b"), 6).as("mean_b"))
         .orderBy("media_id")
     },
+
+    // REAL JPEG decode via the JDK's built-in ImageIO codecs: 16x16
+    // solid-color JPEGs synthesized per id (solid blocks survive lossy
+    // 4:2:0 JPEG essentially intact), decoded by the ImageFeatures
+    // expression — dims, container format, channel means. Deterministic
+    // (same encoder, same input ⇒ same bytes); decode correctness is
+    // pinned bit-exactly against lossless formats in ImageSpec.
+    Q.rowsOnly("mm5_image_decode") { (s, d) =>
+      import s.implicits._
+      def jpeg(r: Int, g: Int, b: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (r << 16) | (g << 8) | b
+        (0 until 16).foreach(y => (0 until 16).foreach(x =>
+          img.setRGB(x, y, rgb)))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", out)
+        out.toByteArray
+      }
+      val imgs = (1 to 64).map(i =>
+        (i.toLong, jpeg((i * 37) % 256, (i * 59) % 256, (i * 83) % 256))) :+
+        (65L, "not an image".getBytes)
+      imgs.toDF("media_id", "content")
+        .select(col("media_id"), Multimodal.decodeImage(col("content")).as("p"))
+        .select(col("media_id"), col("p.width").cast("long").as("width"),
+          col("p.height").cast("long").as("height"), col("p.format"),
+          round(col("p.mean_r"), 6).as("mean_r"),
+          round(col("p.mean_g"), 6).as("mean_g"),
+          round(col("p.mean_b"), 6).as("mean_b"))
+        .orderBy("media_id")
+    },
   )
 
   /** Minimal deterministic PNG encoder for the mm4 fixture: 8-bit RGB,
