@@ -247,6 +247,80 @@ object Olap {
         .orderBy("l_returnflag")
     },
 
+    // Truncated EWMA sequence feature (8-term, α = 0.5): the trailing
+    // exponentially-weighted smoother every feature pipeline derives from
+    // event sequences. α is DYADIC so every weight (0.5, 0.25, …) is an
+    // exact double and the left-associated weighted sum is bit-identical
+    // in both engines — no pow() ulp drift. Missing lags contribute 0
+    // (truncated form); one window shuffle per key.
+    Q("w13_ewma",
+      """WITH t AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d
+        |  FROM lineitem)
+        |SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(0.5 * l_quantity
+        |    + 0.25 * coalesce(lag(l_quantity, 1) OVER w, 0)
+        |    + 0.125 * coalesce(lag(l_quantity, 2) OVER w, 0)
+        |    + 0.0625 * coalesce(lag(l_quantity, 3) OVER w, 0)
+        |    + 0.03125 * coalesce(lag(l_quantity, 4) OVER w, 0)
+        |    + 0.015625 * coalesce(lag(l_quantity, 5) OVER w, 0)
+        |    + 0.0078125 * coalesce(lag(l_quantity, 6) OVER w, 0)
+        |    + 0.00390625 * coalesce(lag(l_quantity, 7) OVER w, 0), 6) AS ewma
+        |FROM t
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY d, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("day_num", "l_orderkey", "l_linenumber")
+      val terms = (0 until 8).map { j =>
+        val wt = math.pow(0.5, j + 1)   // dyadic: exact in both engines
+        coalesce(lag(col("l_quantity"), j).over(w), lit(0.0)) * lit(wt)
+      }
+      Tables.lineitem(s, d)
+        .withColumn("day_num",
+          datediff(col("l_shipdate").cast("date"), lit("1970-01-01")))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(terms.reduceLeft(_ + _), 6).as("ewma"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // Robust outlier flagging via MAD (Iglewicz-Hoaglin modified z-score):
+    // med and MAD are exact interpolated percentiles per group (two
+    // partial+final passes over <= |groups| rows each, broadcast back),
+    // flag |0.6745·(x-med)/MAD| > 3.5. The robust scaler a pipeline runs
+    // where winsorize (a19) is too blunt.
+    Q("w14_mad_outliers",
+      """WITH m AS (SELECT l_returnflag AS rf,
+        |    quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY 1),
+        |md AS (SELECT rf, med,
+        |    (SELECT quantile_cont(abs(l.l_extendedprice - m2.med), 0.5)
+        |     FROM lineitem l JOIN m m2 ON l.l_returnflag = m2.rf
+        |     WHERE m2.rf = m.rf) AS mad
+        |  FROM m)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(0.6745 * (l_extendedprice - med) / mad, 6) AS z,
+        |  CAST(CASE WHEN abs(0.6745 * (l_extendedprice - med) / mad) > 1.2
+        |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM lineitem JOIN md ON l_returnflag = rf
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val med = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      val mad = li.join(broadcast(med), col("l_returnflag") === col("rf"))
+        .groupBy("rf", "med")
+        .agg(expr("percentile(abs(l_extendedprice - med), 0.5)").as("mad"))
+      val z = lit(0.6745) * (col("l_extendedprice") - col("med")) / col("mad")
+      // flag threshold 1.2 (not the textbook 3.5): the synthetic prices
+      // are near-uniform, whose |z| maxes at ~1.35 — 3.5 would make the
+      // flag column constant and gate nothing
+      li.join(broadcast(mad), col("l_returnflag") === col("rf"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(z, 6).as("z"),
+          when(abs(z) > 1.2, 1L).otherwise(0L).as("flagged"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Fixed-iteration PageRank over the customer→supplier fulfillment
     // graph (id spaces disambiguated as 2k / 2k+1) — the link-graph
     // quality signal of web-corpus curation, 3 iterations, d = 0.85.
