@@ -90,6 +90,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier("image_features"),
       info("image_features", "image_features(bin) - JDK ImageIO decode (JPEG/PNG/GIF/TIFF/BMP): dims, format, channel means"),
       (es: Seq[Expression]) => ImageFeatures(es.head)),
+    (FunctionIdentifier("mg_topk"),
+      info("mg_topk",
+        "mg_topk(item, k) - Misra-Gries heavy-hitters aggregate: k-counter mergeable sketch, array<struct<item,est>> sorted by est desc"),
+      (es: Seq[Expression]) => {
+        if (!es(1).foldable ||
+            es(1).dataType != org.apache.spark.sql.types.IntegerType)
+          throw new IllegalArgumentException(
+            s"mg_topk: k must be an integer LITERAL (got ${es(1).sql})")
+        MisraGriesTopK(es(0), es(1).eval().asInstanceOf[Int])
+      }),
     (FunctionIdentifier("zorder2"),
       info("zorder2", "zorder2(a, b) - 2-D Morton interleave of bucket ranks for multi-column layout"),
       (es: Seq[Expression]) => ZOrder2(es(0), es(1))),

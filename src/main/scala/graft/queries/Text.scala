@@ -463,6 +463,29 @@ object Text {
         .orderBy("bucket", "pack_id")
     },
 
+    // Misra-Gries heavy-hitters as a native Catalyst aggregate (the
+    // bounded-memory vocabulary audit: k counters per partition, short
+    // merged summaries — vs t9's full |distinct|-wide shuffle). With
+    // k = 4096 >> |vocabulary| no eviction ever fires, the sketch IS
+    // exact counting, and the gate hash-matches a plain COUNT oracle;
+    // eviction-mode guarantees are pinned in MisraGriesSpec.
+    Q("t16_heavy_hitters",
+      """WITH toks AS (SELECT
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks
+        |GROUP BY term ORDER BY cnt DESC, term""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val toks = Tables.documents(s, d)
+        .select(explode(tokenize(col("text"))).as("term"))
+      toks
+        .agg(column(graft.expressions.MisraGriesTopK(
+          expression(col("term")), 4096).toAggregateExpression()).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("term"), col("e.est").as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+    },
+
     // First-fit-decreasing packing (the padding-minimizing sibling of
     // s12): per-bucket FFD via flatMapGroups — greedy order is engine-side
     // sequential logic, so rows-only; PackingSpec pins hand-computed pack
