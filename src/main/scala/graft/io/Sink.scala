@@ -67,6 +67,33 @@ object Sink {
     column(graft.expressions.ZOrder2(expression(a), expression(b)))
   }
 
+  /** Write parquet with BLOOM FILTERS on `bloomCols` — row-group skipping
+    * for point predicates on HIGH-CARDINALITY columns, where min/max stats
+    * prune nothing (an id scattered uniformly spans every row group's
+    * min/max range) and sorting/z-ordering by the column is not worth a
+    * layout slot. The parquet writer sizes each filter from `expectedNdv`
+    * (expected distinct values per row group → bits per filter), and the
+    * reader consults it for `col = literal` predicates: row groups whose
+    * filter definitely lacks the value are skipped at the footer, never
+    * read. This is the "needle lookup in a 100 TB fact table" path —
+    * complementary to [[zorder]] (range locality) and
+    * [[writeBucketedTable]] (join locality). BloomSinkSpec proves the
+    * skip with scan-metric deltas on identical data written with and
+    * without filters. */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                     expectedNdv: Long = 100000L,
+                     maxRecordsPerFile: Long = 0L): Unit = {
+    require(bloomCols.nonEmpty, "bloomCols must be non-empty")
+    val w = df.write
+    bloomCols.foreach { c =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      w.option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }
+    w.option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   /** Write `df` as a BUCKETED (optionally bucket-sorted) parquet table:
     * rows are hash-distributed into `buckets` files per partition by
     * `bucketCols`. Bucketing is the PRE-SHUFFLE a 100 TB pipeline pays once
