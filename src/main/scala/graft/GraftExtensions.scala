@@ -90,6 +90,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier("image_features"),
       info("image_features", "image_features(bin) - JDK ImageIO decode (JPEG/PNG/GIF/TIFF/BMP): dims, format, channel means"),
       (es: Seq[Expression]) => ImageFeatures(es.head)),
+    (FunctionIdentifier("gif_frames"),
+      info("gif_frames",
+        "gif_frames(bin, n) - sample n evenly-spaced frames from an animated GIF: array<struct<frame_no,dims,channel means>>"),
+      (es: Seq[Expression]) => {
+        if (!es(1).foldable ||
+            es(1).dataType != org.apache.spark.sql.types.IntegerType)
+          throw new IllegalArgumentException(
+            s"gif_frames: n must be an integer LITERAL (got ${es(1).sql})")
+        GifFrames(es(0), es(1).eval().asInstanceOf[Int])
+      }),
     (FunctionIdentifier("mg_topk"),
       info("mg_topk",
         "mg_topk(item, k) - Misra-Gries heavy-hitters aggregate: k-counter mergeable sketch, array<struct<item,est>> sorted by est desc"),

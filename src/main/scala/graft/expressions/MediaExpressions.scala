@@ -3,6 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -36,7 +37,9 @@ object MediaBytes {
 }
 
 /** binary → struct(sample_rate, n_channels, n_samples, duration_s, rms,
-  * peak) for RIFF/WAVE 16-bit PCM; null otherwise. */
+  * peak) for RIFF/WAVE — 16-bit PCM, 8-bit unsigned PCM, and 32-bit IEEE
+  * float (every self-describing .wav variant; compressed RIFF payloads
+  * yield null). */
 case class WavFeatures(child: Expression)
     extends UnaryExpression with CodegenFallback {
   import MediaBytes._
@@ -68,22 +71,35 @@ case class WavFeatures(child: Expression)
         channels = u16(b, off + 10)
         rate = u32(b, off + 12).toInt
         bits = u16(b, off + 22)
-        if (audioFormat != 1) return null // PCM only
+        // PCM integer (1) and IEEE float (3) — everything a .wav in the
+        // wild self-describes without a codec; compressed formats
+        // (ADPCM/MP3-in-RIFF) stay null
+        if (audioFormat != 1 && audioFormat != 3) return null
+        if (audioFormat == 1 && bits != 16 && bits != 8) return null
+        if (audioFormat == 3 && bits != 32) return null
       } else if (id == "data") {
         dataOff = off + 8
         dataLen = math.min(sz, b.length - dataOff)
       }
       off += 8 + sz + (sz & 1) // chunks are word-aligned
     }
-    if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0 || dataLen < 2)
+    val bytesPer = bits / 8
+    if (rate <= 0 || channels <= 0 || bytesPer == 0 || dataOff < 0 ||
+        dataLen < bytesPer)
       return null
-    val n = dataLen / 2
+    val n = dataLen / bytesPer
     var i = 0
     var sumSq = 0.0
     var peak = 0.0
     while (i < n) {
-      val s = ((b(dataOff + 2 * i) & 0xff) |
-        (b(dataOff + 2 * i + 1) << 8)).toShort / 32768.0
+      val s = bits match {
+        case 16 => ((b(dataOff + 2 * i) & 0xff) |
+          (b(dataOff + 2 * i + 1) << 8)).toShort / 32768.0
+        case 8 => // 8-bit WAV is UNSIGNED, biased at 128 per the spec
+          ((b(dataOff + i) & 0xff) - 128) / 128.0
+        case 32 => java.lang.Float.intBitsToFloat(
+          u32(b, dataOff + 4 * i).toInt).toDouble
+      }
       sumSq += s * s
       val a = math.abs(s)
       if (a > peak) peak = a
@@ -301,6 +317,79 @@ case class ImageFeatures(child: Expression)
           }
           val n = w.toDouble * h * 255.0
           InternalRow(w, h, UTF8String.fromString(fmt), sr / n, sg / n, sb / n)
+        } finally r.dispose()
+      } finally if (iis != null) iis.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** binary → array<struct(frame_no, width, height, mean_r, mean_g,
+  * mean_b)> — REAL frame sampling from animated GIFs via the JDK's
+  * multi-image GIF reader: `n` evenly-spaced frames decoded and profiled
+  * (the actual shape of video frame extraction, not a byte-range stub).
+  * Frames are returned AS STORED — optimized GIFs encode later frames as
+  * patches over the previous canvas, and this expression profiles the
+  * patch, not a composite. Null for non-GIF/unreadable payloads; the same
+  * header-level dimension guard as [[ImageFeatures]]. */
+case class GifFrames(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && n <= 64, s"n must be in [1, 64] (got $n)")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame_no", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType))), containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          if (r.getFormatName.toLowerCase(java.util.Locale.ROOT) != "gif")
+            return null
+          val total = r.getNumImages(true)
+          if (total < 1) return null
+          val take = math.min(n, total)
+          val idxs = (0 until take).map(i => i * total / take)
+          val rows = idxs.map { idx =>
+            val w = r.getWidth(idx)
+            val h = r.getHeight(idx)
+            if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
+                w.toLong * h > (1L << 26)) return null
+            val img = r.read(idx)
+            var sr = 0.0; var sg = 0.0; var sb = 0.0
+            val row = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val p = row(x)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val cnt = w.toDouble * h * 255.0
+            InternalRow(idx, w, h, sr / cnt, sg / cnt, sb / cnt)
+          }
+          new GenericArrayData(rows.toArray.asInstanceOf[Array[Any]])
         } finally r.dispose()
       } finally if (iis != null) iis.close()
     } catch {

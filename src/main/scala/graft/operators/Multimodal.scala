@@ -108,4 +108,12 @@ object Multimodal {
     * guard before any pixel decode ([[graft.expressions.ImageFeatures]]). */
   def decodeImage(content: Column): Column =
     column(graft.expressions.ImageFeatures(expression(content)))
+
+  /** REAL frame sampling from animated GIFs (`n` evenly-spaced frames
+    * decoded + profiled via the JDK's multi-image reader) — the actual
+    * video-frame-extraction shape; [[sampleFrames]] remains the
+    * byte-range stub for formats whose codecs the environment lacks
+    * ([[graft.expressions.GifFrames]]). */
+  def sampleGifFrames(content: Column, n: Int): Column =
+    column(graft.expressions.GifFrames(expression(content), n))
 }

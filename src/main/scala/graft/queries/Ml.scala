@@ -188,7 +188,52 @@ object Ml {
           round(col("p.mean_b"), 6).as("mean_b"))
         .orderBy("media_id")
     },
+
+    // REAL animated-GIF frame sampling: 4-frame solid-color GIFs per id,
+    // 2 evenly-spaced frames decoded + profiled — the actual video-frame-
+    // extraction shape (mm2's byte-range form remains the stub for
+    // codec-less formats). Palette-exact solid colors → deterministic
+    // means; GifSpec (in ImageSpec.scala) pins per-frame values.
+    Q.rowsOnly("mm6_gif_frames") { (s, d) =>
+      import s.implicits._
+      val gifs = (1 to 32).map { i =>
+        val cols = (0 until 4).map(f => (((i * 29 + f * 61) % 256) << 16) |
+          (((i * 47 + f * 13) % 256) << 8) | ((i * 7 + f * 31) % 256))
+        (i.toLong, Ml.animatedGif(cols))
+      } :+ (33L, "not a gif".getBytes)
+      gifs.toDF("media_id", "content")
+        .select(col("media_id"),
+          explode_outer(Multimodal.sampleGifFrames(col("content"), 2)).as("f"))
+        .select(col("media_id"), col("f.frame_no").cast("long").as("frame_no"),
+          col("f.width").cast("long").as("width"),
+          round(col("f.mean_r"), 6).as("mean_r"),
+          round(col("f.mean_g"), 6).as("mean_g"),
+          round(col("f.mean_b"), 6).as("mean_b"))
+        .orderBy("media_id", "frame_no")
+    },
   )
+
+  /** Minimal animated-GIF encoder for the mm6 fixture: solid-color
+    * frames through the JDK's sequence writer. */
+  private[queries] def animatedGif(colors: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { rgb =>
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(y => (0 until 8).foreach(x => img.setRGB(x, y, rgb)))
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
 
   /** Minimal deterministic PNG encoder for the mm4 fixture: 8-bit RGB,
     * row y stored with filter type y % 5 (forward-filtered per the spec),

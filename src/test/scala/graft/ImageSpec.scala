@@ -93,3 +93,74 @@ class ImageSpec extends SparkSuite {
       r.getLong(1) == 16L && r.getLong(2) == 16L))
   }
 }
+
+/** Multi-frame GIF sampling: frame selection arithmetic, per-frame
+  * palette-exact colors, and null paths. */
+class GifSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def gif(colors: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { rgb =>
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(y => (0 until 4).foreach(x => img.setRGB(x, y, rgb)))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    out.toByteArray
+  }
+
+  test("samples evenly-spaced frames with exact solid colors") {
+    // 4 frames (red, green, blue, white), sample 2 → frames 0 and 2
+    val bytes = gif(Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
+    val got = Seq(Tuple1(bytes)).toDF("c")
+      .select(explode(graft.operators.Multimodal
+        .sampleGifFrames(col("c"), 2)).as("f"))
+      .select("f.frame_no", "f.width", "f.mean_r", "f.mean_g", "f.mean_b")
+      .as[(Int, Int, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(0, 2))
+    assert(got.forall(_._2 == 4))
+    assert(got(0) == ((0, 4, 1.0, 0.0, 0.0)))   // frame 0: pure red
+    assert(got(1) == ((2, 4, 0.0, 0.0, 1.0)))   // frame 2: pure blue
+  }
+
+  test("n larger than frame count returns every frame; junk returns null") {
+    val bytes = gif(Seq(0x000000, 0xffffff))
+    val frames = Seq(Tuple1(bytes)).toDF("c")
+      .select(explode(graft.operators.Multimodal
+        .sampleGifFrames(col("c"), 10)).as("f"))
+      .select("f.frame_no").as[Int].collect().toSeq
+    assert(frames == Seq(0, 1))
+    val junk = Seq(Tuple1("nope".getBytes)).toDF("c")
+      .select(graft.operators.Multimodal.sampleGifFrames(col("c"), 2).as("f"))
+      .collect().head
+    assert(junk.isNullAt(0))
+    // a PNG is readable but not a GIF — must be null, not misprofiled
+    val png = {
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+    }
+    val notGif = Seq(Tuple1(png)).toDF("c")
+      .select(graft.operators.Multimodal.sampleGifFrames(col("c"), 2).as("f"))
+      .collect().head
+    assert(notGif.isNullAt(0))
+  }
+
+  test("gif_frames SQL form + mm6 gate: 32 GIFs x 2 frames + 1 null row") {
+    GraftExtensions.register(spark)
+    val rows = SparkEntry.queries("mm6_gif_frames")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 32 * 2 + 1)
+    assert(rows.count(_.isNullAt(1)) == 1)
+    val viaSql = spark.sql(
+      "SELECT gif_frames(CAST('x' AS BINARY), 2) AS f").collect().head
+    assert(viaSql.isNullAt(0))
+  }
+}

@@ -148,6 +148,48 @@ class MultimodalSpec extends SparkSuite {
     assert(got(3L)._2.isEmpty)                     // malformed → null struct
   }
 
+  test("decodeWav: float32 and unsigned-8-bit variants decode with exact signals") {
+    // IEEE float (format 3, 32-bit): amplitudes ±0.5 → rms = peak = 0.5
+    def floatWav(vals: Array[Float]): Array[Byte] = {
+      val dataLen = vals.length * 4
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16)
+        .putShort(3).putShort(1).putInt(8000).putInt(8000 * 4)
+        .putShort(4).putShort(32)
+      bb.put("data".getBytes).putInt(dataLen)
+      vals.foreach(bb.putFloat)
+      bb.array()
+    }
+    // 8-bit PCM (unsigned, biased at 128): 192 → +0.5, 64 → -0.5
+    def u8Wav(vals: Array[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + vals.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + vals.length).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+      bb.put("data".getBytes).putInt(vals.length)
+      vals.foreach(v => bb.put(v.toByte))
+      bb.array()
+    }
+    val rows = Seq(
+      (1L, floatWav(Array.tabulate(200)(i => if (i % 2 == 0) 0.5f else -0.5f))),
+      (2L, u8Wav(Array.tabulate(100)(i => if (i % 2 == 0) 192 else 64)))
+    ).toDF("id", "content")
+    val got = rows.select(col("id"), Multimodal.decodeWav(col("content")).as("w"))
+      .select(col("id"), col("w.n_samples"), col("w.rms"), col("w.peak"))
+      .as[(Long, Option[Long], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2.contains(200L))
+    assert(math.abs(got(1L)._3.get - 0.5) < 1e-9 &&
+      math.abs(got(1L)._4.get - 0.5) < 1e-9)
+    assert(got(2L)._2.contains(100L))
+    assert(math.abs(got(2L)._3.get - 0.5) < 1e-9 &&
+      math.abs(got(2L)._4.get - 0.5) < 1e-9)
+  }
+
   test("decodeBmp: REAL decode — dimensions and channel means, padded rows") {
     // 3x2 image: left column pure red, rest black → mean_r = 2/6
     val img = bmpBytes(3, 2, (x, _) => if (x == 0) (255, 0, 0) else (0, 0, 0))
