@@ -124,3 +124,113 @@ case class Int8Cosine(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Product-quantization kernels (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011): the vector is L2-normalized,
+  * split into `m` subvectors, and each subvector is replaced by the index
+  * of its nearest codebook centroid — `m` BYTES per vector instead of
+  * `dim` floats. Codebooks are plan-embedded literals (m x K x dsub
+  * doubles — a few KB), trained on a bounded driver sample exactly like
+  * the IVF centroids.
+  *
+  * [[PqEncode]]: array<float|double> → binary (m codes).
+  * [[PqScore]]: (query vector, corpus codes) → approximate cosine via
+  * asymmetric distance computation — the query stays full-precision, the
+  * corpus contributes centroid dot-products: Σ_j <q̂_j, c_j[code_j]>.
+  */
+object Pq {
+  def normalize(a: ArrayData, isFloat: Boolean): Array[Double] = {
+    val n = a.numElements()
+    val v = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      v(i) = x; ss += x * x
+      i += 1
+    }
+    if (ss > 0.0) {
+      val inv = 1.0 / math.sqrt(ss)
+      i = 0
+      while (i < n) { v(i) *= inv; i += 1 }
+    }
+    v
+  }
+}
+
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"expected array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = Pq.normalize(input.asInstanceOf[ArrayData], isFloat)
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    if (v.length != m * dsub) return null // dim mismatch → drop row
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = v(j * dsub + t) - cb(c)(t); d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class PqScore(left: Expression, right: Expression,
+                   codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private lazy val isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"expected array<float|double> query vector, got $t")
+  }
+
+  override def nullSafeEval(q: Any, codes: Any): Any = {
+    val v = Pq.normalize(q.asInstanceOf[ArrayData], isFloat)
+    val code = codes.asInstanceOf[Array[Byte]]
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    if (v.length != m * dsub || code.length != m) return null
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val cent = codebooks(j)(code(j) & 0xff)
+      var t = 0
+      while (t < dsub) { s += v(j * dsub + t) * cent(t); t += 1 }
+      j += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -471,6 +471,20 @@ object Similarity {
         .orderBy("query_id", "rank")
     },
 
+    // Product-quantization ANN (m bytes per corpus vector, asymmetric-
+    // distance coarse scan, exact shortlist re-rank) — the deepest
+    // compression tier of the ANN family (brute → int8 → PQ). Codebook
+    // training is seeded; recall vs brute force bounded in PqAnnSpec.
+    Q.rowsOnly("ann5_pq_topk") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Ann.pqTopK(emb.where(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 5, m = 8, nCodes = 32,
+          shortlistFactor = 8)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // Edit-distance fuzzy join (typo-tolerant matching): the string-level
     // near-dup metric shingle operators miss — a 1-char edit disturbs up to
     // n shingles but is distance 1 here. Query-vs-corpus broadcast with the

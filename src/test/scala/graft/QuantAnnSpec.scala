@@ -60,3 +60,50 @@ class QuantAnnSpec extends SparkSuite {
     assert(perQuery.where(col("n") =!= k || col("mr") =!= k).count() === 0)
   }
 }
+
+/** PQ ANN: recall against exact brute force, shape invariants, and
+  * encode determinism. */
+class PqAnnSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.operators.Ann
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("pqTopK recall vs exact brute force; k rows per query") {
+    val k = 5
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Ann.pqTopK(queries, emb, "vec_id", "embedding", k,
+        m = 8, nCodes = 32, shortlistFactor = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"pq recall $recall")   // 8x compression tier
+    val perQuery = Ann.pqTopK(queries, emb, "vec_id", "embedding", k,
+        m = 8, nCodes = 32, shortlistFactor = 8)
+      .groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))
+    assert(perQuery.where(col("n") =!= k || col("mr") =!= k).count() == 0)
+    // re-ranked cosines are EXACT (shortlist rescoring) — every reported
+    // cosine equals the brute-force cosine for the same pair
+    val exactCos = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 100)
+      .select("query_id", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Ann.pqTopK(queries, emb, "vec_id", "embedding", k,
+        m = 8, nCodes = 32, shortlistFactor = 8)
+      .select("query_id", "neighbor_id", "cosine").collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        exactCos.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-12))
+      }
+  }
+
+  test("pq encoding is deterministic and seeded") {
+    val a = Ann.pqTopK(emb.where(col("vec_id") < 5), emb, "vec_id",
+        "embedding", k = 3, m = 8, nCodes = 16).collect().toSeq
+    val b = Ann.pqTopK(emb.where(col("vec_id") < 5), emb, "vec_id",
+        "embedding", k = 3, m = 8, nCodes = 16).collect().toSeq
+    assert(a == b)
+  }
+}
