@@ -63,3 +63,50 @@ class ObserveSpec extends SparkSuite {
       s"filter no longer pushed when observing above it:\n$pushed")
   }
 }
+
+/** Declarative expectations over one observe pass: pass-rate math, null
+  * predicates counted as failures, assertPass raising with rule names,
+  * and the no-extra-scan property (metrics ride the audited action). */
+class ExpectationsSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.operators.Observe
+
+  test("pass rates per rule; violations named in assertPass") {
+    val df = Seq((1L, "ok"), (2L, "ok"), (3L, ""), (4L, null))
+      .toDF("id", "text")
+    val checked = Observe.expect(df, Seq(
+      Observe.Rule("id_positive", col("id") > 0),
+      Observe.Rule("text_nonempty", length(col("text")) > 0, 0.9),
+      Observe.Rule("text_mostly_present", col("text").isNotNull, 0.5)))
+    checked.df.count()   // the audited action
+    val rep = checked.report().map(r => r.name -> r).toMap
+    assert(rep("id_positive").ok && rep("id_positive").passed == 4)
+    // "" fails length>0; null predicate result ALSO counts as failed
+    assert(rep("text_nonempty").passed == 2 &&
+      rep("text_nonempty").passRate == 0.5 && !rep("text_nonempty").ok)
+    assert(rep("text_mostly_present").ok)
+    val err = intercept[IllegalStateException](checked.assertPass())
+    assert(err.getMessage.contains("text_nonempty") &&
+      !err.getMessage.contains("id_positive"), err.getMessage)
+  }
+
+  test("empty input passes every rule; zero-rows gating is the caller's rule") {
+    val df = Seq.empty[(Long, String)].toDF("id", "text")
+    val checked = Observe.expect(df,
+      Seq(Observe.Rule("id_not_null", col("id").isNotNull)))
+    checked.df.count()
+    assert(checked.report().forall(_.ok))
+  }
+
+  test("metrics ride the audited action: no extra job is triggered") {
+    val df = (1L to 1000L).toDF("id")
+    val checked = Observe.expect(df,
+      Seq(Observe.Rule("positive", col("id") > 0)))
+    checked.df.count()     // the audited action (job count is its own business)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    checked.assertPass()   // reads the observation — must not launch a job
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"reading the report launched ${after - before} extra job(s)")
+  }
+}
