@@ -14,7 +14,7 @@ object SparkEntry {
 
   private def allQueries: Seq[Q] = {
     val qs = Relational.queries ++ Relational2.queries ++ Text.queries ++
-      Similarity.queries ++ Ml.queries ++ Olap.queries
+      Similarity.queries ++ Ml.queries ++ Olap.queries ++ Lm.queries
     // duplicate names would be silently collapsed by .toMap below — and
     // could pair one query's plan with ANOTHER query's oracle
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys

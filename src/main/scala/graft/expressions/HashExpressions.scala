@@ -123,6 +123,33 @@ case class SimHash64(child: Expression, seed: Long = 42L,
     copy(child = c)
 }
 
+/** Scalar FNV-1a-64 over a string's Unicode code points — the same fold
+  * [[SimHash64]] uses per token, exposed standalone so ID-hash operators
+  * (splits, samples) have a DuckDB-recomputable variant: plain SQL can
+  * replay the fold with HUGEINT mod-2^64 arithmetic (see the `d4b`/`s11b`
+  * oracles). xxhash64 remains the production default everywhere; this
+  * exists to make hash-membership decisions value-checkable end-to-end. */
+case class Fnv1a64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    var h = 0xcbf29ce484222325L
+    val str = input.asInstanceOf[UTF8String].toString
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h ^ cp) * 0x100000001b3L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Distinct character n-gram strings in one pass — the oracle-comparable
   * (unhashed) shingle form used by the exact Jaccard path. */
 case class ShingleStrings(child: Expression, n: Int)

@@ -18,11 +18,18 @@ object Sampling {
     * fractions (e.g. Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).
     * Fractions must sum to ~1; every row lands in exactly one split. */
   def hashSplit(df: DataFrame, idCol: String, seed: Long,
-                fractions: Seq[(String, Double)]): DataFrame = {
+                fractions: Seq[(String, Double)]): DataFrame =
+    hashSplitBy(df, pmod(xxhash64(col(idCol), lit(seed)), lit(10000L)),
+      fractions)
+
+  /** [[hashSplit]] with a caller-supplied bucket column in [0, 10000) —
+    * lets the hash be swapped (e.g. the DuckDB-recomputable FNV-1a-64 of
+    * the `s11b` gate) without touching the assignment rule. */
+  def hashSplitBy(df: DataFrame, bucket: org.apache.spark.sql.Column,
+                  fractions: Seq[(String, Double)]): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0) &&
       math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must be positive and sum to 1 (got $fractions)")
-    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(10000L))
     // cumulative upper bounds in buckets-of-1/10000 (rounding to the last
     // split keeps the cover exhaustive)
     val bounds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Statistical language-model corpus operators — the quality/audit passes
+  * a pretraining pipeline runs that need corpus-level token STATISTICS
+  * rather than per-row string functions: n-gram LM scoring (the CCNet
+  * playbook: score every document under an LM and filter the tail) and
+  * distribution-drift audits between corpus slices.
+  *
+  * Every query here is two-phase in one DAG: a corpus-level aggregate
+  * (bigram/unigram counts — shuffles on the GRAM key, so volume is
+  * |distinct grams|, not |rows|) joined back against the per-doc explode.
+  * At 100 TB both phases stay distributed: no driver-side model state,
+  * the "trained model" IS a DataFrame joined by key (AQE broadcasts it
+  * when small).
+  */
+object Lm {
+
+  val queries: Seq[Q] = Seq(
+
+    // Bigram-LM negative log-likelihood per document (add-one smoothing,
+    // LM trained on the corpus itself): the canonical "perplexity filter"
+    // quality signal. nll = mean over doc bigrams of
+    // -ln((c(w1 w2) + 1) / (c(w1 ·) + V)); high nll = improbable text
+    // (boilerplate, mojibake, wrong-language spans).
+    Q("t17_perplexity",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(toks)),
+        |          i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg
+        |      FROM d),
+        |gg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM g),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM gg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM gg GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(toks) AS w FROM d))
+        |SELECT gg.doc_id,
+        |  round(avg(-ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v))), 6) AS nll,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams
+        |FROM gg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY gg.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokenize(lower(col("text")))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .where(size(col("toks")) >= 2)
+      // only (doc_id, w1, w2) rides the explode — never the text
+      val g = docs.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c2 = g.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = g.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = docs.select(explode(col("toks")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      g.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+          round(avg(-log((col("c2") + 1).cast("double") / (col("c1") + col("v")))), 6)
+            .as("nll"),
+          count(lit(1)).cast("long").as("n_bigrams"))
+        .orderBy("doc_id")
+    },
+
+    // Token-distribution drift per corpus slice: KL(P_source || P_corpus)
+    // over unigram distributions — the audit that catches a source whose
+    // token mix diverged (scraper drift, encoding regression) before it
+    // poisons a training mix. One explode; the per-word corpus counts
+    // re-aggregate from the per-(source, word) counts, so the corpus-wide
+    // shuffle is |distinct words|, not |tokens|.
+    Q("t19_kl_drift",
+      """WITH w AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |           FROM documents),
+        |sw AS (SELECT source, w, count(*) AS c_sw FROM w GROUP BY source, w),
+        |cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+        |ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+        |nt AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM cw)
+        |SELECT sw.source,
+        |  round(sum((CAST(c_sw AS DOUBLE) / n_s) *
+        |            ln((CAST(c_sw AS DOUBLE) / n_s) / (CAST(c_w AS DOUBLE) / n))), 6) AS kl,
+        |  CAST(max(n_s) AS BIGINT) AS n_tokens
+        |FROM sw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN nt
+        |GROUP BY sw.source ORDER BY source""".stripMargin) { (s, d) =>
+      val sw = Tables.documents(s, d)
+        .select(col("source"), explode(tokenize(lower(col("text")))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      val cw = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
+      val ns = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+      val nt = cw.agg(sum(col("c_w")).as("n"))
+      val ps = col("c_sw").cast("double") / col("n_s")
+      val pc = col("c_w").cast("double") / col("n")
+      sw.join(cw, Seq("w")).join(ns, Seq("source"))
+        .crossJoin(broadcast(nt))
+        .groupBy("source")
+        .agg(round(sum(ps * log(ps / pc)), 6).as("kl"),
+          max(col("n_s")).cast("long").as("n_tokens"))
+        .orderBy("source")
+    })
+}

@@ -273,6 +273,54 @@ object Similarity {
         .orderBy("doc_id")
     },
 
+    // OVERLAPPING 8-token-gram substring dedup (the sliding-window
+    // complement of d8's disjoint chunks — Lee et al.'s "any k-token span
+    // shared verbatim" rule at doc granularity). A doc sharing any 8-gram
+    // with a smaller-id doc is dropped; string grams here so the oracle
+    // recomputes the rule verbatim.
+    Q("d12_substring_dedup",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(toks) - 6),
+        |          i -> array_to_string(toks[i:i+7], ' '))) AS gram
+        |      FROM t WHERE len(toks) >= 8),
+        |f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram),
+        |dup AS (SELECT DISTINCT g.doc_id FROM g JOIN f USING (gram)
+        |        WHERE g.doc_id > f.first_id)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Dedup.substringGramSurvivors(Tables.documents(s, d), "doc_id", "text",
+          k = 8)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // d12's production form: 8-byte hashed grams ride the shuffle instead
+    // of gram strings (the d2b argument — a 64-bit in-group collision is
+    // negligible and can only drop one extra doc, never the canonical
+    // copy). Same string oracle: identical output certifies the hashed
+    // path end-to-end.
+    Q("d12b_substring_dedup_hashed",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(toks) - 6),
+        |          i -> array_to_string(toks[i:i+7], ' '))) AS gram
+        |      FROM t WHERE len(toks) >= 8),
+        |f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram),
+        |dup AS (SELECT DISTINCT g.doc_id FROM g JOIN f USING (gram)
+        |        WHERE g.doc_id > f.first_id)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Dedup.substringGramSurvivors(Tables.documents(s, d), "doc_id", "text",
+          k = 8, hashed = true)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination (training-data guard against test-set
     // leakage): docs >= 450 stand in for the held-out eval set, docs < 450
     // are the corpus; a corpus doc sharing >= 3 distinct 20-char n-grams

@@ -262,6 +262,45 @@ object Text {
         .orderBy("split", "lang")
     },
 
+    // s11's value-checked sibling (the d4b playbook applied to splits):
+    // same assignment rule, but the bucket hash is FNV-1a-64 over the id
+    // string — simple enough for the oracle to replay the fold in SQL
+    // (HUGEINT mod-2^64 arithmetic, signed pmod both sides), so per-row
+    // MEMBERSHIP is hash-matched, not just the proportions. xxhash64
+    // (s11) stays the production default.
+    Q("s11b_hash_split_fnv",
+      """WITH h AS (SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(-3750763034362895579 AS BIGINT),
+        |        list_transform(regexp_split_to_array(CAST(doc_id AS VARCHAR), ''),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (acc, cp) -> CAST(
+        |        CASE WHEN ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT >= 9223372036854775808::HUGEINT
+        |             THEN ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT - 18446744073709551616::HUGEINT
+        |             ELSE ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT END AS BIGINT)) AS h
+        |  FROM documents),
+        |b AS (SELECT doc_id, ((h % 10000) + 10000) % 10000 AS b FROM h)
+        |SELECT doc_id,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val bucket = pmod(
+        column(graft.expressions.Fnv1a64(
+          expression(col("doc_id").cast("string")))), lit(10000L))
+      graft.operators.Sampling.hashSplitBy(
+          Tables.documents(s, d), bucket,
+          fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // Domain mixing to a target composition (the training-mix step):
     // downsample each source deterministically so the output approaches
     // 40/30/20/10 across the four document sources at the largest feasible

@@ -73,6 +73,35 @@ class DedupSpec extends SparkSuite {
     assert(kept.contains(4L) && kept.contains(5L))
   }
 
+  test("substring-gram dedup: catches spans that straddle chunk boundaries") {
+    val words = (1 to 20).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, words.mkString(" ")),
+      // embeds w5..w12 (8 tokens, straddling any fixed 10-token chunk
+      // boundary of doc 1) inside otherwise-unique text
+      (2L, ("x1 x2 x3 " + words.slice(4, 12).mkString(" ") + " x4 x5")),
+      (3L, "entirely unrelated content that shares no long span at all"),
+      (4L, "too short to carry")                        // < 8 tokens
+    ).toDF("doc_id", "text")
+    val kept = Dedup.substringGramSurvivors(corpus, "doc_id", "text", k = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L), s"got $kept")
+    // the canonical copy (smallest id) always survives
+    assert(kept.contains(1L))
+    // hashed path: identical survivor set
+    val keptH = Dedup.substringGramSurvivors(corpus, "doc_id", "text",
+        k = 8, hashed = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptH == kept)
+    // disjoint 10-token chunking misses the straddling span: chunkDedup
+    // keeps every chunk of doc 2 (no 10-token chunk of 2 equals one of 1)
+    val chunkKept = Dedup.chunkDedup(corpus, "doc_id", "text", 10)
+      .where(col("id") === 2L).select("n_chunks", "n_kept")
+      .as[(Long, Long)].head()
+    assert(chunkKept._1 == chunkKept._2,
+      "expected chunk dedup to MISS the straddling span (motivates d12)")
+  }
+
   test("simhash: identical docs at hamming 0, unrelated docs blocked or far") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Long)].collect()
