@@ -81,6 +81,27 @@ object Ml {
         .orderBy("query", "rank")
     },
 
+    // Learned document classifier (the fastText-style "train a model on
+    // cheap signals, score the corpus" step): logistic regression over
+    // native-expression marker-ratio features. The synthetic corpus's
+    // lang column is metadata over a uniform token soup (unlearnable), so
+    // the demonstrated loop is DISTILLATION of a deterministic text rule
+    // — the same plumbing a real weak-label fit uses. Output: confusion
+    // matrix. Rows-only (iterative L-BFGS fit); featurization exactness,
+    // separation, and decision stability in QualityClassifierSpec.
+    Q.rowsOnly("ml4_quality_classifier") { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("label",
+          when(element_at(
+            graft.model.QualityClassifier.features(col("text")), 1) >= 0.08,
+            1.0).otherwise(0.0))
+      val model = graft.model.QualityClassifier.fit(docs, "text", "label")
+      graft.model.QualityClassifier.score(model, docs, "text")
+        .groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+    },
+
     // Multimodal plumbing: pack text payloads as binary + metadata,
     // stub-decode to fixed-dim features, validate batch shape. The byte
     // length and checksum plumbing is real; the embed kernel is the
