@@ -101,5 +101,22 @@ object Lm {
         .agg(round(sum(ps * log(ps / pc)), 6).as("kl"),
           max(col("n_s")).cast("long").as("n_tokens"))
         .orderBy("source")
+    },
+
+    // BPE tokenizer TRAINING on the corpus (t13 applies a merge table;
+    // this learns one): 24 merges, each an iterative count-weighted
+    // argmax over the vocab-sized word table. Rows-only — the iterative
+    // argmax is not SQL-expressible — but fully deterministic (integral
+    // counts, lexicographic tie-break); BpeTrainSpec hand-traces the
+    // classic low/lower/newest/widest corpus and round-trips the learned
+    // table through the t13 apply expression.
+    Q.rowsOnly("t20_bpe_train") { (s, d) =>
+      val merges = graft.model.BpeTrain.learn(
+        Tables.documents(s, d), "text", numMerges = 24)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((w1, w2), i) => (i.toLong, w1, w2) }
+        .toDF("rank", "w1", "w2")
+        .orderBy("rank")
     })
 }
