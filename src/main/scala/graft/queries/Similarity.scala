@@ -437,6 +437,19 @@ object Similarity {
         .orderBy("a", "b")
     },
 
+    // SemDeDup: embedding-space dedup with CLUSTER-bounded comparisons —
+    // the all-corpus scale path (d6's threshold join needs a broadcastable
+    // side). Seeded k-means partitions the space; cosine pruning runs only
+    // within clusters. Rows-only (k-means assignment is engine state);
+    // exactness on co-clustered duplicates + min-id survivorship in
+    // DedupSpec.
+    Q.rowsOnly("sd1_semantic_dedup") { (s, d) =>
+      Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 16, tau = 0.40)
+        .groupBy("label").agg(count(lit(1)).as("n_survivors"))
+        .orderBy("label")
+    },
+
     // Embedding-cosine near-dup mining: threshold join rather than top-k —
     // the dedup flavor of the ANN surface (pairs above a similarity
     // floor). Double index-order accumulation keeps it oracle-exact.

@@ -73,6 +73,25 @@ class DedupSpec extends SparkSuite {
     assert(kept.contains(4L) && kept.contains(5L))
   }
 
+  test("semantic dedup: co-clustered near-identical vectors collapse to min id") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.001f, 0.0f, 0.0f)),   // near-dup of 1
+      (3L, Array(1.0f, 0.0f, 0.0f, 0.0f)),       // exact dup of 1
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (6L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        k = 3, tau = 0.95, seed = 7L)
+      .select("vec_id").as[Long].collect().toSet
+    // identical/near-identical vectors always co-cluster → 2 and 3 must
+    // collapse into 1; orthogonal vectors are never within tau
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L),
+      s"got $kept")
+    assert(Set(4L, 5L, 6L).subsetOf(kept), s"got $kept")
+  }
+
   test("substring-gram dedup: catches spans that straddle chunk boundaries") {
     val words = (1 to 20).map(i => s"w$i")
     val corpus = Seq(
