@@ -107,7 +107,6 @@ object Sampling {
     * remains (their key is 0). */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      seed: Long, k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1 (got $k)")
     // u in (0, 1) STRICTLY open: (bucket + 0.5) / 2^52 over a 52-bit hash
     // slice. 52 bits ≈ double mantissa resolution, so weight-independent
     // key collisions (which would tie-break toward ascending id and bias
@@ -116,6 +115,15 @@ object Sampling {
     // regardless of weight, and u > 0 so ln(u) is finite.
     val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 52)) + 0.5) /
       lit((1L << 52).toDouble)
+    weightedSampleBy(df, u, idCol, weightCol, k)
+  }
+
+  /** [[weightedSample]] with a caller-supplied u ∈ (0, 1) — lets the hash
+    * be swapped (e.g. the DuckDB-replayable FNV-1a-64 of the `s14b` gate)
+    * without touching the A-Res selection rule. */
+  def weightedSampleBy(df: DataFrame, u: org.apache.spark.sql.Column,
+                       idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
     val key = when(col(weightCol) > 0.0,
       exp(log(u) / col(weightCol))).otherwise(lit(0.0))
     df.withColumn("__wkey", key)

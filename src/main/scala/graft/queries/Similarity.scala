@@ -437,6 +437,69 @@ object Similarity {
         .orderBy("a", "b")
     },
 
+    // Hybrid retrieval: reciprocal-rank fusion of a lexical BM25 leg and
+    // a dense embedding-cosine leg (the standard two-tower search shape).
+    // Each leg is a bounded top-50; fusion is union + one aggregation —
+    // no score calibration, no outer joins. Both legs are deterministic
+    // (integer tf / exact doubles, doc_id tie-breaks) so the fused
+    // ranking hash-matches the oracle.
+    Q("r1_rrf_fusion",
+      """WITH base AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM base),
+        |toks AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |    unnest(toks) AS term FROM base),
+        |tf AS (SELECT doc_id, term, any_value(dl) AS dl,
+        |    CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks WHERE term IN ('data', 'table', 'fast')
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |s AS (SELECT doc_id,
+        |    ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats),
+        |bm AS (SELECT doc_id, sum(s) AS score FROM s GROUP BY doc_id),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        |        FROM bm QUALIFY r <= 50),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |cos AS (SELECT vec_id AS doc_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))) AS c
+        |  FROM embeddings CROSS JOIN q),
+        |dense AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r
+        |          FROM cos QUALIFY r <= 50),
+        |u AS (SELECT doc_id, 1.0 / (60 + r) AS contrib FROM lex
+        |      UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM dense)
+        |SELECT doc_id, round(sum(contrib), 6) AS rrf
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokenize(col("text")).as("toks"))
+      val lex = graft.operators.TfIdf.bm25(docs, "doc_id", "toks",
+          Seq("data", "table", "fast"))
+        .orderBy(col("score").desc, col("id")).limit(50)
+        .select(col("id").as("doc_id"),
+          row_number().over(
+            Window.orderBy(col("score").desc, col("id"))).as("r"))
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val dense = emb.crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          graft.functions.VectorFunctions.cosine(col("embedding"), col("qv"))
+            .as("c"))
+        .orderBy(col("c").desc, col("doc_id")).limit(50)
+        .select(col("doc_id"),
+          row_number().over(
+            Window.orderBy(col("c").desc, col("doc_id"))).as("r"))
+      graft.rank.Fusion.rrf(Seq(lex, dense), "doc_id", "r")
+        .select(col("doc_id"), round(col("rrf"), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    },
+
     // SemDeDup: embedding-space dedup with CLUSTER-bounded comparisons —
     // the all-corpus scale path (d6's threshold join needs a broadcastable
     // side). Seeded k-means partitions the space; cosine pruning runs only

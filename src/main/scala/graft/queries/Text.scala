@@ -452,6 +452,48 @@ object Text {
         .select(col("doc_id")).orderBy("doc_id")
     },
 
+    // s14's value-checked sibling (the s11b playbook applied to A-Res
+    // weighted sampling): u derives from FNV-1a-64 so the oracle replays
+    // hash → u → key = u^(1/w) → top-k in SQL, certifying per-row
+    // MEMBERSHIP of the weighted sample, not just its size. Key ties at
+    // the boundary are measure-zero (52-bit u, continuous weights).
+    Q("s14b_weighted_sample_fnv",
+      """WITH h AS (SELECT doc_id, n_chars,
+        |    list_reduce(
+        |      list_prepend(CAST(-3750763034362895579 AS BIGINT),
+        |        list_transform(regexp_split_to_array(CAST(doc_id AS VARCHAR), ''),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (acc, cp) -> CAST(
+        |        CASE WHEN ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT >= 9223372036854775808::HUGEINT
+        |             THEN ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT - 18446744073709551616::HUGEINT
+        |             ELSE ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT END AS BIGINT)) AS h
+        |  FROM documents),
+        |k AS (SELECT doc_id,
+        |    exp(ln((((h % 4503599627370496) + 4503599627370496) % 4503599627370496
+        |            + 0.5) / 4503599627370496.0)
+        |        / (n_chars / 1000.0 + 0.1)) AS key
+        |  FROM h)
+        |SELECT doc_id FROM
+        |  (SELECT doc_id, key FROM k ORDER BY key DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val u = (pmod(
+        column(graft.expressions.Fnv1a64(
+          expression(col("doc_id").cast("string")))), lit(1L << 52)) + 0.5) /
+        lit((1L << 52).toDouble)
+      graft.operators.Sampling.weightedSampleBy(
+          Tables.documents(s, d).withColumn("w",
+            (col("n_chars") / lit(1000.0)) + lit(0.1)),
+          u, "doc_id", "w", k = 100)
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+
     // Token-budget mixing (training mixes are specified in TOKENS, not doc
     // counts): per source, take docs in doc_id order until the cumulative
     // token count reaches the source's budget; the boundary-crossing doc is
