@@ -157,4 +157,40 @@ object Sampling {
     }
     stratifiedSample(df, stratumCol, idCol, seed, fracs, defaultFraction = 0.0)
   }
+
+  /** Temperature-scaled source rebalancing (the multilingual/multi-source
+    * mixing rule of T5/mT5-style training mixes): downsample so the output
+    * composition is proportional to n_s^alpha instead of n_s — alpha = 1
+    * keeps the natural mix, alpha = 0 equalizes all sources. The largest
+    * output with that composition keeps fraction
+    *
+    *   f_s = (n_min / n_s)^(1 - alpha)
+    *
+    * of stratum s (the normalizer cancels: the binding stratum is always
+    * the smallest, which is kept whole). Fully in-plan — one stratum-count
+    * aggregate, a broadcast global min, a broadcast fraction join, then
+    * the same pure hash filter as [[stratifiedSample]]: no driver action,
+    * no shuffle of the data rows, scan-speed at any corpus size. */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+                        seed: Long, alpha: Double): DataFrame =
+    temperatureSampleBy(df,
+      pmod(xxhash64(col(idCol), lit(seed)), lit(10000L)), stratumCol, alpha)
+
+  /** [[temperatureSample]] with a caller-supplied bucket column in
+    * [0, 10000) — lets the hash be swapped (e.g. the DuckDB-recomputable
+    * FNV-1a-64 of the `s18` gate) without touching the keep rule. */
+  def temperatureSampleBy(df: DataFrame, bucket: org.apache.spark.sql.Column,
+                          stratumCol: String, alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0, 1] (got $alpha)")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val fracs = counts.crossJoin(broadcast(nmin))
+      .select(col(stratumCol),
+        pow(col("__nmin").cast("double") / col("__n").cast("double"),
+          lit(1.0 - alpha)).as("__f"))
+    df.join(broadcast(fracs), Seq(stratumCol))
+      .where(bucket < col("__f") * lit(10000.0))
+      .drop("__f")
+  }
 }

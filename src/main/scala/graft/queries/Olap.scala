@@ -321,6 +321,36 @@ object Olap {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // SCD Type-2 history compression: collapse each customer's order
+    // stream to validity intervals of o_orderpriority — a row opens an
+    // interval iff the priority differs from its predecessor in
+    // (o_orderdate, o_orderkey) order; valid_to = the next interval's
+    // valid_from (null = current). Two windows over one (key, order)
+    // partitioning → one shuffle + one sort.
+    Q("w15_scd2_history",
+      """WITH w AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+        |      FROM w WHERE prev IS NULL OR prev <> o_orderpriority),
+        |v AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+        |        o_orderdate AS valid_from,
+        |        lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |      FROM o)
+        |SELECT o_custkey, o_orderkey, o_orderpriority, valid_from, valid_to
+        |FROM v ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      graft.operators.Scd.scd2(Tables.orders(s, d), "o_custkey",
+          orderCols = Seq(col("o_orderdate"), col("o_orderkey")),
+          versionCol = "o_orderdate",
+          attrCols = Seq("o_orderpriority"),
+          carryCols = Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+          col("valid_from"), col("valid_to"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Fixed-iteration PageRank over the customer→supplier fulfillment
     // graph (id spaces disambiguated as 2k / 2k+1) — the link-graph
     // quality signal of web-corpus curation, 3 iterations, d = 0.85.

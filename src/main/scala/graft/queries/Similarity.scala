@@ -210,6 +210,42 @@ object Similarity {
         .select(col("doc_id")).orderBy("doc_id")
     },
 
+    // Keep-BEST corpus dedup: same clusters as d5b, but the survivor per
+    // duplicate cluster is the argmax of a quality score (here n_chars —
+    // keep the longest duplicate; ties to the smallest id) instead of the
+    // smallest id. The oracle recomputes clusters from first principles
+    // (recursive-CTE components) and applies the same argmax rule.
+    Q("d13_dedup_keep_best",
+      """WITH RECURSIVE
+        |s AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 2, 1) + 1),
+        |      i -> t[i:i+2])) AS sh
+        |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |        FROM documents WHERE doc_id < 400)),
+        |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |      FROM s a, s b WHERE a.doc_id < b.doc_id
+        |        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |cc AS (
+        |  SELECT a AS id, a AS reach FROM edges
+        |  UNION
+        |  SELECT cc.id, edges.b AS reach FROM cc JOIN edges ON cc.reach = edges.a),
+        |lab AS (SELECT id, min(reach) AS cluster FROM cc GROUP BY id),
+        |rk AS (SELECT l.id,
+        |         row_number() OVER (PARTITION BY l.cluster
+        |                            ORDER BY d.n_chars DESC, l.id) AS rn
+        |       FROM lab l JOIN documents d ON d.doc_id = l.id),
+        |losers AS (SELECT id FROM rk WHERE rn > 1)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.dedupCorpusKeepBest(Tables.documents(s, d).where(col("doc_id") < 400),
+          "doc_id", "text", rankCol = "n_chars", bands = 24, rows = 4,
+          minJaccard = 0.8)
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+
     // Incremental dedup: the [450,500) band plays the NEW shard, the rest
     // of the corpus is the precomputed LSH index — the shard's survivors
     // (docs that are not near-dups of the accumulated corpus) may append.

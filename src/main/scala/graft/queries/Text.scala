@@ -315,6 +315,49 @@ object Text {
         .orderBy("source")
     },
 
+    // Temperature-scaled source rebalancing (mT5-style alpha mixing):
+    // composition ∝ n_s^0.5, i.e. keep fraction (n_min/n_s)^0.5 per
+    // source, smallest source kept whole. Value-checked end-to-end via
+    // the s11b FNV playbook: the oracle recomputes the per-source keep
+    // fraction AND each row's bucket, certifying MEMBERSHIP. (A last-ulp
+    // pow() divergence could flip a row only if f*10000 sat within one ulp
+    // of an integer bucket — measure-zero, same argument as s14b.)
+    Q("s18_temperature_mix",
+      """WITH h AS (SELECT doc_id, lang,
+        |    list_reduce(
+        |      list_prepend(CAST(-3750763034362895579 AS BIGINT),
+        |        list_transform(regexp_split_to_array(CAST(doc_id AS VARCHAR), ''),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (acc, cp) -> CAST(
+        |        CASE WHEN ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT >= 9223372036854775808::HUGEINT
+        |             THEN ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT - 18446744073709551616::HUGEINT
+        |             ELSE ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT END AS BIGINT)) AS h
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang, ((h % 10000) + 10000) % 10000 AS b FROM h),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |      FROM documents GROUP BY lang),
+        |f AS (SELECT lang,
+        |        power(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE),
+        |              0.5) AS f
+        |      FROM c)
+        |SELECT doc_id, lang FROM b JOIN f USING (lang)
+        |WHERE b < f * 10000.0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val bucket = pmod(
+        column(graft.expressions.Fnv1a64(
+          expression(col("doc_id").cast("string")))), lit(10000L))
+      graft.operators.Sampling.temperatureSampleBy(
+          Tables.documents(s, d), bucket, "lang", alpha = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     // Gopher-style composite document filter: the gated quality signals
     // (t3 score, t8 repetition ratios, token count) folded into ONE
     // keep/drop decision with the FIRST failing rule named — the actual
@@ -636,6 +679,57 @@ object Text {
           i => array_join(slice(toks, i, lit(2)), " "))).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram").asc).limit(50)
+    },
+
+    // PMI-scored collocations: which bigrams co-occur far above chance —
+    // the phrase-mining signal (word2vec-style phrase detection, quality
+    // auditing of boilerplate) t9's raw counts can't give. All counts stay
+    // BIGINT until one exactly-rounded double expression per row, and the
+    // ranking orders by the EXACT ratio (monotone in PMI) rather than the
+    // libm-dependent ln, so the top-50 cut is bit-stable vs the oracle.
+    Q("t21_pmi_collocations",
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |u AS (SELECT unnest(toks) AS w FROM t),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
+        |n AS (SELECT CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS n FROM uc),
+        |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |        i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS g
+        |      FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT g.w1 AS w1, g.w2 AS w2, CAST(count(*) AS BIGINT) AS cab
+        |       FROM b GROUP BY 1, 2),
+        |m AS (SELECT CAST(CAST(sum(cab) AS BIGINT) AS DOUBLE) AS m FROM bc),
+        |r AS (SELECT w1, w2,
+        |        CAST(cab AS DOUBLE) * n.n * n.n
+        |          / (m.m * CAST(a.c AS DOUBLE) * CAST(z.c AS DOUBLE)) AS ratio
+        |      FROM bc JOIN uc a ON bc.w1 = a.w
+        |              JOIN uc z ON bc.w2 = z.w
+        |              CROSS JOIN n CROSS JOIN m
+        |      WHERE cab >= 5)
+        |SELECT w1, w2, round(ln(ratio), 6) AS pmi
+        |FROM r ORDER BY ratio DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = tokenize(col("text"))
+      val uni = docs.select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bi = docs.where(size(toks) >= 2)
+        .select(explode(transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2")))).as("g"))
+        .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      val n = uni.agg(sum(col("c")).cast("double").as("n"))
+      val m = bi.agg(sum(col("cab")).cast("double").as("m"))
+      val ratio = col("cab").cast("double") * col("n") * col("n") /
+        (col("m") * col("ca").cast("double") * col("cb").cast("double"))
+      bi.where(col("cab") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("ca")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("cb")), "w2")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+        .select(col("w1"), col("w2"), round(log(ratio), 6).as("pmi"),
+          ratio.as("__r"))
+        .orderBy(col("__r").desc, col("w1"), col("w2")).limit(50)
+        .drop("__r")
     },
 
     // The composed corpus-preparation pipeline (quality → lang → dedup →
