@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph operators over plain edge-list DataFrames — the connectivity
+  * queries a data pipeline actually runs (duplicate-cluster resolution,
+  * co-occurrence grouping, entity resolution), without any graph framework
+  * dependency. An undirected graph here IS a DataFrame of (src, dst) rows;
+  * results are DataFrames keyed by vertex id.
+  *
+  * [[Dedup.resolveClusters]]/[[Dedup.dedupCorpus]] embed the same kernels
+  * for their internal pair graphs; this is the standalone surface.
+  */
+object Graph {
+
+  /** Connected components of an undirected edge list: one row (id,
+    * component) per DISTINCT vertex appearing in `edges`, where
+    * `component` is the smallest vertex id reachable from it (so the
+    * component labels are canonical and stable). Isolated vertices never
+    * appear in an edge list — union the input's full vertex set back on
+    * afterwards if they matter.
+    *
+    * Adaptive like [[Dedup.dedupCorpus]]: edge sets up to
+    * `smallGraphThreshold` rows are collected and resolved with a bounded
+    * driver union-find (one Spark action; the result is a broadcast-able
+    * local relation, no retained cache); larger graphs run distributed
+    * min-label propagation — a handful of shuffle rounds keyed on vertex
+    * id, converging in O(component diameter) rounds. Real near-dup /
+    * co-occurrence graphs have tiny diameters; raise `maxIter` for
+    * long-chain graphs. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          smallGraphThreshold: Int = 1 << 20,
+                          maxIter: Int = 5): DataFrame =
+    connectedComponentsStaged(edges, srcCol, dstCol, smallGraphThreshold,
+      maxIter).df
+
+  /** [[connectedComponents]] with the cache-release hook exposed: in the
+    * distributed path the returned plan reads one persisted label frame —
+    * call `release()` after the last downstream action (same contract as
+    * [[Dedup.dedupCorpusStaged]]). The small-graph path retains nothing
+    * and its hook is a no-op. */
+  def connectedComponentsStaged(edges: DataFrame, srcCol: String,
+                                dstCol: String,
+                                smallGraphThreshold: Int = 1 << 20,
+                                maxIter: Int = 5): Dedup.Staged = {
+    require(smallGraphThreshold >= 0, "smallGraphThreshold must be >= 0")
+    val spark = edges.sparkSession
+    val idType = edges.schema(srcCol).dataType
+    require(edges.schema(dstCol).dataType == idType,
+      s"src/dst types must match (got $idType vs ${edges.schema(dstCol).dataType})")
+    val p = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .dropDuplicates("a", "b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = p.count()
+    if (nEdges <= smallGraphThreshold) {   // threshold 0 ⇒ always distributed
+      val taken = p.collect()              // a cache scan, nEdges is bounded
+      p.unpersist()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("component", idType)))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(
+          Dedup.unionFindRoots(taken).toSeq.map { case (id, root) =>
+            org.apache.spark.sql.Row(id, root)
+          }: _*)
+      return Dedup.Staged(spark.createDataFrame(rows, schema), () => ())
+    }
+    val labels = Dedup.propagateLabels(p, maxIter)
+    p.unpersist()
+    Dedup.Staged(labels.withColumnRenamed("canonical", "component"),
+      () => labels.unpersist())
+  }
+}

@@ -103,6 +103,67 @@ object Lm {
         .orderBy("source")
     },
 
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // bucket features (FNV-1a-64 mod 1024 so the oracle replays the
+    // bucketing), add-one-smoothed target-vs-raw bucket LMs (target =
+    // English slice), per-doc log-likelihood-ratio weight — the "select
+    // raw data that looks like the target corpus" scorer. The oracle
+    // recomputes the entire pipeline from first principles: tokenize →
+    // gram → FNV hash → bucket counts → smoothed log-ratio → per-doc sum.
+    Q("s19_dsir_weights",
+      """WITH t AS (SELECT doc_id, lang = 'en' AS tt,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, tt,
+        |    unnest(list_concat(toks,
+        |      list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]))) AS g
+        |  FROM t),
+        |h AS (SELECT doc_id, tt,
+        |    list_reduce(
+        |      list_prepend(CAST(-3750763034362895579 AS BIGINT),
+        |        list_transform(regexp_split_to_array(g, ''),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (acc, cp) -> CAST(
+        |        CASE WHEN ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT >= 9223372036854775808::HUGEINT
+        |             THEN ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT - 18446744073709551616::HUGEINT
+        |             ELSE ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT END AS BIGINT)) AS h
+        |  FROM g0),
+        |db AS (SELECT doc_id, tt, ((h % 1024) + 1024) % 1024 AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM h GROUP BY 1, 2, 3),
+        |bc AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN tt THEN c ELSE 0 END) AS BIGINT) AS ct
+        |  FROM db GROUP BY b),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+        |    CAST(sum(ct) AS BIGINT) AS nt FROM bc),
+        |lr AS (SELECT b,
+        |    ln(CAST(ct + 1 AS DOUBLE) / (nt + 1024))
+        |      - ln(CAST(cr + 1 AS DOUBLE) / (nr + 1024)) AS lr
+        |  FROM bc CROSS JOIN tot)
+        |SELECT db.doc_id, round(sum(c * lr), 6) AS logw,
+        |  CAST(sum(c) AS BIGINT) AS n_grams
+        |FROM db JOIN lr USING (b)
+        |GROUP BY db.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", tokenize(lower(col("text"))))
+      graft.operators.Dsir.importanceWeights(docs, "doc_id",
+          graft.operators.Dsir.unigramBigram(col("toks")),
+          col("lang") === "en", buckets = 1024,
+          bucketOf = g => pmod(
+            column(graft.expressions.Fnv1a64(expression(g))), lit(1024L)))
+        .select(col("doc_id"), round(col("logw"), 6).as("logw"),
+          col("n_grams"))
+        .orderBy("doc_id")
+    },
+
     // BPE tokenizer TRAINING on the corpus (t13 applies a merge table;
     // this learns one): 24 merges, each an iterative count-weighted
     // argmax over the vocab-sized word table. Rows-only — the iterative

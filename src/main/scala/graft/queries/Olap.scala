@@ -390,6 +390,34 @@ object Olap {
           iterations = 3, damping = 0.85)
         .select(col("v"), round(col("pr"), 9).as("pr"))
         .orderBy("v")
+    },
+
+    // Connected components over a part co-occurrence graph (parts bought
+    // together in one order): full (id, component) membership with the
+    // smallest reachable id as the canonical component label — the
+    // standalone form of the cluster resolution dedupCorpus embeds. The
+    // oracle recomputes components from first principles via a
+    // reachability recursive CTE (min reachable id = component).
+    Q("g2_connected_components",
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |       WHERE a.l_orderkey < 300 AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+        |cc AS (
+        |  SELECT a AS id, a AS reach FROM edges
+        |  UNION
+        |  SELECT cc.id, edges.b AS reach FROM cc JOIN edges ON cc.reach = edges.a)
+        |SELECT id, CAST(min(reach) AS BIGINT) AS component
+        |FROM cc GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).where(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.operators.Graph.connectedComponents(edges, "src", "dst")
+        .orderBy("id")
     }
   )
 }
