@@ -536,6 +536,41 @@ object Similarity {
         .orderBy(col("rrf").desc, col("doc_id")).limit(20)
     },
 
+    // Hard-negative mining (contrastive-training data prep): per query,
+    // the top-5 most-similar DIFFERENT-label vectors, each with its margin
+    // to the query's hardest positive (hardest_pos − cosine; the triplet-
+    // loss quantity). One scored pair frame, one shuffle keyed on
+    // query_id for both windows (unordered positive max + ordered
+    // negative rank). Double accumulation in index order → bit-identical.
+    Q("r2_hard_negatives",
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    a.label = b.label AS is_pos,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 20 AND a.vec_id != b.vec_id),
+        |hp AS (SELECT query_id, max(cosine) FILTER (is_pos) AS hp
+        |       FROM pairs GROUP BY query_id),
+        |negs AS (SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(cosine, 6) DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM pairs WHERE NOT is_pos)
+        |SELECT negs.query_id AS query_id, neighbor_id,
+        |  round(cosine, 6) AS cosine, rank,
+        |  round(hp - cosine, 6) AS margin
+        |FROM negs JOIN hp ON negs.query_id = hp.query_id
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.rank.HardNegatives.mine(emb.where(col("vec_id") < 20), emb,
+          "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long"),
+          round(col("margin"), 6).as("margin"))
+        .orderBy("query_id", "rank")
+    },
+
     // SemDeDup: embedding-space dedup with CLUSTER-bounded comparisons —
     // the all-corpus scale path (d6's threshold join needs a broadcastable
     // side). Seeded k-means partitions the space; cosine pruning runs only
