@@ -69,6 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(text) - Unicode canonical composition (NFC)"),
       (es: Seq[Expression]) => NfcNormalize(es.head)),
+    (FunctionIdentifier("char_entropy"),
+      info("char_entropy", "char_entropy(text) - code-point Shannon entropy in nats (blob/repetition screen)"),
+      (es: Seq[Expression]) => CharEntropy(es.head)),
     (FunctionIdentifier("intersection_size"),
       info("intersection_size", "intersection_size(a, b) - |A ∩ B| without materializing it"),
       (es: Seq[Expression]) => IntersectionSize(es(0), es(1))),

@@ -314,6 +314,45 @@ case class NfcNormalize(child: Expression)
     copy(child = c)
 }
 
+/** Shannon entropy (nats) of the code-point distribution of a string —
+  * the cheap screen for non-linguistic content: base64/hex blobs and
+  * minified code sit well ABOVE natural text (near-uniform symbol use),
+  * while padding/repetition sits far below. Natural language clusters in
+  * a narrow band, so both tails are drop candidates. One pass to count
+  * code points (no per-row allocation beyond the count map), no shuffle —
+  * scan-speed at any corpus size. Empty strings score 0. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.computeIfAbsent(cp, _ => new Array[Int](1))
+      slot(0) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var ent = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / n
+      ent -= p * math.log(p)
+    }
+    ent
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Bloom-filter membership against a BROADCAST
   * `org.apache.spark.util.sketch.BloomFilter` (the sketch
   * `DataFrameStatFunctions.bloomFilter` builds). Long/int keys probe via

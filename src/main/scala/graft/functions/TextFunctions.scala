@@ -175,6 +175,15 @@ object TextFunctions {
     column(graft.expressions.NfcNormalize(expression(text)))
   }
 
+  /** Code-point Shannon entropy (nats,
+    * [[graft.expressions.CharEntropy]]): the cheap non-linguistic-content
+    * screen — base64/hex blobs score high, padding/repetition low, natural
+    * text in a narrow band. */
+  def charEntropy(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expressions.CharEntropy(expression(text)))
+  }
+
   /** Corpus text cleaning: NFC normalize, then strip C0 control characters
     * (keeping tab/newline/CR — they carry document structure). The regex is
     * RE2-compatible so the identical pattern runs in the DuckDB oracle. */

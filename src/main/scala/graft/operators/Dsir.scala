@@ -64,7 +64,11 @@ object Dsir {
         (log((col("__ct") + 1).cast("double") / (col("__nt") + buckets)) -
           log((col("__cr") + 1).cast("double") / (col("__nr") + buckets)))
           .as("__lr"))
-    docb.join(lr, Seq("__b"))
+    // broadcast the MODEL side explicitly: lr is ≤`buckets` rows by
+    // construction, while docb is |docs × buckets| — size estimation over
+    // the explode is unreliable enough that the static planner can pick
+    // the wrong build side without the hint
+    docb.join(broadcast(lr), Seq("__b"))
       .groupBy("__id")
       .agg(sum(col("__c") * col("__lr")).as("logw"),
         sum(col("__c")).cast("long").as("n_grams"))

@@ -122,6 +122,60 @@ object Relational2 {
         .orderBy("user_id")
     },
 
+    // Ordered-funnel conversion (view → click → purchase): stage i counts
+    // users with a stage-i event STRICTLY AFTER their earliest qualifying
+    // stage-(i−1) event — min-time forward chaining, each user converts
+    // once per stage. Stage frames shrink monotonically, so successive
+    // user-keyed joins get cheaper; integer-microsecond ts end-to-end.
+    Q("st9_funnel",
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |s0 AS (SELECT user_id, min(us) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id AS user_id, min(us) AS t
+        |       FROM e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE event_type = 'click' AND us > s0.t GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id AS user_id, min(us) AS t
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'purchase' AND us > s1.t GROUP BY e.user_id)
+        |SELECT stage_idx, stage, n_users FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_users
+        |  UNION ALL SELECT 1, 'click',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s1)
+        |  UNION ALL SELECT 2, 'purchase',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s2))
+        |ORDER BY stage_idx""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("us"))
+      graft.operators.Funnel.funnelCounts(ev, "user_id", "event_type", "us",
+        Seq("view", "click", "purchase"))
+    },
+
+    // Cohort retention: users cohorted by the week of their first event;
+    // each (cohort, offset) cell counts cohort users active that many
+    // weeks later. Two user-keyed aggregates + one join; Monday-truncated
+    // weeks in both engines, offsets as exact 7-day bucket differences.
+    Q("a23_cohort_retention",
+      """WITH c AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS p FROM events)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', cw, p) / 7 AS BIGINT) AS period_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, period_offset""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+      graft.operators.Funnel.cohortRetention(ev, "user_id", "t", "week")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("period_offset"), col("n_users"))
+        .orderBy("cohort", "period_offset")
+    },
+
     // Key-distribution profiling (the pre-join skew audit): per-key count
     // histogram on log2 buckets over the event log's user key. Two-level
     // agg — one shuffle on the key with map-side partials, then <= 64

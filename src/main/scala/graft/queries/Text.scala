@@ -732,6 +732,31 @@ object Text {
         .drop("__r")
     },
 
+    // Code-point Shannon entropy per document (native CharEntropy kernel,
+    // SQL: char_entropy): the cheap non-linguistic-content screen —
+    // base64/hex blobs score far above natural text, padding/repetition
+    // far below. Pure scan, no shuffle. The oracle recomputes the
+    // distribution per row with list functions (summation order differs;
+    // round 6 absorbs the ulp-level difference).
+    Q("t22_char_entropy",
+      """WITH c AS (SELECT doc_id, regexp_split_to_array(text, '') AS ch
+        |           FROM documents),
+        |e AS (SELECT doc_id, len(ch) AS n,
+        |    -list_sum(list_transform(list_distinct(ch),
+        |       x -> (CAST(len(list_filter(ch, y -> y = x)) AS DOUBLE) / len(ch))
+        |            * ln(CAST(len(list_filter(ch, y -> y = x)) AS DOUBLE) / len(ch))))
+        |      AS ent
+        |  FROM c)
+        |SELECT doc_id, round(ent, 6) AS entropy, CAST(n AS BIGINT) AS n_chars2
+        |FROM e ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(graft.functions.TextFunctions.charEntropy(col("text")), 6)
+            .as("entropy"),
+          length(col("text")).cast("long").as("n_chars2"))
+        .orderBy("doc_id")
+    },
+
     // The composed corpus-preparation pipeline (quality → lang → dedup →
     // split → pack) in one call — engine hashing in dedup/split makes it
     // rows-only; every stage is oracle-gated individually (t3/t4/d5/s11/

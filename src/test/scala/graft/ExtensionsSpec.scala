@@ -103,4 +103,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("i") == 2)
     assert(row.isNullAt(1) && row.isNullAt(2))   // malformed → null, no throw
   }
+
+  test("char_entropy: hand-computed distributions, surrogate pairs, empty") {
+    val rows = spark.sql(
+      """SELECT char_entropy('aaaa') AS zero, char_entropy('ab') AS one_bit,
+        |  char_entropy('aabb') AS one_bit2, char_entropy('') AS empty,
+        |  char_entropy('😀😀') AS emoji""".stripMargin).collect().head
+    assert(rows.getDouble(0) == 0.0)                       // single symbol
+    assert(math.abs(rows.getDouble(1) - math.log(2)) < 1e-12)   // uniform/2
+    assert(math.abs(rows.getDouble(2) - math.log(2)) < 1e-12)
+    assert(rows.getDouble(3) == 0.0)                       // empty → 0
+    // one distinct CODE POINT (not two surrogate chars): entropy 0
+    assert(rows.getDouble(4) == 0.0)
+  }
 }
