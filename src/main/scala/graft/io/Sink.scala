@@ -34,11 +34,16 @@ object Sink {
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String], sortCols: Seq[String],
                        filesPerPartition: Int = 1,
-                       maxRecordsPerFile: Long = 0L): Unit = {
+                       maxRecordsPerFile: Long = 0L,
+                       format: String = "parquet"): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     require(sortCols.nonEmpty, "sortCols must be non-empty")
     require(filesPerPartition >= 1,
       s"filesPerPartition must be >= 1 (got $filesPerPartition)")
+    // both columnar formats Spark bundles keep per-stripe/row-group
+    // min/max stats, so the sorted layout prunes under either
+    require(format == "parquet" || format == "orc",
+      s"format must be 'parquet' or 'orc' (got '$format')")
     val salt = pmod(xxhash64(sortCols.map(col): _*),
       lit(filesPerPartition.toLong))
     df.withColumn("__salt", salt)
@@ -49,7 +54,8 @@ object Sink {
       .partitionBy(partitionCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
-      .parquet(path)
+      .format(format)
+      .save(path)
   }
 
   /** 2-D z-order (Morton) value for layout control: sort/partition by this

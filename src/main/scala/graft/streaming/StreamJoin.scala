@@ -48,6 +48,17 @@ object StreamJoin {
     joinImpl(left, right, key, leftTs, rightTs, watermark, before, after,
       "left_outer")
 
+  /** FULL OUTER [[intervalJoin]]: unmatched rows from BOTH sides surface
+    * with nulls once the watermark proves no match can arrive — the
+    * reconciliation shape (orders vs payments: unpaid orders AND orphan
+    * payments in one pass). Same state bounds as the other variants. */
+  def intervalJoinFullOuter(left: DataFrame, right: DataFrame, key: String,
+                            leftTs: String, rightTs: String,
+                            watermark: String, before: String,
+                            after: String): DataFrame =
+    joinImpl(left, right, key, leftTs, rightTs, watermark, before, after,
+      "full_outer")
+
   private def joinImpl(left: DataFrame, right: DataFrame, key: String,
                        leftTs: String, rightTs: String, watermark: String,
                        before: String, after: String,
@@ -55,12 +66,21 @@ object StreamJoin {
     require(leftTs != rightTs,
       "leftTs and rightTs must be distinct column names (rename upstream)")
     val l = left.withWatermark(leftTs, watermark).alias("l")
-    val r = right.withWatermark(rightTs, watermark).alias("r")
-    l.join(r,
-      col(s"l.$key") === col(s"r.$key") &&
+    // rename the right key pre-join: the output key must come from the
+    // surviving side, and in the full-outer case from COALESCE of both
+    // (dropping r.key outright would null the key on right-only rows)
+    val r = right.withColumnRenamed(key, "__rkey")
+      .withWatermark(rightTs, watermark).alias("r")
+    val joined = l.join(r,
+      col(s"l.$key") === col("__rkey") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"),
       joinType)
-      .drop(col(s"r.$key"))
+    joinType match {
+      case "full_outer" =>
+        joined.withColumn("__k", coalesce(col(s"l.$key"), col("__rkey")))
+          .drop(key).drop("__rkey").withColumnRenamed("__k", key)
+      case _ => joined.drop("__rkey")
+    }
   }
 }

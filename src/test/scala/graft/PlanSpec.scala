@@ -113,6 +113,25 @@ class PlanSpec extends SparkSuite {
     assert(!p5.contains("CartesianProduct"))
   }
 
+  test("q6/q10: every probe predicate reaches the scan; top-k is TakeOrdered") {
+    // formatted mode prints the full PushedFilters list (toString truncates)
+    val p6 = SparkEntry.queries("q6_forecast_revenue")(spark,
+        "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate,", "LessThan(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)"))
+      assert(p6.contains(f), s"expected pushed filter $f:\n$p6")
+    assert(!p6.contains("Exchange hashpartitioning"),
+      s"q6 must not shuffle (scan + global agg only):\n$p6")
+    val p10 = plan("q10_returned_items")
+    assert(p10.contains("TakeOrderedAndProject"), p10)
+    assert(p10.contains("EqualTo(l_returnflag,R)"),
+      "return-flag filter must reach the lineitem scan")
+    assert(!p10.contains("CartesianProduct"))
+  }
+
   test("J7: maxDfFraction adds the df-prune semi-ish join before pair generation") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")

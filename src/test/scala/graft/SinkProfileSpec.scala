@@ -90,6 +90,37 @@ class SinkProfileSpec extends SparkSuite {
       .count() === 0)
   }
 
+  test("writePartitioned ORC format: same layout contract, pushdown works") {
+    val dir = Files.createTempDirectory("sinkorc").toFile
+    dir.deleteOnExit()
+    val path = s"$dir/docs"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    Sink.writePartitioned(docs, path,
+      partitionCols = Seq("lang"), sortCols = Seq("doc_id"),
+      filesPerPartition = 2, format = "orc")
+    val langs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang="))
+    assert(langs.nonEmpty)
+    langs.foreach { l =>
+      val files = new java.io.File(s"$path/$l").listFiles()
+        .filter(_.getName.endsWith(".orc"))
+      assert(files.length <= 2 && files.nonEmpty, s"$l layout broken")
+    }
+    val back = spark.read.orc(path)
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id", "text").exceptAll(
+      docs.select("doc_id", "text")).count() === 0)
+    // predicate + partition pruning reach the ORC scan like parquet
+    val q = spark.read.orc(path)
+      .where(org.apache.spark.sql.functions.col("lang") === "en" &&
+        org.apache.spark.sql.functions.col("doc_id") < 100)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)"),
+      s"ORC pushdown missing:\n$plan")
+    assert(plan.contains("PartitionFilters:") && plan.contains("lang"),
+      "partition pruning missing")
+  }
+
   test("compact reduces file count, preserves rows and partition layout") {
     val dir = Files.createTempDirectory("compact").toFile
     dir.deleteOnExit()

@@ -71,6 +71,37 @@ class StreamJoinSpec extends SparkSuite {
       s"unclicked impression must surface as a negative example, got $got")
   }
 
+  test("full outer: unmatched rows from BOTH sides surface, key never null") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp, String)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamJoin.intervalJoinFullOuter(
+      imps.toDF().toDF("user", "imp_ts", "imp_id"),
+      clicks.toDF().toDF("user", "click_ts", "click_id"),
+      key = "user", leftTs = "imp_ts", rightTs = "click_ts",
+      watermark = "5 seconds", before = "0 seconds", after = "10 seconds")
+    val q = joined.select("user", "imp_id", "click_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sjf_out").start()
+
+    imps.addData((1L, ts(100), "i1"), (2L, ts(100), "i2"))
+    clicks.addData((1L, ts(104), "c1"))   // matches i1
+    clicks.addData((3L, ts(100), "c3"))   // orphan click, no impression
+    q.processAllAvailable()
+    // advance both watermarks far past every open window
+    imps.addData((9L, ts(400), "i9"))
+    clicks.addData((9L, ts(401), "c9"))
+    q.processAllAvailable()
+    val got = spark.table("sjf_out")
+      .as[(Long, Option[String], Option[String])].collect().toSet
+    q.stop()
+    assert(got.contains((1L, Some("i1"), Some("c1"))))
+    assert(got.contains((2L, Some("i2"), None)),
+      s"unclicked impression must surface: $got")
+    assert(got.contains((3L, None, Some("c3"))),
+      s"orphan click must surface WITH its key: $got")
+  }
+
   test("the same operator runs in batch mode for backtests") {
     val imps = Seq((1L, ts(100), "i1"), (2L, ts(200), "i2"))
       .toDF("user", "imp_ts", "imp_id")
