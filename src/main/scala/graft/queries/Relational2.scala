@@ -122,6 +122,64 @@ object Relational2 {
         .orderBy("user_id")
     },
 
+    // Snapshot diff (corpus-versioning audit): classify every doc id as
+    // added/removed/changed/unchanged between two corpus versions — v2 is
+    // derived deterministically in-query (drop ids ≡3 mod 10, edit ids ≡5,
+    // add 20 new ids) so both engines diff identical snapshots. One full
+    // outer join on the id; direct column compare, no hash collisions.
+    Q("so7_snapshot_diff",
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 5 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 != 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new doc' FROM documents WHERE doc_id < 20)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN v1.text = v2.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val v1 = docs.select(col("doc_id"), col("text"))
+      val v2 = docs.where(pmod(col("doc_id"), lit(10)) =!= 3)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 5,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+        .union(docs.where(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            lit("new doc").as("text")))
+      graft.operators.SnapshotDiff.diff(v1, v2, "doc_id", Seq("text"))
+        .orderBy("doc_id")
+    },
+
+    // Streaming-shaped trending: top-3 event types per tumbling hour —
+    // st5's windowed counts + W1's WindowGroupLimit rank in one plan (the
+    // batch form of a readStream trending dashboard; per-window state is
+    // the k-row heap, never the full count set).
+    Q("st10_trending",
+      """WITH w AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT hour, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY hour
+        |      ORDER BY n DESC, event_type) AS BIGINT) AS rank
+        |  FROM w)
+        |SELECT hour, event_type, n, rank FROM r WHERE rank <= 3
+        |ORDER BY hour, rank""".stripMargin) { (s, d) =>
+      val counts = Tables.events(s, d)
+        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"), col("n"))
+      graft.operators.TopK.topKPerKey(counts, Seq("hour"),
+          Seq(col("n").desc, col("event_type").asc), k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("hour", "rank")
+    },
+
     // Ordered-funnel conversion (view → click → purchase): stage i counts
     // users with a stage-i event STRICTLY AFTER their earliest qualifying
     // stage-(i−1) event — min-time forward chaining, each user converts

@@ -757,6 +757,28 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Tokenizer fertility audit: characters per BPE token by language —
+    // the "is this tokenizer efficient on this corpus slice" number that
+    // drives vocab decisions (CJK under an English-digraph merge table
+    // shows near-1.0 fertility: nothing merges). Engine-side BPE →
+    // rows-only; the merge table is t13's, so BpeSpec's goldens pin the
+    // tokenization itself.
+    Q.rowsOnly("t23_tokenizer_fertility") { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+        ("an", "d"), ("in", "g"), ("e", "r"), ("o", "n"), ("r", "e"),
+        ("o", "u"), ("s", "t"), ("e", "n"))
+      val toks = column(graft.expressions.BpeTokenize(
+        expression(lower(col("text"))), merges))
+      Tables.documents(s, d)
+        .select(col("lang"), length(col("text")).cast("double").as("nc"),
+          size(toks).cast("double").as("nt"))
+        .groupBy("lang")
+        .agg(round(avg(col("nc") / col("nt")), 4).as("chars_per_token"),
+          sum(col("nt")).cast("long").as("n_tokens"))
+        .orderBy("lang")
+    },
+
     // The composed corpus-preparation pipeline (quality → lang → dedup →
     // split → pack) in one call — engine hashing in dedup/split makes it
     // rows-only; every stage is oracle-gated individually (t3/t4/d5/s11/
