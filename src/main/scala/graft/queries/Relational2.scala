@@ -122,6 +122,75 @@ object Relational2 {
         .orderBy("user_id")
     },
 
+    // Group-wise OLS regression (trend per event type): slope/intercept/r²
+    // of value over time in ONE partial+final aggregate pass (regr_* are
+    // algebraic aggregates — per-group sums of x, y, xy, x², y² — so the
+    // shuffle carries five doubles per group, scale-free). Time is
+    // re-based to days since the epoch floor so both engines regress
+    // against small, identical abscissae (raw epoch micros would put 1e15
+    // magnitudes through the covariance formula).
+    Q("a24_group_regression",
+      """WITH e AS (SELECT event_type, value,
+        |    CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE)
+        |      / 86400000000.0 AS x
+        |  FROM events)
+        |SELECT event_type,
+        |  round(regr_slope(value, x), 6) AS slope,
+        |  round(regr_intercept(value, x), 6) AS intercept,
+        |  round(regr_r2(value, x), 6) AS r2,
+        |  CAST(regr_count(value, x) AS BIGINT) AS n
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          ((expr("ts DIV 1000") -
+            lit(java.time.Instant.parse("2024-01-01T00:00:00Z")
+              .toEpochMilli * 1000L)).cast("double") / 86400000000.0)
+            .as("x"))
+        .groupBy("event_type")
+        .agg(round(expr("regr_slope(value, x)"), 6).as("slope"),
+          round(expr("regr_intercept(value, x)"), 6).as("intercept"),
+          round(expr("regr_r2(value, x)"), 6).as("r2"),
+          expr("regr_count(value, x)").cast("long").as("n"))
+        .orderBy("event_type")
+    },
+
+    // Entity resolution over part names with deterministic in-query typos
+    // (ids ≡0 mod 7 get a trailing 'x'): prefix blocking + length prune +
+    // Levenshtein verify on the DISTINCT name dictionary, components, and
+    // a record-level map back to the canonical name. The oracle replays
+    // blocking, edit distance, and reachability from first principles.
+    Q("er1_entity_resolution",
+      """WITH RECURSIVE
+        |r AS (SELECT p_partkey AS id,
+        |    CASE WHEN p_partkey % 7 = 0 THEN p_name || 'x' ELSE p_name END AS name
+        |  FROM part),
+        |x AS (SELECT id, lower(regexp_replace(trim(name), '\s+', ' ', 'g')) AS nm
+        |      FROM r),
+        |n AS (SELECT DISTINCT nm FROM x),
+        |e AS (SELECT a.nm AS a, b.nm AS b FROM n a, n b
+        |      WHERE a.nm < b.nm AND substr(a.nm, 1, 3) = substr(b.nm, 1, 3)
+        |        AND abs(length(a.nm) - length(b.nm)) <= 2
+        |        AND levenshtein(a.nm, b.nm) <= 2),
+        |edges AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |cc AS (
+        |  SELECT a AS id, a AS reach FROM edges
+        |  UNION
+        |  SELECT cc.id, edges.b AS reach FROM cc JOIN edges ON cc.reach = edges.a),
+        |comp AS (SELECT id AS nm, min(reach) AS canon FROM cc GROUP BY id)
+        |SELECT x.id AS id, coalesce(comp.canon, x.nm) AS entity
+        |FROM x LEFT JOIN comp ON x.nm = comp.nm
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      val records = Tables.part(s, d)
+        .select(col("p_partkey").as("id"),
+          when(pmod(col("p_partkey"), lit(7)) === 0,
+            concat(col("p_name"), lit("x"))).otherwise(col("p_name"))
+            .as("name"))
+      graft.operators.EntityResolution.resolve(records, "id", "name",
+          maxDistance = 2, blockPrefixLen = 3)
+        .select(col("id"), col("entity"))
+        .orderBy("id")
+    },
+
     // Snapshot diff (corpus-versioning audit): classify every doc id as
     // added/removed/changed/unchanged between two corpus versions — v2 is
     // derived deterministically in-query (drop ids ≡3 mod 10, edit ids ≡5,
