@@ -80,6 +80,21 @@ class RespTestServer {
                   o.synchronized { o.write(frame.getBytes(UTF_8)); o.flush() }
                 }
                 s":${subs.size}\r\n"
+              case Some("SCAN") if args.length >= 2 =>
+                // paged like the real thing (page cap 7 regardless of
+                // COUNT) so clients' cursor loops actually iterate
+                val cursor = args(1).toInt
+                val pat = args.sliding(2, 1).collectFirst {
+                  case Seq(m, p) if m.equalsIgnoreCase("MATCH") => p
+                }.getOrElse("*")
+                val re = pat.split("\\*", -1)
+                  .map(java.util.regex.Pattern.quote).mkString(".*")
+                val all = store.keySet().asScala.toSeq.sorted
+                  .filter(_.matches(re))
+                val page = all.slice(cursor, cursor + 7)
+                val next = if (cursor + 7 >= all.length) 0 else cursor + 7
+                s"*2\r\n${bulk(next.toString)}*${page.length}\r\n" +
+                  page.map(bulk).mkString
               case _ => "-ERR unknown command\r\n"
             }
             out.synchronized {
@@ -158,6 +173,35 @@ class ConnectorSpec extends SparkSuite {
       KVWriter.write(df, kv)
       assert(server.store.size >= 22)
       assert(server.store.get("key:17") == "val:17")
+    } finally server.stop()
+  }
+
+  test("K7: batch key-scan table reads the store set-oriented, paged SCAN") {
+    val server = new RespTestServer()
+    try {
+      val kv = new RespKV("127.0.0.1", server.port)
+      (0 until 20).foreach(i => kv.put(f"b_like:$i%03d", s"v$i"))
+      (0 until 5).foreach(i => kv.put(s"other:$i", "x"))
+      val df = spark.read.format("graft.io.RespKeyScanProvider")
+        .option("host", "127.0.0.1").option("port", server.port.toString)
+        .option("pattern", "b_like:*").option("numPartitions", "3")
+        .load()
+      // 20 matching keys through 3 paged SCANs (server page cap 7)
+      import spark.implicits._
+      val got = df.as[(String, String)].collect().toMap
+      assert(got.size == 20)
+      assert(got(f"b_like:${7}%03d") == "v7")
+      assert(!got.keySet.exists(_.startsWith("other:")))
+      assert(df.rdd.getNumPartitions == 3)
+      // keys deleted between planning and read surface as null values —
+      // driven at the reader level (plan timing is lazy, so a planned-
+      // then-deleted key can't be staged deterministically from outside)
+      val reader = RespKeyScanReaderFactory("127.0.0.1", server.port)
+        .createReader(KeysPartition(Array("b_like:001", "ghost")))
+      assert(reader.next() && !reader.get().isNullAt(1))
+      assert(reader.next() && reader.get().isNullAt(1),
+        "a vanished key must surface with a null value, not throw")
+      assert(!reader.next())
     } finally server.stop()
   }
 
