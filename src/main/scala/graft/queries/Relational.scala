@@ -487,5 +487,33 @@ object Relational {
         .orderBy(col("revenue_cents").desc, col("c_custkey"))
         .limit(20)
     },
+
+    // Q14-shape promo revenue share: conditional-aggregate ratio over one
+    // month — part is a broadcast dim, the date band reaches the lineitem
+    // scan, and both sums stay integer cents until one final double
+    // division (bit-stable numerator AND denominator).
+    Q("q14_promo_revenue",
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    ELSE 0 END) AS DOUBLE)
+        |  / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS DOUBLE), 6) AS promo_pct,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin) { (s, d) =>
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", cents).otherwise(0L))
+              .cast("double") /
+            sum(cents).cast("double"), 6).as("promo_pct"),
+          count(lit(1)).as("n_lines"))
+    },
   )
 }

@@ -779,6 +779,49 @@ object Text {
         .orderBy("lang")
     },
 
+    // Per-language quality calibration: each language keeps documents at
+    // or above ITS OWN 25th quality percentile — absolute thresholds
+    // (t14) systematically over-drop languages the scorer is biased
+    // against; per-stratum percentile cuts are the standard correction.
+    // Scale shape: exact per-stratum percentile agg (→ approx_percentile
+    // at 100 TB, same swap as t7→t7b), broadcast threshold join back,
+    // one more agg — never a global sort or window.
+    Q("t24_quality_percentile_cut",
+      """WITH m AS (SELECT doc_id, lang, (
+        |    (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.0 END)
+        |    + alpha_ratio + least(stop_ratio * 4, 1.0)) / 3.0 AS quality
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |        / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0) AS mean_len,
+        |      CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |        / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio,
+        |      CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> x IN ('the','a','an','of','to','in','and','is','on','for',
+        |                     'with','that','as','it','at','by'))) AS DOUBLE)
+        |        / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0) AS stop_ratio
+        |    FROM documents)),
+        |thr AS (SELECT lang, quantile_cont(quality, 0.25) AS thr
+        |        FROM m GROUP BY lang)
+        |SELECT m.lang AS lang, round(max(thr), 6) AS threshold,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN quality >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM m JOIN thr ON m.lang = thr.lang
+        |GROUP BY m.lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val m = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          qualityScoreRaw(col("text")).as("quality"))
+      val thr = m.groupBy("lang")
+        .agg(expr("percentile(quality, 0.25)").as("thr"))
+      m.join(broadcast(thr), Seq("lang"))
+        .groupBy("lang")
+        .agg(round(max(col("thr")), 6).as("threshold"),
+          count(lit(1)).as("n_total"),
+          sum(when(col("quality") >= col("thr"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .orderBy("lang")
+    },
+
     // The composed corpus-preparation pipeline (quality → lang → dedup →
     // split → pack) in one call — engine hashing in dedup/split makes it
     // rows-only; every stage is oracle-gated individually (t3/t4/d5/s11/
