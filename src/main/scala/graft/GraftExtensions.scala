@@ -15,8 +15,11 @@ import graft.functions.TextFunctions
   * spark.sql("SELECT vector_cosine(a.embedding, b.embedding) FROM ...")
   * }}}
   *
-  * (SURVEY §4.3: no custom planner rules are required for parity — the
-  * extension surface is function registration only.)
+  * (SURVEY §4.3: no custom planner rules are required for PARITY — the
+  * parity surface is function registration. One optimizer rule is
+  * injected as a pure OPTIMIZATION: [[graft.plans.LevenshteinLengthPrune]]
+  * prepends the pigeonhole length prune to Levenshtein threshold
+  * predicates; it never changes results.)
   */
 object GraftExtensions {
   /** Register the same functions on an already-created session (the
@@ -25,6 +28,15 @@ object GraftExtensions {
     val reg = org.apache.spark.sql.graftbridge.ColumnBridge.registry(spark)
     new GraftExtensions().functions.foreach { case (ident, fi, builder) =>
       reg.registerFunction(ident, fi, builder)
+    }
+    // optimizer rules can't be injected post-construction; the
+    // experimental hook is the documented live-session path (idempotent —
+    // the rule itself is also a fixpoint)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.LevenshteinLengthPrune)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.LevenshteinLengthPrune
     }
   }
 }
@@ -141,6 +153,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpeTokenize(es.head, merges)
       }))
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthPrune)
+  }
 }
