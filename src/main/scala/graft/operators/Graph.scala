@@ -73,4 +73,39 @@ object Graph {
     Dedup.Staged(labels.withColumnRenamed("canonical", "component"),
       () => labels.unpersist())
   }
+
+  /** Per-vertex triangle counts (vertices in ≥1 triangle), via the
+    * DEGREE-ORIENTED enumeration: every undirected edge is directed from
+    * its lower-degree endpoint to the higher (ties to the smaller id),
+    * and triangles are found as directed wedges closed by a third edge.
+    * Orientation is what makes this scale: each vertex's out-degree is
+    * bounded by O(√|E|) regardless of how skewed the raw degrees are, so
+    * the wedge join's fanout is Σ outdeg² = O(|E|^1.5) — the classic
+    * bound — instead of exploding on hub vertices. Three shuffles total
+    * (degree agg, wedge join, closing join), all edge-keyed. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .dropDuplicates("a", "b")
+    val deg = e0.select(col("a").as("v")).union(e0.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val lowerFirst = e0
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("f"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("t"))
+    val o1 = lowerFirst.select(col("f").as("x"), col("t").as("y"))
+    val o2 = lowerFirst.select(col("f").as("y"), col("t").as("z"))
+    val o3 = lowerFirst.select(col("f").as("x"), col("t").as("z"))
+    val tri = o1.join(o2, "y").join(o3, Seq("x", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -392,6 +392,60 @@ object Olap {
         .orderBy("v")
     },
 
+    // Per-vertex triangle counts on the part co-occurrence graph, via
+    // degree-oriented wedge closing (out-degree bounded by O(√|E|) per
+    // vertex, join fanout O(|E|^1.5) even on hub-skewed graphs). The
+    // oracle replays degrees, orientation, and both joins verbatim.
+    Q("g3_triangle_counts",
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |       WHERE a.l_orderkey < 300 AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT v, count(*) AS d FROM
+        |         (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+        |o AS (SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |         THEN e0.a ELSE e0.b END AS f,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |         THEN e0.b ELSE e0.a END AS t
+        |  FROM e0 JOIN deg da ON e0.a = da.v JOIN deg db ON e0.b = db.v),
+        |tri AS (SELECT o1.f AS x, o1.t AS y, o2.t AS z
+        |        FROM o o1 JOIN o o2 ON o1.t = o2.f
+        |        JOIN o o3 ON o3.f = o1.f AND o3.t = o2.t)
+        |SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM
+        |  (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        |   UNION ALL SELECT z FROM tri)
+        |GROUP BY v ORDER BY v""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).where(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.operators.Graph.triangleCounts(edges, "src", "dst")
+        .orderBy("v")
+    },
+
+    // Per-stratum rank calibration: percent_rank + cume_dist of document
+    // length within each language (quantile-transform features without a
+    // global sort — the window partitions on the stratum, so parallelism
+    // is per-language; cross-stratum global transforms use the t24
+    // percentile-join shape instead).
+    Q("w16_rank_calibration",
+      """SELECT doc_id, lang,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("doc_id")
+    },
+
     // Connected components over a part co-occurrence graph (parts bought
     // together in one order): full (id, component) membership with the
     // smallest reachable id as the canonical component label — the

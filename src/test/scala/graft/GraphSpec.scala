@@ -32,6 +32,20 @@ class GraphSpec extends SparkSuite {
     assert(small(5L) == 1L && small(12L) == 10L && small(21L) == 20L)
   }
 
+  test("triangleCounts: K4 has 4 triangles, 3 per vertex; chords count once") {
+    // K4 on {1,2,3,4} plus a pendant edge (5) and a duplicate/reversed edge
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 ++ Seq((4L, 5L), (2L, 1L), (1L, 2L))).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: triangle-free graphs yield no rows") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(path, "src", "dst").count() == 0)
+  }
+
   test("null endpoints are dropped, vertex set is edge-covered only") {
     val edges = Seq((Some(1L), Some(2L)), (None, Some(9L)), (Some(7L), None))
       .toDF("src", "dst")
