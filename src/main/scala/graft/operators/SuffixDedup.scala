@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Suffix-array-style duplicated-region detection (the Lee et al. 2022
+  * "Deduplicating Training Data" substring pass), re-expressed as
+  * distributed EQUALITY prefix doubling: every corpus position carries an
+  * 8-byte window id; log₂(L) rounds of re-encoding (id_k(i), id_k(i+k))
+  * pairs give positions equal ids iff their L-character windows are equal
+  * — duplicated windows are id-groups of size ≥ 2, and maximal runs of
+  * duplicated window starts collapse to regions.
+  *
+  * Two properties make this the 100 TB shape:
+  *  - 8 BYTES per position per round ride the shuffles (for L = 1024 the
+  *    string-gram form shuffles ~1 KB per position), and it is exact — no
+  *    hash collisions, unlike the hashed-gram form. Classic ordered
+  *    prefix doubling densifies ranks with a distributed sort; this
+  *    operator never needs ORDER (only equality groups), so re-encoding
+  *    is just distinct-pairs + unique ids — no range sampling, no sort.
+  *  - each round is eagerly localCheckpoint'ed: the pairing step
+  *    references the previous round twice, so a lazy formulation DOUBLES
+  *    the analyzed plan per round and analysis/cache-canonicalization
+  *    costs explode exponentially (measured: minutes of driver time on a
+  *    toy corpus). Truncating lineage per round keeps the driver O(1)
+  *    per round; on a cluster with executor churn, configure a
+  *    checkpoint dir and swap `localCheckpoint` for reliable
+  *    `checkpoint` — the algorithm is unchanged.
+  */
+object SuffixDedup {
+
+  /** Maximal duplicated regions of at least `minLength` characters,
+    * materialized to a local relation (the region list is the dedup
+    * action's input, orders of magnitude smaller than the corpus; use
+    * [[duplicatedRegionsStaged]] when the output itself may be huge).
+    * `minLength` must be a power of two — it is the exact window depth
+    * the doubling reaches. A region means: every `minLength`-char window
+    * inside it occurs ≥ 2 times in the corpus (coverage semantics —
+    * partners may differ along the region). 0-based offsets. Output:
+    * (idCol, start: long, region_len: long). */
+  def duplicatedRegions(docs: DataFrame, idCol: String, textCol: String,
+                        minLength: Int): DataFrame = {
+    val staged = duplicatedRegionsStaged(docs, idCol, textCol, minLength)
+    val rows = staged.df.collect()
+    val schema = staged.df.schema
+    staged.release()
+    docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** [[duplicatedRegions]] with the plan left distributed: the returned
+    * frame reads the final round's checkpointed ids — call `release()`
+    * after the last downstream action. */
+  def duplicatedRegionsStaged(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              minLength: Int): Dedup.Staged = {
+    require(minLength >= 2 && Integer.bitCount(minLength) == 1,
+      s"minLength must be a power of two >= 2 (got $minLength)")
+    // (doc, off, char): the zero-width-lookahead split keeps every
+    // character, whitespace included
+    val chars = docs
+      .select(col(idCol).as("__doc"),
+        posexplode(split(col(textCol), "(?!^)")).as(Seq("__off", "__c")))
+      .select(col("__doc"), col("__off").cast("long").as("__off"), col("__c"))
+    var (ids, release) = checkpointed(
+      reencode(chars, col("__c"), "__r").select("__doc", "__off", "__r"))
+    var k = 1L
+    while (k < minLength) {
+      val shifted = ids.select(col("__doc"),
+        (col("__off") - k).as("__off"), col("__r").as("__r2"))
+      val paired = ids.join(shifted, Seq("__doc", "__off"), "left")
+        .select(col("__doc"), col("__off"), col("__r"),
+          coalesce(col("__r2"), lit(-1L)).as("__r2"))
+      val (next, nextRelease) = checkpointed(
+        reencode(paired, struct(col("__r"), col("__r2")), "__rn")
+          .select(col("__doc"), col("__off"), col("__rn").as("__r")))
+      release()
+      ids = next
+      release = nextRelease
+      k *= 2
+    }
+    val lens = docs.select(col(idCol).as("__doc"),
+      length(col(textCol)).cast("long").as("__len"))
+    val marked = ids
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("__r")))
+      .join(lens, "__doc")
+      .where(col("__cnt") >= 2 && col("__off") <= col("__len") - minLength)
+      .select(col("__doc"), col("__off"))
+    // maximal runs of consecutive starts (off − row_number constant within
+    // a run) — one shuffle on the doc id
+    val wRun = Window.partitionBy("__doc").orderBy("__off")
+    val regions = marked
+      .withColumn("__grp", col("__off") - row_number().over(wRun))
+      .groupBy("__doc", "__grp")
+      .agg(min(col("__off")).as("start"),
+        (max(col("__off")) - min(col("__off")) + minLength).as("region_len"))
+      .where(col("region_len") >= minLength)
+      .select(col("__doc").as(idCol), col("start"), col("region_len"))
+    Dedup.Staged(regions, release)
+  }
+
+  /** Re-encode `key` to a compact 8-byte id: every distinct key value one
+    * unique id, equal keys equal ids. EQUALITY-consistent only — ids
+    * carry no order, which is all the doubling needs, so this is a
+    * distinct + unique-id + join-back with no sort anywhere. */
+  private def reencode(df: DataFrame, key: Column, outCol: String): DataFrame = {
+    val keyed = df.withColumn("__k", key)
+    val idsForKeys = keyed.select(col("__k")).distinct()
+      .withColumn(outCol, monotonically_increasing_id())
+    keyed.join(idsForKeys, Seq("__k")).drop("__k")
+  }
+
+  /** Eagerly localCheckpoint `df` (truncates the analyzed plan — see the
+    * class doc) and return it with a hook releasing the checkpointed
+    * RDD's storage, keeping the engine's no-retained-cache contract. */
+  private def checkpointed(df: DataFrame): (DataFrame, () => Unit) = {
+    val out = df.localCheckpoint(true)
+    val release: () => Unit = () => out.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+    (out, release)
+  }
+}

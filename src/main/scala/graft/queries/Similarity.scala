@@ -536,6 +536,36 @@ object Similarity {
         .orderBy(col("rrf").desc, col("doc_id")).limit(20)
     },
 
+    // Suffix-array-style duplicated-region detection (equality prefix
+    // doubling, 8 bytes/position/round): maximal regions every 64-char
+    // window of which occurs >= 2 times in the corpus — the substring
+    // dedup pass at character granularity. The oracle recomputes regions
+    // from first principles with materialized 64-grams (exact at this
+    // scale; the operator's point is NOT materializing them at 100 TB).
+    Q("d14_suffix_regions",
+      """WITH p AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(length(text) - 64 + 2, 1)),
+        |      i -> {'off': i, 'g': substr(text, i, 64)})) AS u
+        |  FROM documents WHERE doc_id < 2000),
+        |q AS (SELECT doc_id, u.off AS off, u.g AS g FROM p),
+        |c AS (SELECT g FROM q GROUP BY g HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, off FROM q JOIN c USING (g)),
+        |isl AS (SELECT doc_id, off,
+        |    off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS grp
+        |  FROM m),
+        |runs AS (SELECT doc_id, min(off) - 1 AS start,
+        |    max(off) - min(off) + 64 AS region_len
+        |  FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id, CAST(start AS BIGINT) AS start,
+        |  CAST(region_len AS BIGINT) AS region_len
+        |FROM runs WHERE region_len >= 64
+        |ORDER BY doc_id, start""".stripMargin) { (s, d) =>
+      graft.operators.SuffixDedup.duplicatedRegions(
+          Tables.documents(s, d).where(col("doc_id") < 2000),
+          "doc_id", "text", minLength = 64)
+        .orderBy("doc_id", "start")
+    },
+
     // Hard-negative mining (contrastive-training data prep): per query,
     // the top-5 most-similar DIFFERENT-label vectors, each with its margin
     // to the query's hardest positive (hardest_pos − cosine; the triplet-
