@@ -312,6 +312,21 @@ object Relational {
         .orderBy("o_custkey")
     },
 
+    // SO1's BAG-semantics sibling: EXCEPT ALL preserves multiplicity
+    // (n occurrences minus m occurrences survive as n−m rows) — the
+    // correct difference when rows are events, not sets.
+    Q("so8_except_all",
+      """SELECT o_custkey FROM
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |   EXCEPT ALL
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .exceptAll(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
     // SO2: union-distinct (guessLike_u_like.py:126 concat of rec + hot).
     Q("so2_union",
       """SELECT x FROM (

@@ -122,6 +122,42 @@ object Relational2 {
         .orderBy("user_id")
     },
 
+    // Last-touch attribution: each purchase attributed to the user's most
+    // recent view/click within a 30-minute window (the as-of join with a
+    // tolerance filter — AsOfJoin's one-shuffle union+window plan, no
+    // range nested-loop). Purchases with no qualifying touch bucket as
+    // 'none' — the unattributed count a pure inner join silently drops.
+    Q("st11_attribution",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |t AS (SELECT user_id, us, event_type AS touch_type FROM e
+        |      WHERE event_type IN ('view', 'click')),
+        |p AS (SELECT user_id, us, event_id FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT coalesce(CASE WHEN p.us - t.us <= 1800000000
+        |                     THEN t.touch_type END, 'none') AS touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM p ASOF LEFT JOIN t
+        |  ON p.user_id = t.user_id AND t.us <= p.us
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts DIV 1000").as("us"))
+      val touches = e.where(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("us"),
+          col("us").as("touch_us"), col("event_type").as("touch_type"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("event_id"))
+      graft.operators.AsOfJoin.asOf(purchases, touches,
+          keyCols = Seq("user_id"), tsCol = "us",
+          payloadCols = Seq("touch_us", "touch_type"))
+        .select(coalesce(
+          when(col("us") - col("touch_us") <= 1800000000L,
+            col("touch_type")), lit("none")).as("touch_type"))
+        .groupBy("touch_type").agg(count(lit(1)).as("n_purchases"))
+        .orderBy("touch_type")
+    },
+
     // Group-wise OLS regression (trend per event type): slope/intercept/r²
     // of value over time in ONE partial+final aggregate pass (regr_* are
     // algebraic aggregates — per-group sums of x, y, xy, x², y² — so the
