@@ -100,6 +100,43 @@ object SuffixDedup {
     Dedup.Staged(regions, release)
   }
 
+  /** Apply a region list: splice the duplicated regions OUT of the text
+    * (the removal step of the Lee et al. pass — detect with
+    * [[duplicatedRegions]], then cut). Fully relational: each doc's KEPT
+    * segments are the complement of its regions (one lag window over the
+    * region list), parts are substrings, and the cleaned text reassembles
+    * with a sorted array join — one shuffle on the doc id, segment count
+    * bounded by regions-per-doc + 1. Docs without regions pass through
+    * untouched; a fully-covered doc comes back empty (not unchanged).
+    * Regions must be non-overlapping per doc, as [[duplicatedRegions]]
+    * emits them. Output: the input with `textCol` replaced. */
+  def removeRegions(docs: DataFrame, regions: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy("start")
+    val mids = regions
+      .withColumn("__a",
+        coalesce(lag(col("start") + col("region_len"), 1).over(w), lit(0L)))
+      .select(col(idCol), col("__a").as("__s"),
+        (col("start") - col("__a")).as("__n"))
+    val tails = regions.groupBy(idCol)
+      .agg(max(col("start") + col("region_len")).as("__s"))
+      .withColumn("__n", lit(null).cast("long"))   // to end of doc
+    val segs = mids.unionByName(tails)
+    val parts = docs
+      .join(segs, idCol)
+      .select(col(idCol),
+        col("__s"),
+        substr(col(textCol), (col("__s") + 1).cast("int"),
+          coalesce(col("__n"), length(col(textCol))).cast("int")).as("__part"))
+    val cleaned = parts.groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__s"), col("__part")))),
+        x => x.getField("__part")), "").as("__cleaned"))
+    docs.join(cleaned, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__cleaned"), col(textCol)))
+      .drop("__cleaned")
+  }
+
   /** Re-encode `key` to a compact 8-byte id: every distinct key value one
     * unique id, equal keys equal ids. EQUALITY-consistent only — ids
     * carry no order, which is all the doubling needs, so this is a

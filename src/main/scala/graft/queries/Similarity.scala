@@ -566,6 +566,53 @@ object Similarity {
         .orderBy("doc_id", "start")
     },
 
+    // The REMOVAL step of the suffix-array pass: splice d14's duplicated
+    // regions out of the text, content-verified by md5 of each cleaned
+    // document (fully-covered docs come back empty, not unchanged). The
+    // oracle recomputes regions AND the splice relationally (complement
+    // segments + ordered string_agg).
+    Q("d14b_region_removal",
+      """WITH p AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(length(text) - 64 + 2, 1)),
+        |      i -> {'off': i, 'g': substr(text, i, 64)})) AS u
+        |  FROM documents WHERE doc_id < 1000),
+        |q AS (SELECT doc_id, u.off AS off, u.g AS g FROM p),
+        |c AS (SELECT g FROM q GROUP BY g HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, off FROM q JOIN c USING (g)),
+        |isl AS (SELECT doc_id, off,
+        |    off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS grp
+        |  FROM m),
+        |r2 AS (SELECT doc_id, min(off) - 1 AS start,
+        |    max(off) - min(off) + 64 AS region_len
+        |  FROM isl GROUP BY doc_id, grp),
+        |segm AS (SELECT doc_id,
+        |    coalesce(lag(start + region_len) OVER w, 0) AS a,
+        |    start - coalesce(lag(start + region_len) OVER w, 0) AS n
+        |  FROM r2 WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
+        |tl AS (SELECT doc_id, max(start + region_len) AS a,
+        |    CAST(NULL AS BIGINT) AS n FROM r2 GROUP BY doc_id),
+        |ss AS (SELECT * FROM segm UNION ALL SELECT * FROM tl),
+        |parts AS (SELECT d.doc_id, ss.a,
+        |    substr(d.text, CAST(ss.a + 1 AS INT),
+        |      CAST(coalesce(ss.n, length(d.text)) AS INT)) AS part
+        |  FROM documents d JOIN ss ON d.doc_id = ss.doc_id
+        |  WHERE d.doc_id < 1000),
+        |cl AS (SELECT doc_id, string_agg(part, '' ORDER BY a) AS cleaned
+        |       FROM parts GROUP BY doc_id)
+        |SELECT doc_id, md5(cleaned) AS content_md5,
+        |  CAST(length(cleaned) AS BIGINT) AS cleaned_len
+        |FROM cl ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).where(col("doc_id") < 1000)
+      val regions = graft.operators.SuffixDedup.duplicatedRegions(
+        docs, "doc_id", "text", minLength = 64)
+      graft.operators.SuffixDedup.removeRegions(docs, regions, "doc_id", "text")
+        .join(regions.select("doc_id").distinct(), "doc_id")
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("content_md5"),
+          length(col("text")).cast("long").as("cleaned_len"))
+        .orderBy("doc_id")
+    },
+
     // Hard-negative mining (contrastive-training data prep): per query,
     // the top-5 most-similar DIFFERENT-label vectors, each with its margin
     // to the query's hardest positive (hardest_pos − cosine; the triplet-

@@ -38,6 +38,22 @@ class SuffixDedupSpec extends SparkSuite {
     assert(SuffixDedup.duplicatedRegions(docs, "id", "text", 64).count() == 0)
   }
 
+  test("removeRegions splices spans out; full coverage empties the doc") {
+    val docs = Seq(
+      (1L, ("A" * 10) + shared + ("B" * 10)),
+      (2L, ("C" * 5) + shared + ("D" * 20)),
+      (3L, xBlock + xBlock),
+      (4L, "untouched short doc")
+    ).toDF("id", "text")
+    val regions = SuffixDedup.duplicatedRegions(docs, "id", "text", 64)
+    val got = SuffixDedup.removeRegions(docs, regions, "id", "text")
+      .select("id", "text").as[(Long, String)].collect().toMap
+    assert(got(1L) == ("A" * 10) + ("B" * 10))
+    assert(got(2L) == ("C" * 5) + ("D" * 20))
+    assert(got(3L) == "", "fully duplicated doc must come back empty")
+    assert(got(4L) == "untouched short doc")
+  }
+
   test("matches an independent brute-force gram implementation") {
     val rnd = new scala.util.Random(42)
     def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
