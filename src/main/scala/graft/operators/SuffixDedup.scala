@@ -116,8 +116,14 @@ object SuffixDedup {
     val mids = regions
       .withColumn("__a",
         coalesce(lag(col("start") + col("region_len"), 1).over(w), lit(0L)))
-      .select(col(idCol), col("__a").as("__s"),
-        (col("start") - col("__a")).as("__n"))
+      // overlapping regions would silently splice garbage (negative kept
+      // lengths collapse to empty substrings) — fail fast instead
+      .withColumn("__n",
+        when(col("start") - col("__a") < 0,
+          raise_error(concat(lit("removeRegions: overlapping regions for id "),
+            col(idCol).cast("string"))))
+          .otherwise(col("start") - col("__a")))
+      .select(col(idCol), col("__a").as("__s"), col("__n"))
     val tails = regions.groupBy(idCol)
       .agg(max(col("start") + col("region_len")).as("__s"))
       .withColumn("__n", lit(null).cast("long"))   // to end of doc

@@ -54,6 +54,17 @@ class SuffixDedupSpec extends SparkSuite {
     assert(got(4L) == "untouched short doc")
   }
 
+  test("removeRegions fails fast on overlapping regions instead of splicing garbage") {
+    val docs = Seq((1L, "x" * 100)).toDF("id", "text")
+    val overlapping = Seq((1L, 0L, 50L), (1L, 30L, 50L))
+      .toDF("id", "start", "region_len")
+    val ex = intercept[Exception] {
+      SuffixDedup.removeRegions(docs, overlapping, "id", "text").collect()
+    }
+    assert(ex.getMessage.contains("overlapping") ||
+      Option(ex.getCause).exists(_.getMessage.contains("overlapping")))
+  }
+
   test("matches an independent brute-force gram implementation") {
     val rnd = new scala.util.Random(42)
     def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
