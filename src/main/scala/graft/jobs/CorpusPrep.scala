@@ -82,4 +82,53 @@ object CorpusPrep {
         bucketCol = struct(col("split"), col("bucket")), orderCol = col(idCol)),
       inputObs, keptObs)
   }
+
+  /** The FULL modern pipeline — [[prepare]]'s stages plus the three
+    * passes a frontier pretraining corpus adds, in flow order:
+    *
+    *   suffix-region removal (d14/d14b: cut repeated boilerplate spans
+    *   BEFORE scoring, so quality sees the cleaned text) → quality →
+    *   language → near-dup corpus dedup (d5) → benchmark decontamination
+    *   (dc1: drop docs overlapping eval sets) → DSIR importance selection
+    *   (s19: keep the `dsirKeep` most-target-like docs) → split → pack.
+    *
+    * Each stage is individually oracle- or spec-gated; this call only
+    * chains them (no new shuffles beyond the stages' own). `benchmark` is
+    * the eval corpus to decontaminate against (None = skip);
+    * `dsirTarget`/`dsirKeep` configure selection (dsirKeep <= 0 = skip). */
+  def prepareFull(docs: DataFrame, idCol: String, textCol: String,
+                  cfg: Config = Config(),
+                  regionMinLength: Int = 64,
+                  benchmark: Option[DataFrame] = None,
+                  decontamN: Int = 20,   // char n-grams; 8 would hit on
+                                         // ubiquitous 8-char sequences
+                  dsirTarget: Option[org.apache.spark.sql.Column] = None,
+                  dsirBuckets: Int = 1 << 16,
+                  dsirKeep: Int = -1): DataFrame = {
+    val regions = graft.operators.SuffixDedup.duplicatedRegions(
+      docs, idCol, textCol, regionMinLength)
+    val spliced = graft.operators.SuffixDedup.removeRegions(
+      docs, regions, idCol, textCol)
+    val base = prepare(spliced, idCol, textCol, cfg)
+    val decontaminated = benchmark match {
+      case Some(b) =>
+        graft.operators.Decontaminate.decontaminate(base, b, textCol,
+          n = decontamN)
+      case None => base
+    }
+    (dsirTarget, dsirKeep) match {
+      case (Some(target), keep) if keep > 0 =>
+        val weights = graft.operators.Dsir.importanceWeights(
+          decontaminated.withColumn("__toks",
+            TextFunctions.tokenize(lower(col(textCol)))),
+          idCol, graft.operators.Dsir.unigramBigram(col("__toks")),
+          target, dsirBuckets)
+        val u = (pmod(xxhash64(col(idCol), lit(cfg.splitSeed)),
+          lit(1L << 52)) + 0.5) / lit((1L << 52).toDouble)
+        val selected = graft.operators.Dsir.resampleTopK(
+          weights, idCol, "logw", u, keep)
+        decontaminated.join(selected.select(col(idCol)), Seq(idCol))
+      case _ => decontaminated
+    }
+  }
 }

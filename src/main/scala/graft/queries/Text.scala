@@ -822,6 +822,25 @@ object Text {
         .orderBy("lang")
     },
 
+    // The FULL pipeline (prepare + suffix-region removal + benchmark
+    // decontamination + DSIR target selection) in one composed DAG —
+    // every stage individually gated (d14/d14b, t3/t4, d5, dc1, s19,
+    // s11, s12); rows-only here, composition invariants in
+    // CorpusPrepSpec. Benchmark = three held-out documents; target =
+    // English; keep the 200 most-target-like docs.
+    Q.rowsOnly("e2e2_full_prep") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.jobs.CorpusPrep.prepareFull(
+          docs.where(col("doc_id") >= 3), "doc_id", "text",
+          benchmark = Some(docs.where(col("doc_id") < 3)
+            .select(col("text"))),
+          dsirTarget = Some(col("lang") === "en"),
+          dsirKeep = 200)
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("split")
+    },
+
     // The composed corpus-preparation pipeline (quality → lang → dedup →
     // split → pack) in one call — engine hashing in dedup/split makes it
     // rows-only; every stage is oracle-gated individually (t3/t4/d5/s11/

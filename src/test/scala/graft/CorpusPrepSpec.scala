@@ -63,6 +63,28 @@ class CorpusPrepSpec extends SparkSuite {
     assert(out.where(col("n_tokens") <= 0).count() == 0L)
   }
 
+  test("prepareFull: decontamination drops benchmark overlaps; DSIR caps size") {
+    // benchmark = two corpus docs' texts verbatim → those docs must be
+    // dropped (100% n-gram overlap); the DSIR cut then caps the output
+    val docs = corpus
+    val bench = docs.where(col("doc_id").isin(10L, 11L)).select("text")
+    val got = CorpusPrep.prepareFull(docs, "doc_id", "text",
+        benchmark = Some(bench),
+        dsirTarget = Some(length(col("text")) > 40),
+        dsirKeep = 20)
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(10L) && !ids.contains(11L),
+      "benchmark-overlapping docs must be decontaminated away")
+    assert(ids.size == 20, s"DSIR cut must keep exactly 20, got ${ids.size}")
+    // deterministic end to end
+    val again = CorpusPrep.prepareFull(docs, "doc_id", "text",
+        benchmark = Some(bench),
+        dsirTarget = Some(length(col("text")) > 40),
+        dsirKeep = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == ids)
+  }
+
   test("prepare: deterministic across runs") {
     val cfg = CorpusPrep.Config()
     def run() = CorpusPrep.prepare(corpus, "doc_id", "text", cfg)
