@@ -35,22 +35,39 @@ object Bench {
       // measurement makes later runs fight them for unified memory (the
       // r2 d5 driver-bench blowup). Cold-cache + warm-JVM is both the
       // honest and the reproducible point.
+      // a failed run reports -1, never its elapsed-until-throw time — a
+      // few-ms failure must not masquerade as a fast success. The FIRST
+      // failure's class+message is kept per query (BENCH_r04's ten failures
+      // shared one root cause but the artifact recorded nothing).
+      var firstErr: Option[String] = None
       def runOnce(): Double = {
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        // a failed run reports -1, never its elapsed-until-throw time —
-        // a few-ms failure must not masquerade as a fast success
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        catch { case e: Throwable =>
+          if (firstErr.isEmpty) {
+            val msg = s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200)
+            firstErr = Some(msg)
+            System.err.println(s"[bench] $name FAILED $msg")
+          }
+          -1.0
+        }
       }
       runOnce()   // warm-up: codegen compilation + classloading
       val times = (1 to 3).map(_ => runOnce())
       val secs =
         if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1)   // median
-      name -> secs
+      (name, secs, firstErr)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullLine =
@@ -76,14 +93,17 @@ object Bench {
     def r3(v: Double): String = f"$v%.3f"
     val ok = results.filter(_._2 >= 0)
     val families = ok
-      .groupBy { case (name, _) => name.takeWhile(_ != '_').takeWhile(!_.isDigit) }
+      .groupBy { case (name, _, _) => name.takeWhile(_ != '_').takeWhile(!_.isDigit) }
       .toSeq.sortBy(_._1)
       .map { case (fam, rs) => s"\"$fam\":${r3(rs.map(_._2).sum)}" }
       .mkString("{", ",", "}")
     val slowest = ok.sortBy(-_._2).take(10)
-      .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
-    val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
-      .mkString("[", ",", "]")
+      .map { case (k, v, _) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    // name → first failure (class + message), so a regressed query is
+    // diagnosable from the artifact alone
+    val failed = results.filter(_._2 < 0)
+      .map { case (k, _, err) => s"\"$k\":${jstr(err.getOrElse("unknown"))}" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nqueries":${results.size},"failed":$failed,"families":$families,"slowest":$slowest,"file":"target/bench_local.json","sf":"$sfDir"}""")
     spark.stop()
   }

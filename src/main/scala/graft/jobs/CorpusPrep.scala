@@ -107,15 +107,26 @@ object CorpusPrep {
                   dsirKeep: Int = -1): DataFrame = {
     val regions = graft.operators.SuffixDedup.duplicatedRegions(
       docs, idCol, textCol, regionMinLength)
+    // MATERIALIZATION BARRIER: the spliced corpus is re-read by every
+    // internal action downstream (dedupCorpus's pair pipeline + cluster
+    // resolution, the decontamination scan, both DSIR consumers) — without
+    // lineage truncation each of those re-executes the suffix-region
+    // detect+splice, which is the most expensive prefix of the whole DAG
+    // (e2e2 ran 3.5x the sum of its stages). On a cluster this barrier is
+    // where you'd write the intermediate table; localCheckpoint is the
+    // single-app form (executor-local blocks, no driver round-trip).
     val spliced = graft.operators.SuffixDedup.removeRegions(
-      docs, regions, idCol, textCol)
+      docs, regions, idCol, textCol).localCheckpoint(true)
     val base = prepare(spliced, idCol, textCol, cfg)
-    val decontaminated = benchmark match {
+    val decontaminated = (benchmark match {
       case Some(b) =>
         graft.operators.Decontaminate.decontaminate(base, b, textCol,
           n = decontamN)
       case None => base
-    }
+    // Same reason: the DSIR branch consumes `decontaminated` twice (gram
+    // model + final semi-join) in one action — no ReusedExchange applies
+    // because the two subtrees diverge right at the scan.
+    }).localCheckpoint(true)
     (dsirTarget, dsirKeep) match {
       case (Some(target), keep) if keep > 0 =>
         val weights = graft.operators.Dsir.importanceWeights(

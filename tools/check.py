@@ -49,10 +49,24 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
     result_dirs = {p.split("/")[-1] for p in glob.glob(f"{outdir}/*") if "." not in p.split("/")[-1]}
-    for name in sorted(result_dirs):
+    # A query that throws before writing output has no result dir — diff
+    # against the declared roster (query_names.json, written by Verify) so
+    # regressions can't silently drop out of the report (round-4 lesson).
+    try:
+        declared = set(json.load(open(f"{outdir}/query_names.json")))
+    except FileNotFoundError:
+        declared = set()
+    try:
+        verrs = json.load(open(f"{outdir}/verify_errors.json"))
+    except FileNotFoundError:
+        verrs = {}
+    for name in sorted(result_dirs | declared):
+        if name not in result_dirs:
+            results[name] = "NO_SPARK_OUTPUT: " + verrs.get(name, "no error recorded")
+            continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
-            results[name] = "NO_SPARK_OUTPUT"
+            results[name] = "NO_SPARK_OUTPUT: empty result dir"
             continue
         got = pd.read_parquet(f"{outdir}/{name}")
         if name not in oracle:
