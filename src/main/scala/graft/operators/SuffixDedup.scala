@@ -63,30 +63,44 @@ object SuffixDedup {
       .select(col(idCol).as("__doc"),
         posexplode(split(col(textCol), "(?!^)")).as(Seq("__off", "__c")))
       .select(col("__doc"), col("__off").cast("long").as("__off"), col("__c"))
+    // PRUNE-UNIQUE invariant (the scale property): after every round, only
+    // positions whose current k-window occurs >= 2 times in the corpus
+    // survive. Sound for coverage semantics because a duplicated 2k-window
+    // implies BOTH k-halves are duplicated (its >= 2 occurrences contain
+    // >= 2 occurrences of each half) — so the inner pairing join below
+    // never loses a position that could still produce a duplicated longer
+    // window, and unique text (the overwhelming majority of a real corpus)
+    // exits the loop in the first few rounds instead of riding all
+    // log2(L) shuffles. The filter itself is free: reencode already
+    // groups by the window id to mint compact ids, so keeping only
+    // groups of size >= 2 adds no shuffle.
     var (ids, release) = checkpointed(
-      reencode(chars, col("__c"), "__r").select("__doc", "__off", "__r"))
+      reencode(chars, col("__c"), "__r", minCount = 2L)
+        .select("__doc", "__off", "__r"))
     var k = 1L
     while (k < minLength) {
       val shifted = ids.select(col("__doc"),
         (col("__off") - k).as("__off"), col("__r").as("__r2"))
-      val paired = ids.join(shifted, Seq("__doc", "__off"), "left")
-        .select(col("__doc"), col("__off"), col("__r"),
-          coalesce(col("__r2"), lit(-1L)).as("__r2"))
+      // inner join: a position whose off+k partner was pruned (or never
+      // fit inside the text) has a non-duplicated 2k-window by the
+      // invariant above — drop it here rather than carrying a sentinel
+      val paired = ids.join(shifted, Seq("__doc", "__off"))
+        .select(col("__doc"), col("__off"), col("__r"), col("__r2"))
       val (next, nextRelease) = checkpointed(
-        reencode(paired, struct(col("__r"), col("__r2")), "__rn")
+        reencode(paired, struct(col("__r"), col("__r2")), "__rn",
+            minCount = 2L)
           .select(col("__doc"), col("__off"), col("__rn").as("__r")))
       release()
       ids = next
       release = nextRelease
       k *= 2
     }
-    val lens = docs.select(col(idCol).as("__doc"),
-      length(col(textCol)).cast("long").as("__len"))
-    val marked = ids
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("__r")))
-      .join(lens, "__doc")
-      .where(col("__cnt") >= 2 && col("__off") <= col("__len") - minLength)
-      .select(col("__doc"), col("__off"))
+    // Post-loop, `ids` IS the marked set: every surviving position has a
+    // full in-bounds minLength-window (inner joins guarantee off <=
+    // len - minLength by induction) occurring >= 2 times (the last
+    // round's minCount) — the former global window-count and doc-length
+    // join are implied.
+    val marked = ids.select(col("__doc"), col("__off"))
     // maximal runs of consecutive starts (off − row_number constant within
     // a run) — one shuffle on the doc id
     val wRun = Window.partitionBy("__doc").orderBy("__off")
@@ -146,11 +160,16 @@ object SuffixDedup {
   /** Re-encode `key` to a compact 8-byte id: every distinct key value one
     * unique id, equal keys equal ids. EQUALITY-consistent only — ids
     * carry no order, which is all the doubling needs, so this is a
-    * distinct + unique-id + join-back with no sort anywhere. */
-  private def reencode(df: DataFrame, key: Column, outCol: String): DataFrame = {
+    * group + unique-id + join-back with no sort anywhere. `minCount > 1`
+    * additionally drops rows whose key group is smaller (the join back is
+    * inner) — same shuffles either way. */
+  private def reencode(df: DataFrame, key: Column, outCol: String,
+                       minCount: Long = 1L): DataFrame = {
     val keyed = df.withColumn("__k", key)
-    val idsForKeys = keyed.select(col("__k")).distinct()
-      .withColumn(outCol, monotonically_increasing_id())
+    val groups = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__gc"))
+    val idsForKeys =
+      (if (minCount > 1L) groups.where(col("__gc") >= minCount) else groups)
+        .select(col("__k")).withColumn(outCol, monotonically_increasing_id())
     keyed.join(idsForKeys, Seq("__k")).drop("__k")
   }
 
