@@ -45,4 +45,38 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__b", "__nb")
   }
+
+  /** Interval-overlap join: (left, right) pairs whose intervals intersect
+    * — `loA <= hiB AND loB <= hiA`. Same bucketed-equi-join shape as
+    * [[pointInInterval]] (a bare overlap predicate plans a nested-loop
+    * join); BOTH sides explode to their covered buckets. A pair sharing m
+    * buckets would surface m times, so each pair is emitted ONLY from the
+    * bucket containing its overlap start `max(loA, loB)` — an exact
+    * filter in the same post-join conjunct, no dropDuplicates shuffle of
+    * the pair set. Cost scales with Σ span/width per side; pick
+    * `bucketWidth` near the typical interval span. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      loA: String, hiA: String, loB: String, hiB: String,
+                      bucketWidth: Double, keyCols: Seq[String] = Nil,
+                      maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive (got $bucketWidth)")
+    def exploded(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val nBuckets = floor(col(hi) / bucketWidth) - floor(col(lo) / bucketWidth) + 1
+      df.where(col(lo) <= col(hi))
+        .withColumn("__nb", nBuckets)
+        .withColumn("__b", explode(
+          when(col("__nb") <= maxBucketsPerInterval,
+            sequence(floor(col(lo) / bucketWidth).cast("long"),
+              floor(col(hi) / bucketWidth).cast("long")))
+            .otherwise(raise_error(concat(
+              lit(s"interval-overlap interval spans more than " +
+                s"$maxBucketsPerInterval buckets ("), col("__nb").cast("string"),
+              lit(s"); widen bucketWidth=$bucketWidth"))).cast("array<long>"))))
+        .drop("__nb")
+    }
+    exploded(left, loA, hiA).join(exploded(right, loB, hiB), keyCols :+ "__b")
+      .where(col(loA) <= col(hiB) && col(loB) <= col(hiA) &&
+        floor(greatest(col(loA), col(loB)) / bucketWidth).cast("long") === col("__b"))
+      .drop("__b")
+  }
 }

@@ -193,4 +193,31 @@ object Sampling {
       .where(bucket < col("__f") * lit(10000.0))
       .drop("__f")
   }
+
+  /** Exact-count stratified sample: exactly min(k, |stratum|) rows per
+    * stratum, membership a pure function of (id, seed) — the "n examples
+    * per class" cut (balanced eval sets, per-domain probes) that the
+    * fraction form can't give when stratum sizes are unknown or skewed.
+    *
+    * Plan shape: one window keyed on the strata — `row_number` under a
+    * `<= k` filter plans WindowGroupLimit (Spark >= 3.5): a bounded
+    * per-key heap on the map side, then <= k rows per stratum through the
+    * shuffle. Never a global sort; per-stratum cost O(n log k). */
+  def stratifiedFixedK(df: DataFrame, strataCols: Seq[String], idCol: String,
+                       seed: Long, k: Int): DataFrame =
+    stratifiedFixedKBy(df,
+      pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 52)),
+      strataCols, idCol, k)
+
+  /** [[stratifiedFixedK]] with a caller-supplied rank key — lets the hash
+    * be swapped (e.g. the DuckDB-recomputable FNV-1a-64 of the `s20`
+    * gate) without touching the selection rule. Ties on the key break by
+    * ascending id, so membership is total-ordered and deterministic. */
+  def stratifiedFixedKBy(df: DataFrame, rankKey: org.apache.spark.sql.Column,
+                         strataCols: Seq[String], idCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    TopK.topKPerKey(df, strataCols, Seq(rankKey.asc, col(idCol).asc), k)
+      .drop("rank")
+  }
 }

@@ -765,5 +765,110 @@ object Relational2 {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .orderBy("event_type")
     },
+
+    // Data-quality constraint audit (Deequ-style): completeness, key
+    // uniqueness, domain membership, pattern conformance, and a bound
+    // check over `orders`, ALL in one aggregation pass — one scan, one
+    // partial+final agg, a constant-size result unpivoted to one row per
+    // check. The engine form of the reference's scattered dropna/astype
+    // guards (log_analyze.py:21-37).
+    Q("dq1_constraint_audit",
+      """WITH m AS (SELECT
+        |    round(avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS completeness_custkey,
+        |    round(avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 6) AS domain_status,
+        |    round(CAST(min(o_totalprice) AS DOUBLE), 6) AS min_totalprice,
+        |    round(avg(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1.0 ELSE 0.0 END), 6) AS pattern_priority,
+        |    round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(o_orderkey), 6) AS uniqueness_orderkey
+        |  FROM orders),
+        |u AS (
+        |  SELECT 'completeness_custkey' AS check_name, completeness_custkey AS metric,
+        |    CAST(0.99 AS DOUBLE) AS threshold FROM m
+        |  UNION ALL SELECT 'domain_status', domain_status, CAST(1.0 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'min_totalprice', min_totalprice, CAST(0.01 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'pattern_priority', pattern_priority, CAST(1.0 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'uniqueness_orderkey', uniqueness_orderkey, CAST(0.999 AS DOUBLE) FROM m)
+        |SELECT check_name, metric, threshold,
+        |  CAST(metric >= threshold AS BIGINT) AS passed
+        |FROM u ORDER BY check_name""".stripMargin) { (s, d) =>
+      import graft.operators.Constraints._
+      audit(Tables.orders(s, d), Seq(
+        Check("completeness_custkey", completeness(col("o_custkey")), 0.99),
+        Check("domain_status",
+          conformance(col("o_orderstatus").isin("O", "F", "P")), 1.0),
+        Check("min_totalprice", minimum(col("o_totalprice")), 0.01),
+        Check("pattern_priority",
+          conformance(col("o_orderpriority").rlike("^[1-5]-")), 1.0),
+        Check("uniqueness_orderkey", uniqueness(col("o_orderkey")), 0.999)))
+        .orderBy("check_name")
+    },
+
+    // Exact-count stratified sample: exactly min(k, |stratum|) docs per
+    // language, membership a pure function of the id — the balanced
+    // "n examples per class" cut. WindowGroupLimit plan (bounded per-key
+    // heap map-side, <= k rows per stratum through the shuffle). The
+    // DuckDB oracle replays the FNV-1a-64 rank hash bit-for-bit, so this
+    // gate checks MEMBERSHIP, not just per-stratum counts (same playbook
+    // as s14b); production callers use the codegen'd xxhash64 form.
+    Q("s20_stratified_fixed_k",
+      """WITH h AS (SELECT doc_id, lang,
+        |    list_reduce(
+        |      list_prepend(CAST(-3750763034362895579 AS BIGINT),
+        |        list_transform(regexp_split_to_array(CAST(doc_id AS VARCHAR), ''),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (acc, cp) -> CAST(
+        |        CASE WHEN ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT >= 9223372036854775808::HUGEINT
+        |             THEN ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT - 18446744073709551616::HUGEINT
+        |             ELSE ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT END AS BIGINT)) AS h
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang,
+        |    ((h % 4503599627370496) + 4503599627370496) % 4503599627370496 AS rk
+        |  FROM h),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn
+        |  FROM k)
+        |SELECT lang, doc_id FROM r WHERE rn <= 20
+        |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val rk = pmod(
+        column(graft.expressions.Fnv1a64(
+          expression(col("doc_id").cast("string")))), lit(1L << 52))
+      graft.operators.Sampling.stratifiedFixedKBy(
+          Tables.documents(s, d).select("doc_id", "lang"),
+          rk, Seq("lang"), "doc_id", k = 20)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    },
+
+    // J14 (engine ext): interval-overlap join via the bucketed equi-join
+    // (j13's shape, both sides exploded; each pair emitted only from the
+    // bucket holding its overlap start, so no dedup shuffle). Oracle is
+    // the plain overlap-predicate join.
+    Q("j14_interval_overlap",
+      """SELECT s_suppkey, c_custkey,
+        |  round(least(s_acctbal + 300, c_acctbal + 300)
+        |        - greatest(s_acctbal, c_acctbal), 2) AS overlap
+        |FROM (SELECT s_suppkey, s_acctbal FROM supplier WHERE s_suppkey <= 150)
+        |JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 300)
+        |  ON s_acctbal <= c_acctbal + 300 AND c_acctbal <= s_acctbal + 300
+        |ORDER BY s_suppkey, c_custkey""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d).where(col("s_suppkey") <= 150)
+        .select(col("s_suppkey"), col("s_acctbal").as("lo_a"),
+          (col("s_acctbal") + 300).as("hi_a"))
+      val cust = Tables.customer(s, d).where(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_acctbal").as("lo_b"),
+          (col("c_acctbal") + 300).as("hi_b"))
+      graft.operators.RangeJoin.intervalOverlap(sup, cust,
+          "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 300.0)
+        .select(col("s_suppkey"), col("c_custkey"),
+          round(least(col("hi_a"), col("hi_b"))
+            - greatest(col("lo_a"), col("lo_b")), 2).as("overlap"))
+        .orderBy("s_suppkey", "c_custkey")
+    },
   )
 }

@@ -35,6 +35,32 @@ class RangeJoinSpec extends SparkSuite {
     assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("intervalOverlap equals the naive overlap join, no duplicate pairs") {
+    val rnd = new scala.util.Random(11)
+    def mk(n: Int, idc: String) = (1 to n).map { i =>
+      val lo = rnd.nextDouble() * 90 - 50
+      (i.toLong, lo, lo + rnd.nextDouble() * 25)
+    }.toDF(idc, s"lo_$idc", s"hi_$idc")
+    val a = mk(120, "a")
+    val b = mk(80, "b")
+    val got = RangeJoin.intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+        bucketWidth = 10.0)
+      .select("a", "b").as[(Long, Long)].collect().sorted.toSeq
+    val naive = a.crossJoin(b)
+      .where(col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a"))
+      .select("a", "b").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == naive)
+    assert(got.distinct == got)
+  }
+
+  test("intervalOverlap: touching endpoints match, disjoint do not") {
+    val a = Seq((1L, 0.0, 10.0)).toDF("a", "lo_a", "hi_a")
+    val b = Seq((1L, 10.0, 20.0), (2L, 10.00001, 20.0)).toDF("b", "lo_b", "hi_b")
+    val got = RangeJoin.intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b", 5.0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L)))
+  }
+
   test("fan-out guard raises on a degenerate interval") {
     val points = Seq((1L, 0.0)).toDF("pid", "x")
     val intervals = Seq((1L, 0.0, 1e9)).toDF("iid", "lo", "hi")
