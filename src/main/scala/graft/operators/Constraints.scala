@@ -70,6 +70,10 @@ object Constraints {
         element_at(col("__names"), col("__i") + 1).as("check_name"),
         col("metric"),
         element_at(col("__ths"), col("__i") + 1).as("threshold"))
-      .withColumn("passed", (col("metric") >= col("threshold")).cast("long"))
+      // fail closed: an empty input (or a metric over all-null values)
+      // yields NULL metrics — a quality gate must report those as FAILED,
+      // not vanish them into three-valued logic
+      .withColumn("passed",
+        coalesce(col("metric") >= col("threshold"), lit(false)).cast("long"))
   }
 }

@@ -44,6 +44,15 @@ class ConstraintsSpec extends SparkSuite {
     assert(!plan.contains("Union"))
   }
 
+  test("audit fails closed on an empty input (null metrics -> passed = 0)") {
+    val empty = df.where(lit(false))
+    val out = Constraints.audit(empty, Seq(
+      Check("completeness_tag", Constraints.completeness(col("tag")), 0.9),
+      Check("min_v", Constraints.minimum(col("v")), 0.0)))
+      .select("check_name", "passed").as[(String, Long)].collect().toSet
+    assert(out == Set(("completeness_tag", 0L), ("min_v", 0L)))
+  }
+
   test("audit rejects duplicate check names") {
     intercept[IllegalArgumentException] {
       Constraints.audit(df, Seq(
