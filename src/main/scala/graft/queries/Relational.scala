@@ -530,5 +530,58 @@ object Relational {
             sum(cents).cast("double"), 6).as("promo_pct"),
           count(lit(1)).as("n_lines"))
     },
+
+    // Q12-shape priority audit: among late shipments (shipped >= 60 days
+    // after the order date), count high- vs low-priority lines per line
+    // status — the two-way conditional aggregate. One fact-fact shuffle on
+    // the order key, the date predicate evaluated post-join (it spans both
+    // tables), output bounded by |statuses|.
+    Q("q12_late_shipments",
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(Tables.lineitem(s, d)
+            .select("l_orderkey", "l_shipdate", "l_linestatus"),
+          col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // Q18-shape large-volume orders: orders whose total quantity clears a
+    // threshold, attached to their customer. The HAVING aggregate runs
+    // FIRST (one shuffle on the order key, big shrinks to the qualifying
+    // set), then two equi-joins; TakeOrderedAndProject caps the output.
+    Q("q18_large_orders",
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS qty
+        |             FROM lineitem GROUP BY l_orderkey
+        |             HAVING sum(l_quantity) > 100)
+        |SELECT c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  round(qty, 2) AS qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY qty DESC, o_orderkey LIMIT 50""".stripMargin) { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("qty"))
+        .where(col("qty") > 100)
+      big.join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          round(col("qty"), 2).as("qty"))
+        .orderBy(col("qty").desc, col("o_orderkey"))
+        .limit(50)
+    },
   )
 }

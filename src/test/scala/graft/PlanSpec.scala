@@ -132,6 +132,17 @@ class PlanSpec extends SparkSuite {
     assert(!p10.contains("CartesianProduct"))
   }
 
+  test("q12/q18: projection pruning reaches the scans; q18 caps with TakeOrdered") {
+    val p12 = plan("q12_late_shipments")
+    assert(!p12.contains("CartesianProduct"))
+    // only the three lineitem columns the query touches may be read
+    assert(!p12.contains("l_extendedprice"),
+      s"q12 must prune unused lineitem columns:\n$p12")
+    val p18 = plan("q18_large_orders")
+    assert(p18.contains("TakeOrderedAndProject"), p18)
+    assert(!p18.contains("CartesianProduct"))
+  }
+
   test("J7: maxDfFraction adds the df-prune semi-ish join before pair generation") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
