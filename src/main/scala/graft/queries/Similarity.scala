@@ -613,6 +613,57 @@ object Similarity {
         .orderBy("doc_id")
     },
 
+    // Content-defined chunking (FastCDC-family gear rolling hash): chunk
+    // boundaries are a pure function of a bounded trailing text window, so
+    // edits shift only their own chunk — the property that makes
+    // chunk-level dedup stable under insertions (d8 uses fixed token
+    // windows; this is the scale-robust form). The oracle replays the
+    // mod-2^64 gear recurrence bit-for-bit in a recursive CTE (HUGEINT
+    // arithmetic, same playbook as the FNV gates) and reassembles chunks
+    // with window lead() — full value check of boundaries, lengths, and
+    // chunk md5 content identities.
+    Q("d15_cdc_chunks", {
+      // The recurrence is written ONCE in Scala and spliced three times
+      // (WHEN / THEN / ELSE) — hand-duplicating the HUGEINT arithmetic is
+      // how unbalanced parens happen. M = 2^64, T = 2^63; hiMask = the 5
+      // mask bits below the sign bit (FastCDC high-bit convention,
+      // matching CdcBoundaries).
+      val M = "18446744073709551616::HUGEINT"
+      val uh = s"((CAST(roll.h AS HUGEINT) + $M) % $M)"
+      val gear = "(((CAST(xor(CAST(-3750763034362895579 AS BIGINT), " +
+        "CAST(unicode(substr(d.text, roll.i + 1, 1)) AS BIGINT)) AS HUGEINT) " +
+        s"+ $M) % $M * 1099511628211) % $M)"
+      val hu = s"(($uh * 2 + $gear) % $M)"
+      val step = s"CAST(CASE WHEN $hu >= 9223372036854775808::HUGEINT " +
+        s"THEN $hu - $M ELSE $hu END AS BIGINT)"
+      val hiMask = ((1L << 5) - 1L) << 58
+      s"""WITH RECURSIVE
+        |d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |roll AS (
+        |  SELECT doc_id, 0 AS i, CAST(0 AS BIGINT) AS h FROM d
+        |  UNION ALL
+        |  SELECT roll.doc_id, roll.i + 1, $step
+        |  FROM roll JOIN d USING (doc_id) WHERE roll.i < d.n),
+        |b AS (SELECT doc_id, i FROM roll JOIN d USING (doc_id)
+        |      WHERE i >= 1 AND (h & $hiMask) = 0 AND i < n),
+        |s AS (SELECT doc_id, 0 AS st FROM d
+        |      UNION ALL SELECT doc_id, i FROM b),
+        |c AS (SELECT doc_id, st,
+        |        lead(st) OVER (PARTITION BY doc_id ORDER BY st) AS nxt,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS idx
+        |      FROM s)
+        |SELECT c.doc_id AS doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+        |  CAST(st AS BIGINT) AS start,
+        |  CAST(coalesce(nxt, n) - st AS BIGINT) AS chunk_len,
+        |  md5(substr(text, st + 1, coalesce(nxt, n) - st)) AS chunk_md5
+        |FROM c JOIN d USING (doc_id)
+        |ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, d) =>
+      graft.operators.Dedup.cdcChunks(Tables.documents(s, d),
+          "doc_id", "text", maskBits = 5)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Hard-negative mining (contrastive-training data prep): per query,
     // the top-5 most-similar DIFFERENT-label vectors, each with its margin
     // to the query's hardest positive (hardest_pos − cosine; the triplet-
