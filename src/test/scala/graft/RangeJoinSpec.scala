@@ -61,6 +61,15 @@ class RangeJoinSpec extends SparkSuite {
     assert(got == Set((1L, 1L)))
   }
 
+  test("intervalOverlap plans an equi-join on the bucket, never a nested loop") {
+    val a = (1 to 50).map(i => (i.toLong, i * 1.0, i * 1.0 + 5)).toDF("a", "lo_a", "hi_a")
+    val b = (1 to 50).map(i => (i.toLong, i * 1.5, i * 1.5 + 5)).toDF("b", "lo_b", "hi_b")
+    val plan = RangeJoin.intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b", 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("fan-out guard raises on a degenerate interval") {
     val points = Seq((1L, 0.0)).toDF("pid", "x")
     val intervals = Seq((1L, 0.0, 1e9)).toDF("iid", "lo", "hi")
