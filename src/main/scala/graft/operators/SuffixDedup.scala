@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
 /** Suffix-array-style duplicated-region detection (the Lee et al. 2022
   * "Deduplicating Training Data" substring pass), re-expressed as
   * distributed EQUALITY prefix doubling: every corpus position carries an
-  * 8-byte window id; log₂(L) rounds of re-encoding (id_k(i), id_k(i+k))
+  * 8-byte window id; the seed round encodes 8-char substring windows
+  * directly (an 8-char string costs what the 8-byte rank replacing it
+  * costs, so rounds 1→2→4→8 are free to skip), then log₂(L/8) rounds of
+  * re-encoding (id_k(i), id_k(i+k))
   * pairs give positions equal ids iff their L-character windows are equal
   * — duplicated windows are id-groups of size ≥ 2, and maximal runs of
   * duplicated window starts collapse to regions.
@@ -57,11 +60,22 @@ object SuffixDedup {
                               minLength: Int): Dedup.Staged = {
     require(minLength >= 2 && Integer.bitCount(minLength) == 1,
       s"minLength must be a power of two >= 2 (got $minLength)")
-    // (doc, off, char): the zero-width-lookahead split keeps every
-    // character, whitespace included
-    val chars = docs
-      .select(col(idCol).as("__doc"),
-        posexplode(split(col(textCol), "(?!^)")).as(Seq("__off", "__c")))
+    // Seed at w0 = min(8, minLength) chars per window, not 1: an 8-char
+    // window string is about the size of the 8-byte rank that replaces it,
+    // so the seed round's shuffle costs the same as a doubling round while
+    // ELIMINATING three of them (1→2→4→8). Windows that don't fit
+    // (off > len − w0) are never emitted, matching the inner-join
+    // induction below.
+    val w0 = math.min(8L, minLength.toLong)
+    val wins = docs
+      .select(col(idCol).as("__doc"), col(textCol).as("__t"))
+      .select(col("__doc"),
+        posexplode(
+          when(length(col("__t")) >= w0,
+            transform(sequence(lit(1), length(col("__t")) - lit(w0 - 1)),
+              i => substring(col("__t"), i, lit(w0.toInt))))
+            .otherwise(array().cast("array<string>")))
+          .as(Seq("__off", "__c")))
       .select(col("__doc"), col("__off").cast("long").as("__off"), col("__c"))
     // PRUNE-UNIQUE invariant (the scale property): after every round, only
     // positions whose current k-window occurs >= 2 times in the corpus
@@ -75,9 +89,9 @@ object SuffixDedup {
     // groups by the window id to mint compact ids, so keeping only
     // groups of size >= 2 adds no shuffle.
     var (ids, release) = checkpointed(
-      reencode(chars, col("__c"), "__r", minCount = 2L)
+      reencode(wins, col("__c"), "__r", minCount = 2L)
         .select("__doc", "__off", "__r"))
-    var k = 1L
+    var k = w0
     while (k < minLength) {
       val shifted = ids.select(col("__doc"),
         (col("__off") - k).as("__off"), col("__r").as("__r2"))
