@@ -845,6 +845,74 @@ object Relational2 {
         .orderBy("lang", "doc_id")
     },
 
+    // J15: SCD2 temporal-dimension lookup — each fact row joined to the
+    // dimension version whose effective range covers the fact date (the
+    // read side of w15's SCD2 history build). Composition of
+    // RangeJoin.pointInInterval with the dimension key as an extra join
+    // key: the bucketed equi-join runs on (key, day-bucket), so Catalyst
+    // never sees a bare BETWEEN (which would plan a nested loop). The
+    // dimension's three versions are derived deterministically in-query;
+    // day arithmetic is integer epoch-days in both engines.
+    Q("j15_scd2_lookup",
+      """WITH dim AS (
+        |  SELECT c_custkey, 'v1' AS segment,
+        |    date_diff('day', TIMESTAMP '1970-01-01', TIMESTAMP '1992-01-01') AS lo,
+        |    date_diff('day', TIMESTAMP '1970-01-01', TIMESTAMP '1995-06-30')
+        |      + c_custkey % 90 AS hi
+        |  FROM customer WHERE c_custkey <= 1000
+        |  UNION ALL
+        |  SELECT c_custkey, 'v2',
+        |    date_diff('day', TIMESTAMP '1970-01-01', TIMESTAMP '1995-06-30')
+        |      + c_custkey % 90 + 1,
+        |    date_diff('day', TIMESTAMP '1970-01-01', TIMESTAMP '1997-06-30')
+        |      + c_custkey % 120
+        |  FROM customer WHERE c_custkey <= 1000
+        |  UNION ALL
+        |  SELECT c_custkey, 'v3',
+        |    date_diff('day', TIMESTAMP '1970-01-01', TIMESTAMP '1997-06-30')
+        |      + c_custkey % 120 + 1,
+        |    date_diff('day', TIMESTAMP '1970-01-01', TIMESTAMP '1999-12-31')
+        |  FROM customer WHERE c_custkey <= 1000),
+        |f AS (SELECT o_custkey AS c_custkey,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+        |    o_totalprice
+        |  FROM orders WHERE o_custkey <= 1000)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM f JOIN dim ON f.c_custkey = dim.c_custkey
+        |  AND f.day BETWEEN dim.lo AND dim.hi
+        |GROUP BY segment ORDER BY segment""".stripMargin) { (s, d) =>
+      def day(dt: String) =
+        datediff(lit(dt).cast("date"), lit("1970-01-01").cast("date"))
+      val cust = Tables.customer(s, d).where(col("c_custkey") <= 1000)
+        .select(col("c_custkey"),
+          (day("1995-06-30") + pmod(col("c_custkey"), lit(90))).as("b1"),
+          (day("1997-06-30") + pmod(col("c_custkey"), lit(120))).as("b2"))
+      val dim = cust.select(col("c_custkey"), explode(array(
+          struct(lit("v1").as("segment"),
+            day("1992-01-01").cast("long").as("lo"), col("b1").cast("long").as("hi")),
+          struct(lit("v2").as("segment"),
+            (col("b1") + 1).cast("long").as("lo"), col("b2").cast("long").as("hi")),
+          struct(lit("v3").as("segment"),
+            (col("b2") + 1).cast("long").as("lo"),
+            day("1999-12-31").cast("long").as("hi")))).as("v"))
+        .select(col("c_custkey"), col("v.segment").as("segment"),
+          col("v.lo").as("lo"), col("v.hi").as("hi"))
+      val facts = Tables.orders(s, d).where(col("o_custkey") <= 1000)
+        .select(col("o_custkey").as("c_custkey"),
+          datediff(col("o_orderdate"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"),
+          col("o_totalprice"))
+      graft.operators.RangeJoin.pointInInterval(facts, dim,
+          pointCol = "day", loCol = "lo", hiCol = "hi",
+          bucketWidth = 365.0, keyCols = Seq("c_custkey"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+        .orderBy("segment")
+    },
+
     // J14 (engine ext): interval-overlap join via the bucketed equi-join
     // (j13's shape, both sides exploded; each pair emitted only from the
     // bucket holding its overlap start, so no dedup shuffle). Oracle is
