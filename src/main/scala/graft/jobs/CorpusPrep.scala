@@ -127,6 +127,16 @@ object CorpusPrep {
     // model + final semi-join) in one action — no ReusedExchange applies
     // because the two subtrees diverge right at the scan.
     }).localCheckpoint(true)
+    // `spliced`'s blocks are dead once `decontaminated` is materialized
+    // (every later consumer reads the second checkpoint) — release them
+    // now instead of holding two corpus copies until GC notices; repeated
+    // invocations in one session otherwise stack generations of dead
+    // blocks against the block manager.
+    spliced.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
     (dsirTarget, dsirKeep) match {
       case (Some(target), keep) if keep > 0 =>
         val weights = graft.operators.Dsir.importanceWeights(
