@@ -232,6 +232,49 @@ object Ml {
           round(col("f.mean_b"), 6).as("mean_b"))
         .orderBy("media_id", "frame_no")
     },
+
+    // ML5: equi-depth quantile binning (feature discretization, the
+    // QuantileDiscretizer shape done relationally): per-stratum quartile
+    // breakpoints (exact percentile — swap approx_percentile at 100 TB,
+    // the t7/t7b pairing), broadcast back, bucket = 1 + Σ(x > bᵢ).
+    // Breakpoints are rounded to 4 decimals in BOTH engines BEFORE the
+    // compare so interpolation ulps can't flip a boundary row's bucket.
+    Q("ml5_quantile_binning",
+      """WITH b AS (SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+        |    round(quantile_cont(l_extendedprice, 0.50), 4) AS q2,
+        |    round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+        |  FROM lineitem GROUP BY l_returnflag),
+        |f AS (SELECT l.l_returnflag AS l_returnflag,
+        |    CAST(1 + CAST(l_extendedprice > q1 AS INT)
+        |           + CAST(l_extendedprice > q2 AS INT)
+        |           + CAST(l_extendedprice > q3 AS INT) AS BIGINT) AS bucket,
+        |    l_extendedprice
+        |  FROM lineitem l JOIN b USING (l_returnflag))
+        |SELECT l_returnflag, bucket, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi
+        |FROM f GROUP BY l_returnflag, bucket
+        |ORDER BY l_returnflag, bucket""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      val breaks = li.groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
+          round(expr("percentile(l_extendedprice, 0.50)"), 4).as("q2"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
+      li.join(broadcast(breaks), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          (lit(1) +
+            (col("l_extendedprice") > col("q1")).cast("int") +
+            (col("l_extendedprice") > col("q2")).cast("int") +
+            (col("l_extendedprice") > col("q3")).cast("int"))
+            .cast("long").as("bucket"),
+          col("l_extendedprice"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi"))
+        .orderBy("l_returnflag", "bucket")
+    },
   )
 
   /** Minimal animated-GIF encoder for the mm6 fixture: solid-color
