@@ -99,12 +99,18 @@ object Bench {
       .mkString("{", ",", "}")
     val slowest = ok.sortBy(-_._2).take(10)
       .map { case (k, v, _) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
-    // name → first failure (class + message), so a regressed query is
-    // diagnosable from the artifact alone
-    val failed = results.filter(_._2 < 0)
-      .map { case (k, _, err) => s"\"$k\":${jstr(err.getOrElse("unknown"))}" }
+    // "failed" stays a JSON ARRAY of names — the shape every BENCH_r0x
+    // artifact before r05 used (r05 briefly made it an object and broke
+    // the cross-round contract); the per-query first failure
+    // (class + message) rides separately in "errors", so a regressed
+    // query is still diagnosable from the artifact alone.
+    val failedRows = results.filter(_._2 < 0)
+    val failed = failedRows.map { case (k, _, _) => jstr(k) }
+      .mkString("[", ",", "]")
+    val errors = failedRows
+      .map { case (k, _, err) => s"${jstr(k)}:${jstr(err.getOrElse("unknown"))}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nqueries":${results.size},"failed":$failed,"families":$families,"slowest":$slowest,"file":"target/bench_local.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nqueries":${results.size},"failed":$failed,"errors":$errors,"families":$families,"slowest":$slowest,"file":"target/bench_local.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

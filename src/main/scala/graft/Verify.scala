@@ -24,18 +24,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        errors(name) = s"${e.getClass.getSimpleName}: " +
-          Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(300)
-        System.err.println(s"[verify] $name failed: ${errors(name)}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -48,17 +36,31 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // The full declared-query roster + per-query failure messages: the gate
-    // diffs result dirs against this list so a query that throws BEFORE
-    // writing output is reported as NO_SPARK_OUTPUT instead of silently
-    // vanishing from the round's record (how the round-4 ts regression hid).
+    // The declared-query roster and the oracle SQL are known up front —
+    // write them BEFORE the query loop, so a mid-run JVM death (OOM,
+    // SIGKILL) still leaves the gate a roster to diff result dirs
+    // against: a query that throws (or never runs) is reported as
+    // NO_SPARK_OUTPUT instead of silently vanishing from the round's
+    // record (how the round-4 ts regression hid).
     Files.writeString(Paths.get(s"$outDir/query_names.json"),
       SparkEntry.queries.keys.toSeq
         .filter(n => only.forall(_.contains(n)))
         .sorted.map(q).mkString("[", ",", "]"))
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(300)
+        System.err.println(s"[verify] $name failed: ${errors(name)}")
+      }
+    }
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()

@@ -83,6 +83,23 @@ object CorpusPrep {
       inputObs, keptObs)
   }
 
+  /** The suffix-region splice stage of [[prepareFull]], fully DISTRIBUTED:
+    * on a 100 TB corpus with a few percent duplicated text the region
+    * list is billions of rows and a driver materialization dies —
+    * `removeRegions` is a plain join and never needs it local (the staged
+    * detection frame reads the doubling loop's final checkpoint; call the
+    * returned release hook once the splice has materialized, its only
+    * consumer). Package-visible so CorpusPrepSpec can pin the plan shape
+    * (no LocalRelation of regions anywhere in the splice). */
+  private[graft] def splicedCorpus(docs: DataFrame, idCol: String,
+                                   textCol: String, regionMinLength: Int)
+      : (DataFrame, () => Unit) = {
+    val regions = graft.operators.SuffixDedup.duplicatedRegionsStaged(
+      docs, idCol, textCol, regionMinLength)
+    (graft.operators.SuffixDedup.removeRegions(
+      docs, regions.df, idCol, textCol), regions.release)
+  }
+
   /** The FULL modern pipeline — [[prepare]]'s stages plus the three
     * passes a frontier pretraining corpus adds, in flow order:
     *
@@ -95,7 +112,17 @@ object CorpusPrep {
     * Each stage is individually oracle- or spec-gated; this call only
     * chains them (no new shuffles beyond the stages' own). `benchmark` is
     * the eval corpus to decontaminate against (None = skip);
-    * `dsirTarget`/`dsirKeep` configure selection (dsirKeep <= 0 = skip). */
+    * `dsirTarget`/`dsirKeep` configure selection (dsirKeep <= 0 = skip).
+    *
+    * `stageTimer(name, seconds)` fires once per EAGER stage, named by what
+    * that stage's actions actually execute (lazy stages fuse into the
+    * next barrier — quality+lang run inside `filter_dedup`, split+pack
+    * inside `decontam_checkpoint`): `detect_regions` (the doubling loop),
+    * `splice_checkpoint`, `filter_dedup` (dedupCorpus's internal
+    * materializations pull the quality/language filters),
+    * `decontam_checkpoint` (decontam scan + the split/pack column tails).
+    * The DSIR weight model + final semi-join stay lazy by design and are
+    * counted by the CALLER's first action on the returned frame. */
   def prepareFull(docs: DataFrame, idCol: String, textCol: String,
                   cfg: Config = Config(),
                   regionMinLength: Int = 64,
@@ -104,9 +131,15 @@ object CorpusPrep {
                                          // ubiquitous 8-char sequences
                   dsirTarget: Option[org.apache.spark.sql.Column] = None,
                   dsirBuckets: Int = 1 << 16,
-                  dsirKeep: Int = -1): DataFrame = {
-    val regions = graft.operators.SuffixDedup.duplicatedRegions(
-      docs, idCol, textCol, regionMinLength)
+                  dsirKeep: Int = -1,
+                  stageTimer: (String, Double) => Unit = (_, _) => ())
+      : DataFrame = {
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      stageTimer(name, (System.nanoTime() - t0) / 1e9); r
+    }
+    val (splicedLazy, regionsRelease) = timed("detect_regions")(
+      splicedCorpus(docs, idCol, textCol, regionMinLength))
     // MATERIALIZATION BARRIER: the spliced corpus is re-read by every
     // internal action downstream (dedupCorpus's pair pipeline + cluster
     // resolution, the decontamination scan, both DSIR consumers) — without
@@ -115,10 +148,10 @@ object CorpusPrep {
     // (e2e2 ran 3.5x the sum of its stages). On a cluster this barrier is
     // where you'd write the intermediate table; localCheckpoint is the
     // single-app form (executor-local blocks, no driver round-trip).
-    val spliced = graft.operators.SuffixDedup.removeRegions(
-      docs, regions, idCol, textCol).localCheckpoint(true)
-    val base = prepare(spliced, idCol, textCol, cfg)
-    val decontaminated = (benchmark match {
+    val spliced = timed("splice_checkpoint")(splicedLazy.localCheckpoint(true))
+    regionsRelease()
+    val base = timed("filter_dedup")(prepare(spliced, idCol, textCol, cfg))
+    val decontaminated = timed("decontam_checkpoint")((benchmark match {
       case Some(b) =>
         graft.operators.Decontaminate.decontaminate(base, b, textCol,
           n = decontamN)
@@ -126,7 +159,7 @@ object CorpusPrep {
     // Same reason: the DSIR branch consumes `decontaminated` twice (gram
     // model + final semi-join) in one action — no ReusedExchange applies
     // because the two subtrees diverge right at the scan.
-    }).localCheckpoint(true)
+    }).localCheckpoint(true))
     // `spliced`'s blocks are dead once `decontaminated` is materialized
     // (every later consumer reads the second checkpoint) — release them
     // now instead of holding two corpus copies until GC notices; repeated

@@ -49,10 +49,18 @@ object Sampling {
     * Strata absent from `fractions` keep `defaultFraction` of their rows. */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        seed: Long, fractions: Map[String, Double],
-                       defaultFraction: Double = 1.0): DataFrame = {
+                       defaultFraction: Double = 1.0): DataFrame =
+    stratifiedSampleBy(df, pmod(xxhash64(col(idCol), lit(seed)), lit(10000L)),
+      stratumCol, fractions, defaultFraction)
+
+  /** [[stratifiedSample]] with a caller-supplied bucket column in
+    * [0, 10000) — lets the hash be swapped (e.g. the DuckDB-recomputable
+    * FNV-1a-64 of the `s13b` gate) without touching the keep rule. */
+  def stratifiedSampleBy(df: DataFrame, bucket: org.apache.spark.sql.Column,
+                         stratumCol: String, fractions: Map[String, Double],
+                         defaultFraction: Double = 1.0): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
       s"fractions must be in [0, 1] (got $fractions, default $defaultFraction)")
-    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(10000L))
     val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
       when(col(stratumCol) === k, lit(f)).otherwise(acc)
     }
@@ -141,7 +149,16 @@ object Sampling {
     * not named in `targets` are dropped. Bucket granularity is 1/10000, so
     * achieved proportions track targets to ~0.01% of each stratum. */
   def domainMix(df: DataFrame, stratumCol: String, idCol: String, seed: Long,
-                targets: Map[String, Double]): DataFrame = {
+                targets: Map[String, Double]): DataFrame =
+    domainMixBy(df, pmod(xxhash64(col(idCol), lit(seed)), lit(10000L)),
+      stratumCol, targets)
+
+  /** [[domainMix]] with a caller-supplied bucket column in [0, 10000) —
+    * lets the hash be swapped (e.g. the DuckDB-recomputable FNV-1a-64 of
+    * the `s13b` gate) without touching the mixing rule. */
+  def domainMixBy(df: DataFrame, bucket: org.apache.spark.sql.Column,
+                  stratumCol: String,
+                  targets: Map[String, Double]): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ > 0),
       s"targets must be positive (got $targets)")
     val z = targets.values.sum
@@ -155,7 +172,7 @@ object Sampling {
     val fracs = targets.map { case (k, t) =>
       k -> math.min(1.0, total * (t / z) / counts(k))
     }
-    stratifiedSample(df, stratumCol, idCol, seed, fracs, defaultFraction = 0.0)
+    stratifiedSampleBy(df, bucket, stratumCol, fracs, defaultFraction = 0.0)
   }
 
   /** Temperature-scaled source rebalancing (the multilingual/multi-source

@@ -756,6 +756,42 @@ object Relational2 {
         .orderBy("c_custkey")
     },
 
+    // w7's value-checked sibling (the s11b FNV playbook applied to the
+    // seeded backfill pick): the per-(candidate, user) sort key becomes
+    // FNV-1a-64 over "partkey:custkey", which the oracle replays — the
+    // hot-list derivation, each user's full pick ORDER, and the joined
+    // output string are all value-checked. xxhash64 (w7) stays the
+    // production default.
+    Q("w7b_seeded_backfill_fnv",
+      s"""WITH hot AS (SELECT l_partkey FROM lineitem GROUP BY l_partkey
+         |             ORDER BY count(*) DESC, l_partkey LIMIT 30),
+         |cust AS (SELECT c_custkey FROM customer WHERE c_custkey <= 200),
+         |pairs AS (SELECT c_custkey, l_partkey,
+         |    ${Q.fnvSql("CAST(l_partkey AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)")} AS h
+         |  FROM cust CROSS JOIN hot),
+         |r AS (SELECT c_custkey, l_partkey,
+         |    row_number() OVER (PARTITION BY c_custkey ORDER BY h, l_partkey) AS rn
+         |  FROM pairs)
+         |SELECT c_custkey, string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY rn) AS backfill
+         |FROM r WHERE rn <= 5 GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val hot = Tables.lineitem(s, d)
+        .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_partkey").asc).limit(30)
+      val hotIds = hot.select("l_partkey").collect().map(_.getLong(0)).sorted
+      val hotArr = array(hotIds.map(lit(_)): _*)
+      Tables.customer(s, d).where(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+          array_join(
+            transform(
+              graft.rank.Blend.seededHotPickBy(hotArr, col("c_custkey"), 5,
+                (b, u) => column(graft.expressions.Fnv1a64(
+                  expression(concat_ws(":", b, u))))),
+              i => i.cast("string")),
+            ",").as("backfill"))
+        .orderBy("c_custkey")
+    },
+
     // A13 scale path: HyperLogLog approximate distinct — the engine's
     // 100 TB counterpart of exact countDistinct (SURVEY §2.4 A13). No SQL
     // oracle (sketch-dependent); ScalaTest asserts <5% error vs exact.

@@ -315,6 +315,42 @@ object Text {
         .orderBy("source")
     },
 
+    // s13's value-checked sibling (the s11b FNV playbook applied to domain
+    // mixing): the oracle recomputes the binding-stratum feasible total,
+    // each stratum's keep fraction, AND each row's bucket — per-row
+    // MEMBERSHIP of the mix is hash-matched, not just the composition.
+    // Targets are binary-exact doubles (0.5/0.25/0.125) so the Scala and
+    // SQL float folds are bit-identical; xxhash64 (s13) stays the
+    // production default.
+    Q("s13b_domain_mix_fnv",
+      s"""WITH h AS (SELECT doc_id, source,
+         |    ${Q.fnvSql("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |b AS (SELECT doc_id, source, ((h % 10000) + 10000) % 10000 AS b FROM h),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |      FROM documents GROUP BY source),
+         |t(source, tgt) AS (VALUES
+         |  ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+         |  ('src2', CAST(0.125 AS DOUBLE)), ('src3', CAST(0.125 AS DOUBLE))),
+         |tot AS (SELECT min(CAST(n AS DOUBLE) / tgt) AS total
+         |        FROM c JOIN t USING (source)),
+         |f AS (SELECT source,
+         |        least(1.0, (SELECT total FROM tot) * tgt / CAST(n AS DOUBLE)) AS f
+         |      FROM c JOIN t USING (source))
+         |SELECT doc_id, source FROM b JOIN f USING (source)
+         |WHERE b < f * 10000.0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val bucket = pmod(
+        column(graft.expressions.Fnv1a64(
+          expression(col("doc_id").cast("string")))), lit(10000L))
+      graft.operators.Sampling.domainMixBy(
+          Tables.documents(s, d), bucket, "source",
+          targets = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125,
+            "src3" -> 0.125))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
     // Temperature-scaled source rebalancing (mT5-style alpha mixing):
     // composition ∝ n_s^0.5, i.e. keep fraction (n_min/n_s)^0.5 per
     // source, smallest source kept whole. Value-checked end-to-end via
@@ -623,6 +659,50 @@ object Text {
         .groupBy("bucket", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy("bucket", "pack_id")
+    },
+
+    // s17's value-checked sibling: FFD is DETERMINISTIC given (n, id)
+    // order, so the oracle replays the greedy bin assignment itself with a
+    // recursive CTE (the d15 bit-replay playbook applied to control flow):
+    // state = the open packs' remaining capacities as a list, one doc per
+    // recursion step, first fit found via list_position over a >=n mask.
+    // A 31-doc / 2-bucket fixture keeps the recursion shallow; per-doc
+    // PACK MEMBERSHIP is value-checked, not just pack totals.
+    Q("s17b_ffd_pack_small", {
+      val fitPos = "list_position(list_transform(f.caps, c -> c >= s.n), true)"
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, doc_id % 2 AS bkt,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+         |  FROM documents WHERE doc_id <= 30),
+         |s AS (
+         |  SELECT doc_id, bkt, n,
+         |    row_number() OVER (PARTITION BY bkt ORDER BY n DESC, doc_id) AS rn
+         |  FROM d),
+         |fit AS (
+         |  SELECT bkt, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
+         |    CAST(NULL AS BIGINT) AS pack_id, []::BIGINT[] AS caps
+         |  FROM (SELECT DISTINCT bkt FROM s)
+         |  UNION ALL
+         |  SELECT s.bkt, s.rn, s.doc_id,
+         |    CASE WHEN $fitPos = 0 THEN len(f.caps)
+         |         ELSE $fitPos - 1 END AS pack_id,
+         |    CASE WHEN $fitPos = 0
+         |         THEN list_append(f.caps, greatest(128 - s.n, 0))
+         |         ELSE list_transform(range(1, len(f.caps) + 1),
+         |                i -> CASE WHEN i = $fitPos THEN f.caps[i] - s.n
+         |                          ELSE f.caps[i] END)
+         |    END AS caps
+         |  FROM fit f JOIN s ON s.bkt = f.bkt AND s.rn = f.rn + 1)
+         |SELECT CAST(bkt AS VARCHAR) AS bucket, doc_id, pack_id
+         |FROM fit WHERE rn > 0 ORDER BY bucket, doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d).where(col("doc_id") <= 30)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(2L)).as("bucket"),
+          size(tokenize(col("text"))).cast("long").as("n"))
+      graft.operators.Packing.ffdPack(docs, "doc_id", "n",
+          maxTokens = 128L, bucketCol = col("bucket"))
+        .select(col("bucket"), col("id").as("doc_id"), col("pack_id"))
+        .orderBy("bucket", "doc_id")
     },
 
     // Repetition quality signals (the Gopher-rule family): duplicate

@@ -39,10 +39,19 @@ object Blend {
     * sample (the reference's `random.sample(hot, 5)`, guessLike_u_like.py:126,
     * made reproducible). */
   def seededHotPick(hotArr: Column, user: Column, n: Int, seed: Long): Column =
+    seededHotPickBy(hotArr, user, n,
+      (b, u) => xxhash64(b, u, lit(seed)))
+
+  /** [[seededHotPick]] with a caller-supplied per-(candidate, user) hash —
+    * lets the hash be swapped (e.g. the DuckDB-recomputable FNV-1a-64 of
+    * the `w7b` gate) without touching the pick rule: candidates sort by
+    * (hash, id) and the first `n` win. */
+  def seededHotPickBy(hotArr: Column, user: Column, n: Int,
+                      hash: (Column, Column) => Column): Column =
     slice(
       transform(
         sort_array(transform(hotArr,
-          b => struct(xxhash64(b, user, lit(seed)).as("h"), b.as("b")))),
+          b => struct(hash(b, user).as("h"), b.as("b")))),
         s => s.getField("b")),
       1, n)
 

@@ -85,6 +85,45 @@ class CorpusPrepSpec extends SparkSuite {
     assert(again == ids)
   }
 
+  test("prepareFull splice plan: region list stays distributed (no local relation)") {
+    // the scale contract: prepareFull must never materialize the region
+    // list on the driver — on 100 TB that list is unbounded. The splice
+    // plan's regions side must read the doubling loop's checkpoint
+    // (LogicalRDD), never a collected LocalRelation.
+    val (spliced, release) =
+      CorpusPrep.splicedCorpus(corpus, "doc_id", "text", 8)
+    try {
+      val nodes = spliced.queryExecution.analyzed.collect { case n => n }
+      val localRegionRelations = nodes.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+            if l.output.exists(_.name == "region_len") => l
+      }
+      assert(localRegionRelations.isEmpty,
+        "region list was collected to the driver (LocalRelation in splice plan)")
+      // the regions subtree aggregates (start, region_len) on top of the
+      // doubling loop's checkpointed position frame (__doc, __off) — that
+      // LogicalRDD is the only one in this plan (docs here is a
+      // LocalRelation), proving the staged path feeds the splice
+      val checkpointedRegions = nodes.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD
+            if l.output.exists(_.name == "__off") => l
+      }
+      assert(checkpointedRegions.nonEmpty,
+        "splice plan must read the staged (checkpointed) region frame")
+      assert(spliced.count() > 0)
+    } finally release()
+  }
+
+  test("prepareFull: stage timer fires once per eager stage, in flow order") {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[String]
+    CorpusPrep.prepareFull(corpus, "doc_id", "text",
+      benchmark = Some(corpus.where(col("doc_id") === 10L).select("text")),
+      stageTimer = (n, s) => { assert(s >= 0.0); stages += n; () })
+      .count()
+    assert(stages.toSeq == Seq("detect_regions", "splice_checkpoint",
+      "filter_dedup", "decontam_checkpoint"))
+  }
+
   test("prepare: deterministic across runs") {
     val cfg = CorpusPrep.Config()
     def run() = CorpusPrep.prepare(corpus, "doc_id", "text", cfg)

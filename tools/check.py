@@ -47,6 +47,10 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # results: name -> (passed: bool, detail: str). Pass/fail is a
+    # STRUCTURED flag, never inferred from the human-readable detail text
+    # (an embedded exception message ending in "OK" must not count as a
+    # pass).
     results = {}
     result_dirs = {p.split("/")[-1] for p in glob.glob(f"{outdir}/*") if "." not in p.split("/")[-1]}
     # A query that throws before writing output has no result dir — diff
@@ -62,27 +66,28 @@ def main():
         verrs = {}
     for name in sorted(result_dirs | declared):
         if name not in result_dirs:
-            results[name] = "NO_SPARK_OUTPUT: " + verrs.get(name, "no error recorded")
+            results[name] = (False, "NO_SPARK_OUTPUT: " + verrs.get(name, "no error recorded"))
             continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
-            results[name] = "NO_SPARK_OUTPUT: empty result dir"
+            results[name] = (False, "NO_SPARK_OUTPUT: empty result dir")
             continue
         got = pd.read_parquet(f"{outdir}/{name}")
         if name not in oracle:
-            results[name] = f"rows_only rows={len(got)} " + ("OK" if len(got) > 0 else "EMPTY")
+            results[name] = (len(got) > 0,
+                             f"rows_only rows={len(got)} " + ("OK" if len(got) > 0 else "EMPTY"))
             continue
         try:
             exp = con.execute(oracle[name]).df()
         except Exception as e:
-            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            results[name] = (False, f"ORACLE_SQL_ERROR: {e}")
             continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
-            results[name] = f"SCHEMA_MISMATCH spark={list(g.columns)} duck={list(e.columns)}"
+            results[name] = (False, f"SCHEMA_MISMATCH spark={list(g.columns)} duck={list(e.columns)}")
             continue
         if len(g) != len(e):
-            results[name] = f"ROWCOUNT_MISMATCH spark={len(g)} duck={len(e)}"
+            results[name] = (False, f"ROWCOUNT_MISMATCH spark={len(g)} duck={len(e)}")
             continue
         bad = None
         for col in g.columns:
@@ -93,11 +98,10 @@ def main():
                     break
             if bad:
                 break
-        results[name] = bad or f"OK rows={len(g)}"
-    n_ok = sum(1 for v in results.values() if v.startswith("OK") or v.endswith("OK"))
-    for name, v in sorted(results.items()):
-        flag = "PASS" if (v.startswith("OK") or v.endswith("OK")) else "FAIL"
-        print(f"[{flag}] {name}: {v}")
+        results[name] = (bad is None, bad or f"OK rows={len(g)}")
+    n_ok = sum(1 for ok, _ in results.values() if ok)
+    for name, (ok, detail) in sorted(results.items()):
+        print(f"[{'PASS' if ok else 'FAIL'}] {name}: {detail}")
     print(f"== {n_ok}/{len(results)} pass ==")
     sys.exit(0 if n_ok == len(results) else 1)
 
