@@ -19,11 +19,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *     channel mean intensity (normalized), the cheap brightness stats an
   *     image-corpus profiler wants.
   *
+  *   - [[Mp3Features]]: MPEG audio (MP3) — version, layer, sample rate,
+  *     channel mode, frame count, duration, mean bitrate, CBR/VBR. A
+  *     frame-HEADER walk (every field above is self-described by the
+  *     container), not a PCM decode.
+  *
   * Malformed or unsupported payloads yield NULL (the engine's drop-bad-
   * rows policy) rather than throwing — a corrupt file must never kill a
-  * 100 TB scan. Compressed formats (JPEG/MP3/H.264) still require real
-  * codecs and remain behind the documented [[graft.operators.Multimodal]]
-  * stubs.
+  * 100 TB scan. PCM synthesis for compressed audio (MP3) and H.264 video
+  * still require real codecs and remain behind the documented
+  * [[graft.operators.Multimodal]] stubs; JPEG/GIF/TIFF decode is real via
+  * the JDK's ImageIO ([[ImageFeatures]], [[GifFrames]]).
   */
 object MediaBytes {
   def u16(b: Array[Byte], o: Int): Int =
@@ -452,4 +458,166 @@ case class BmpFeatures(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** binary → struct(version, layer, sample_rate, n_channels, n_frames,
+  * duration_s, bitrate_kbps, vbr) for MPEG audio (MP3 and friends) — a
+  * FRAME-HEADER walk, not a PCM decode. Every MPEG audio stream is a
+  * sequence of self-describing frames whose 4-byte headers carry version,
+  * layer, bitrate, sample rate and channel mode, and whose length is a
+  * pure function of those fields — so duration, mean bitrate, CBR/VBR
+  * shape and channel layout (the features an audio-corpus filter keys on:
+  * too-short clips, low-bitrate junk, mono/stereo routing) come from a
+  * single linear scan with no codec. An ID3v2 prefix is skipped via its
+  * syncsafe length; the walk stops at the first non-frame byte (ID3v1
+  * "TAG" trailer, truncation), and requires either two consecutive valid
+  * frames or one frame ending exactly at EOF before trusting a sync word
+  * (0xFFE also occurs in audio payload bytes). Free-format bitrate
+  * (index 0) and reserved version/layer codes yield null, as does any
+  * payload with no trustworthy frame (drop-bad-rows policy). The actual
+  * PCM synthesis for compressed audio stays behind the documented
+  * [[graft.operators.Multimodal]] stubs — this expression extracts
+  * exactly what the container self-describes.
+  *
+  * Reference behavior match: the reference pipeline carries no audio at
+  * all (its media are HTML/text pages, 图书美文信息抓取.ipynb cell-4);
+  * this is part of the §8 multimodal surface the brief adds. */
+case class Mp3Features(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("version", StringType),
+    StructField("layer", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_s", DoubleType),
+    StructField("bitrate_kbps", DoubleType),
+    StructField("vbr", BooleanType)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  import Mp3Features._
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    var off = 0
+    // ID3v2 prefix: "ID3" ver(2) flags(1) syncsafe-size(4); bit 4 of the
+    // flags adds a 10-byte footer after the tag body
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      if ((b(6) | b(7) | b(8) | b(9)) < 0) return null // non-syncsafe size
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      off = 10 + sz + (if ((b(5) & 0x10) != 0) 10 else 0)
+      if (off < 0 || off > b.length) return null
+    }
+    // first frame must be corroborated: a second valid header right after
+    // it, or the frame ending exactly at EOF (single-frame payload)
+    var p = off
+    var ok = false
+    while (!ok && p + 4 <= b.length) {
+      val len = frameLength(b, p)
+      if (len > 0 && (p + len == b.length ||
+          (p + len + 4 <= b.length && frameLength(b, p + len) > 0)))
+        ok = true
+      else p += 1
+    }
+    if (!ok) return null
+    val h0 = header(b, p)
+    var frames = 0L
+    var kbpsSum = 0.0
+    var vbr = false
+    var done = false
+    while (!done && p + 4 <= b.length) {
+      val h = header(b, p)
+      // stream properties must stay constant frame to frame (bitrate may
+      // vary — that's VBR); a change means trailing non-audio bytes
+      if (h == null || h.version != h0.version || h.layer != h0.layer ||
+          h.sampleRate != h0.sampleRate) { done = true }
+      else {
+        val len = h.frameBytes
+        if (len <= 4 || p + len > b.length) { done = true } // truncated tail
+        else {
+          frames += 1
+          kbpsSum += h.kbps
+          if (h.kbps != h0.kbps) vbr = true
+          p += len
+        }
+      }
+    }
+    if (frames == 0) return null
+    val spf = samplesPerFrame(h0.versionId, h0.layer)
+    InternalRow(UTF8String.fromString(h0.version), h0.layer, h0.sampleRate,
+      h0.channels, frames, frames * spf.toDouble / h0.sampleRate,
+      kbpsSum / frames, vbr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Mp3Features {
+  /** Decoded frame header; null from [[header]] when any field is
+    * reserved/free/invalid. */
+  final class Hdr(val versionId: Int, val layer: Int, val kbps: Int,
+                  val sampleRate: Int, val channels: Int,
+                  val frameBytes: Int) {
+    def version: String = versionId match {
+      case 3 => "MPEG1"; case 2 => "MPEG2"; case _ => "MPEG2.5"
+    }
+  }
+
+  // bitrate tables, kbps, indexed [1..14] (0 = free format, 15 = invalid).
+  // MPEG2 and 2.5 share one table per layer; layers II and III share the
+  // low-rate MPEG2 table. (ISO/IEC 11172-3 table B.2; public constants.)
+  private val v1l1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val v1l2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val v1l3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val v2l1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val v2l23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val rates1 = Array(44100, 48000, 32000)  // MPEG1
+  private val rates2 = Array(22050, 24000, 16000)  // MPEG2
+  private val rates25 = Array(11025, 12000, 8000)  // MPEG2.5
+
+  def samplesPerFrame(versionId: Int, layer: Int): Int = layer match {
+    case 1 => 384
+    case 2 => 1152
+    case _ => if (versionId == 3) 1152 else 576 // layer III halves for MPEG2/2.5
+  }
+
+  /** Parse + validate the 4-byte header at `p`; null if not a usable
+    * frame header. */
+  def header(b: Array[Byte], p: Int): Hdr = {
+    if (p + 4 > b.length) return null
+    if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xe0) != 0xe0) return null
+    val versionId = (b(p + 1) >> 3) & 0x3   // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layerBits = (b(p + 1) >> 1) & 0x3   // 1=III, 2=II, 3=I, 0=reserved
+    if (versionId == 1 || layerBits == 0) return null
+    val layer = 4 - layerBits               // 1, 2, 3
+    val brIdx = (b(p + 2) >> 4) & 0xf
+    val srIdx = (b(p + 2) >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null // free/invalid
+    val kbps =
+      if (versionId == 3) (if (layer == 1) v1l1 else if (layer == 2) v1l2 else v1l3)(brIdx)
+      else (if (layer == 1) v2l1 else v2l23)(brIdx)
+    val rate = (if (versionId == 3) rates1 else if (versionId == 2) rates2
+                else rates25)(srIdx)
+    val padding = (b(p + 2) >> 1) & 0x1
+    val channels = if (((b(p + 3) >> 6) & 0x3) == 3) 1 else 2
+    // bytes/frame per ISO 11172-3: layer I truncates at the 4-byte-slot
+    // granularity BEFORE scaling — (12*bitrate/samplerate + padding)*4 —
+    // layers II/III at the byte: samples/frame/8*bitrate/samplerate +
+    // padding. The truncation points differ; both are spec-exact.
+    val spf = samplesPerFrame(versionId, layer)
+    val len =
+      if (layer == 1) (12 * (kbps * 1000) / rate + padding) * 4
+      else spf / 8 * (kbps * 1000) / rate + padding
+    if (len <= 4) return null
+    new Hdr(versionId, layer, kbps, rate, channels, len)
+  }
+
+  /** Validated frame length at `p`, or -1. */
+  def frameLength(b: Array[Byte], p: Int): Int = {
+    val h = header(b, p); if (h == null) -1 else h.frameBytes
+  }
 }

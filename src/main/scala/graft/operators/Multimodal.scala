@@ -116,4 +116,15 @@ object Multimodal {
     * ([[graft.expressions.GifFrames]]). */
   def sampleGifFrames(content: Column, n: Int): Column =
     column(graft.expressions.GifFrames(expression(content), n))
+
+  /** REAL MPEG-audio (MP3) container analysis — a frame-header walk, no
+    * codec: struct(version, layer, sample_rate, n_channels, n_frames,
+    * duration_s, bitrate_kbps, vbr), null for payloads with no
+    * trustworthy frame sequence. Duration / bitrate / channel-mode are
+    * exactly what an audio-corpus filter needs (too-short clips,
+    * low-bitrate junk) and are fully self-described by the frame headers;
+    * PCM decode of the compressed payload stays behind the documented
+    * stubs ([[graft.expressions.Mp3Features]]). */
+  def decodeMp3(content: Column): Column =
+    column(graft.expressions.Mp3Features(expression(content)))
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus splitting/sampling for training pipelines.
@@ -236,5 +237,41 @@ object Sampling {
     require(k >= 1, s"k must be >= 1 (got $k)")
     TopK.topKPerKey(df, strataCols, Seq(rankKey.asc, col(idCol).asc), k)
       .drop("rank")
+  }
+
+  /** Deterministic global shuffle + sharding — the "shuffle the corpus
+    * before training" step every pretraining run needs: an order that is
+    * (a) decorrelated from ingest order (a corpus written source-by-source
+    * must not train source-by-source), (b) reproducible from the ids
+    * alone (re-running the job, or re-materializing one lost shard,
+    * yields byte-identical shard files), and (c) balanced across
+    * `nShards` output shards. shard = hash(id, "shard") mod nShards;
+    * within-shard position ranks by an INDEPENDENT hash(id, "order") —
+    * two different salts, so shard routing and intra-shard order share no
+    * structure.
+    *
+    * Plan shape: exactly ONE shuffle — the window partition on the shard
+    * id (row_number per shard; nShards should be >= the cluster's write
+    * parallelism). No global sort, no driver involvement; `sortBy`-free
+    * writes can partition the output directly on `shard`. Ties cannot
+    * occur (id is unique per caller contract; the hash tie breaks by id
+    * anyway). Output: input columns + (shard, pos). */
+  def shuffleShard(df: DataFrame, idCol: String, nShards: Int): DataFrame =
+    shuffleShardBy(df,
+      xxhash64(col(idCol), lit("shard")), xxhash64(col(idCol), lit("order")),
+      idCol, nShards)
+
+  /** [[shuffleShard]] with caller-supplied hash columns — lets the hashes
+    * be swapped (e.g. the DuckDB-recomputable FNV-1a-64 of the `s22`
+    * gate) without touching the routing/order rule. */
+  def shuffleShardBy(df: DataFrame, shardHash: org.apache.spark.sql.Column,
+                     orderHash: org.apache.spark.sql.Column,
+                     idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    val w = Window.partitionBy("shard").orderBy(col("__oh"), col(idCol))
+    df.withColumn("shard", pmod(shardHash, lit(nShards.toLong)))
+      .withColumn("__oh", orderHash)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__oh")
   }
 }

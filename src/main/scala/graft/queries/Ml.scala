@@ -233,6 +233,36 @@ object Ml {
         .orderBy("media_id", "frame_no")
     },
 
+    // REAL MPEG-audio analysis (frame-header walk, no codec): MPEG1
+    // Layer III streams synthesized per id — CBR and VBR bitrate
+    // patterns, mono/stereo modes, ID3v2 prefixes and ID3v1 trailers —
+    // so the walk exercises syncsafe skip, padding arithmetic, VBR
+    // detection and trailer stop in one gate. duration = n_frames *
+    // 1152 / sample_rate exactly; Mp3Spec pins every value bit-exactly,
+    // this gate row-counts and regression-tracks them.
+    Q.rowsOnly("mm7_mp3_headers") { (s, d) =>
+      import s.implicits._
+      val streams = (1 to 48).map { i =>
+        val n = 20 + i % 8
+        val brs =                       // bitrate index per frame
+          if (i % 5 == 0) Seq.tabulate(n)(f => if (f % 2 == 0) 9 else 11)
+          else Seq.fill(n)(1 + i % 14)
+        (i.toLong, Ml.mp3(brs, srIdx = i % 3, mono = i % 2 == 0,
+          id3 = i % 3 == 0, trailer = i % 4 == 0))
+      } :+ (49L, "not an mpeg stream".getBytes)
+      streams.toDF("media_id", "content")
+        .select(col("media_id"), Multimodal.decodeMp3(col("content")).as("m"))
+        .select(col("media_id"), col("m.version").as("version"),
+          col("m.layer").cast("long").as("layer"),
+          col("m.sample_rate").cast("long").as("sample_rate"),
+          col("m.n_channels").cast("long").as("n_channels"),
+          col("m.n_frames").as("n_frames"),
+          round(col("m.duration_s"), 6).as("duration_s"),
+          round(col("m.bitrate_kbps"), 3).as("bitrate_kbps"),
+          col("m.vbr").as("vbr"))
+        .orderBy("media_id")
+    },
+
     // ML5: equi-depth quantile binning (feature discretization, the
     // QuantileDiscretizer shape done relationally): per-stratum quartile
     // breakpoints (exact percentile — swap approx_percentile at 100 TB,
@@ -276,6 +306,39 @@ object Ml {
         .orderBy("l_returnflag", "bucket")
     },
   )
+
+  /** Minimal MPEG1-Layer-III stream synthesizer for the mm7 fixture:
+    * valid 4-byte frame headers + zeroed payloads (a header walk reads
+    * nothing else), optional ID3v2 prefix (syncsafe size) and ID3v1
+    * "TAG" trailer. `brIdxs` gives the bitrate index per frame (same
+    * index every frame = CBR, mixed = VBR). Driver-side by necessity —
+    * the testdata ships no media files (same pattern as mm3's WAV
+    * synthesis). */
+  private[queries] def mp3(brIdxs: Seq[Int], srIdx: Int, mono: Boolean,
+                           id3: Boolean, trailer: Boolean): Array[Byte] = {
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320)
+    val rate = Array(44100, 48000, 32000)(srIdx)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3) { // 10-byte header + 100-byte body, syncsafe length
+      out.write("ID3".getBytes); out.write(4); out.write(0); out.write(0)
+      out.write(0); out.write(0); out.write(0); out.write(100)
+      out.write(new Array[Byte](100))
+    }
+    brIdxs.zipWithIndex.foreach { case (br, f) =>
+      val padding = f % 3 == 2 // exercise the +1-byte slot arithmetic
+      val len = 144 * (kbps(br) * 1000) / rate + (if (padding) 1 else 0)
+      val frame = new Array[Byte](len)
+      frame(0) = 0xff.toByte
+      frame(1) = 0xfb.toByte // sync|MPEG1|layer III|no CRC
+      frame(2) = ((br << 4) | (srIdx << 2) |
+        (if (padding) 2 else 0)).toByte
+      frame(3) = (if (mono) 0xc0 else 0x00).toByte
+      out.write(frame)
+    }
+    if (trailer) { out.write("TAG".getBytes); out.write(new Array[Byte](125)) }
+    out.toByteArray
+  }
 
   /** Minimal animated-GIF encoder for the mm6 fixture: solid-color
     * frames through the JDK's sequence writer. */

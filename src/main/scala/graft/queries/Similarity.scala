@@ -309,6 +309,42 @@ object Similarity {
         .orderBy("doc_id")
     },
 
+    // Cross-document BOILERPLATE removal (CCNet/RefinedWeb frequent-line
+    // rule): every occurrence of any line appearing in >= 2 distinct
+    // documents is dropped — different semantics from d8 (keep-first):
+    // boilerplate is noise in ALL its hosts, including the first. Lines
+    // here are 5-token groups (the testdata ships single-line texts; the
+    // operator takes any per-doc line array — split on '\n' in real use).
+    Q("d16_boilerplate_lines",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(1, greatest(CAST(ceil(len(toks) / 5.0) AS BIGINT), 1) + 1),
+        |      i -> struct_pack(pos := i,
+        |        line := array_to_string(toks[(i-1)*5+1:(i-1)*5+5], ' ')))) AS pc
+        |  FROM t),
+        |r AS (SELECT doc_id, pc.pos AS pos, pc.line AS line FROM c),
+        |f AS (SELECT line FROM (
+        |        SELECT line, count(DISTINCT doc_id) AS df FROM r GROUP BY line)
+        |      WHERE df >= 2),
+        |k AS (SELECT r.doc_id, r.pos, r.line,
+        |        r.line IN (SELECT line FROM f) AS boiler FROM r)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(*) FILTER (WHERE NOT boiler) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE NOT boiler),
+        |           '') AS kept_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = graft.functions.TextFunctions.tokenize(col("text"))
+      val nLines = greatest(
+        ceil(size(toks).cast("double") / 5).cast("int"), lit(1))
+      val lines = transform(sequence(lit(1), nLines),
+        i => array_join(slice(toks, (i - 1) * 5 + 1, lit(5)), " "))
+      Dedup.boilerplateRemove(Tables.documents(s, d), "doc_id", lines,
+          minDf = 2L)
+        .orderBy("doc_id")
+    },
+
     // OVERLAPPING 8-token-gram substring dedup (the sliding-window
     // complement of d8's disjoint chunks — Lee et al.'s "any k-token span
     // shared verbatim" rule at doc granularity). A doc sharing any 8-gram

@@ -301,6 +301,32 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Deterministic corpus shuffle + sharding (the "shuffle before
+    // training" layout step): shard routing and within-shard order from
+    // two INDEPENDENTLY salted hashes of the id — reproducible from ids
+    // alone, decorrelated from ingest order, one window shuffle. FNV
+    // hashes here so the oracle replays routing AND order per-row;
+    // xxhash64 (shuffleShard) is the production default.
+    Q("s22_shuffle_shard",
+      s"""WITH h AS (SELECT doc_id,
+        |    ${Q.fnvSql("CAST(doc_id AS VARCHAR) || '|shard'")} AS hs,
+        |    ${Q.fnvSql("CAST(doc_id AS VARCHAR) || '|order'")} AS ho
+        |  FROM documents),
+        |s AS (SELECT doc_id, ((hs % 8) + 8) % 8 AS shard, ho FROM h)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ho, doc_id)
+        |       AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      def fnv(salt: String) = column(graft.expressions.Fnv1a64(expression(
+        concat(col("doc_id").cast("string"), lit("|" + salt)))))
+      graft.operators.Sampling.shuffleShardBy(
+          Tables.documents(s, d).select("doc_id"),
+          fnv("shard"), fnv("order"), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    },
+
     // Domain mixing to a target composition (the training-mix step):
     // downsample each source deterministically so the output approaches
     // 40/30/20/10 across the four document sources at the largest feasible
@@ -597,6 +623,32 @@ object Text {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
         .orderBy("source")
+    },
+
+    // Sliding-window chunking (RAG/embedding prep): 8-token windows
+    // advancing by 4 — consecutive chunks overlap by 4 tokens so no
+    // span is cut without a copy containing it whole. Pure projection +
+    // generator, zero shuffle; the disjoint-grid (d8) and
+    // content-defined (d15) chunkers cover the other two boundary
+    // policies.
+    Q("s21_sliding_chunks",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(1, greatest(
+        |        CAST(ceil((len(toks) - 8) / 4.0) AS BIGINT) + 1, 1) + 1),
+        |      i -> struct_pack(ci := i - 1,
+        |        ch := toks[(i-1)*4+1:(i-1)*4+8]))) AS pc
+        |  FROM t)
+        |SELECT doc_id, CAST(pc.ci AS BIGINT) AS chunk_idx,
+        |  CAST(len(pc.ch) AS BIGINT) AS n_tokens,
+        |  array_to_string(pc.ch, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      graft.operators.Chunker.slidingTokenChunks(
+          Tables.documents(s, d), "doc_id", "text",
+          windowTokens = 8, strideTokens = 4)
+        .orderBy("doc_id", "chunk_idx")
     },
 
     // Sequence packing (2048-token windows, 8 parallel buckets): the

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Chunker, Dedup, Sampling}
+
+/** Round-6 operators: boilerplate line removal, sliding-window chunking,
+  * deterministic shuffle-shard. */
+class Round6Spec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- boilerplateRemove -------------------------------------------------
+
+  private def lines(c: String) = split(col(c), "\n")
+
+  test("boilerplate: every occurrence of a frequent line drops, first included") {
+    val docs = Seq(
+      (1L, "accept cookies\nunique alpha\nfooter"),
+      (2L, "accept cookies\nunique beta\nfooter"),
+      (3L, "unique gamma\naccept cookies"),
+      (4L, "only original text here")
+    ).toDF("id", "text")
+    val out = Dedup.boilerplateRemove(docs, "id", lines("text"), minDf = 2,
+        sep = "\n")
+      .orderBy("id").collect()
+    // "accept cookies" df=3, "footer" df=2 -> both boilerplate everywhere
+    assert(out(0).getAs[String]("kept_text") == "unique alpha")
+    assert(out(0).getAs[Long]("n_lines") == 3L)
+    assert(out(0).getAs[Long]("n_kept") == 1L)
+    assert(out(1).getAs[String]("kept_text") == "unique beta")
+    assert(out(2).getAs[String]("kept_text") == "unique gamma")
+    assert(out(3).getAs[String]("kept_text") == "only original text here")
+  }
+
+  test("boilerplate: in-doc repetition does not self-promote (df is distinct docs)") {
+    val docs = Seq(
+      (1L, "chorus\nchorus\nchorus\nverse one"),
+      (2L, "something else entirely")
+    ).toDF("id", "text")
+    val out = Dedup.boilerplateRemove(docs, "id", lines("text"), minDf = 2,
+        sep = "\n")
+      .where(col("id") === 1).collect()(0)
+    // "chorus" appears 3x but only in doc 1 -> df=1 -> kept
+    assert(out.getAs[Long]("n_kept") == 4L)
+    assert(out.getAs[String]("kept_text") == "chorus\nchorus\nchorus\nverse one")
+  }
+
+  test("boilerplate: fully-boilerplate doc surfaces with n_kept=0, empty text") {
+    val docs = Seq(
+      (1L, "nav\nfooter"),
+      (2L, "nav\nfooter"),
+      (3L, "nav\nreal content")
+    ).toDF("id", "text")
+    val out = Dedup.boilerplateRemove(docs, "id", lines("text"), minDf = 2,
+        sep = "\n")
+      .orderBy("id").collect()
+    assert(out.length == 3)               // no doc vanishes
+    assert(out(0).getAs[Long]("n_kept") == 0L)
+    assert(out(0).getAs[String]("kept_text") == "")
+    assert(out(2).getAs[String]("kept_text") == "real content")
+  }
+
+  test("boilerplate: line order preserved in reassembly") {
+    val docs = Seq(
+      (1L, "z last\ncommon\na first\ncommon\nm middle"),
+      (2L, "common")
+    ).toDF("id", "text")
+    val out = Dedup.boilerplateRemove(docs, "id", lines("text"), minDf = 2,
+        sep = "\n")
+      .where(col("id") === 1).collect()(0)
+    assert(out.getAs[String]("kept_text") == "z last\na first\nm middle")
+  }
+
+  // ---- slidingTokenChunks ------------------------------------------------
+
+  test("sliding chunks: window/stride arithmetic and overlap content") {
+    val docs = Seq((1L, (1 to 13).map(i => s"w$i").mkString(" ")))
+      .toDF("id", "text")
+    val out = Chunker.slidingTokenChunks(docs, "id", "text",
+        windowTokens = 8, strideTokens = 4)
+      .orderBy("chunk_idx").collect()
+    assert(out.length == 3) // ceil((13-8)/4)+1
+    assert(out(0).getAs[String]("chunk_text") ==
+      (1 to 8).map(i => s"w$i").mkString(" "))
+    assert(out(1).getAs[String]("chunk_text") ==
+      (5 to 12).map(i => s"w$i").mkString(" "))
+    assert(out(2).getAs[String]("chunk_text") ==
+      (9 to 13).map(i => s"w$i").mkString(" "))   // short tail
+    assert(out(2).getAs[Long]("n_tokens") == 5L)
+  }
+
+  test("sliding chunks: doc shorter than one window yields itself") {
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    val out = Chunker.slidingTokenChunks(docs, "id", "text", 8, 4).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("chunk_text") == "a b c")
+  }
+
+  test("sliding chunks: stride == window degenerates to the disjoint grid") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("id", "text")
+    val out = Chunker.slidingTokenChunks(docs, "id", "text", 5, 5)
+      .orderBy("chunk_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("chunk_text") ==
+      (1 to 5).map(i => s"w$i").mkString(" "))
+    assert(out(1).getAs[String]("chunk_text") ==
+      (6 to 10).map(i => s"w$i").mkString(" "))
+  }
+
+  test("sliding chunks: zero shuffle (no Exchange in the plan)") {
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("id", "text")
+    val plan = Chunker.slidingTokenChunks(docs, "id", "text", 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
+
+  // ---- shuffleShard ------------------------------------------------------
+
+  test("shuffle-shard: reproducible, balanced-ish, contiguous positions") {
+    val docs = (1L to 400L).toDF("id")
+    val a = Sampling.shuffleShard(docs, "id", nShards = 8)
+    val b = Sampling.shuffleShard(docs.repartition(7), "id", nShards = 8)
+    // pure function of ids: identical across runs and partitionings
+    assert(a.orderBy("id").collect().toSeq ==
+      b.orderBy("id").collect().toSeq)
+    val byShard = a.groupBy("shard").agg(count(lit(1)).as("n"),
+        min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    assert(byShard.length == 8)
+    byShard.foreach { r =>
+      assert(r.getAs[Long]("lo") == 1L)                 // row_number from 1
+      assert(r.getAs[Long]("hi") == r.getAs[Long]("n")) // contiguous
+      assert(r.getAs[Long]("n") > 20L)                  // no empty/mega shard
+    }
+    assert(a.select(sum(lit(1L))).collect()(0).getLong(0) == 400L)
+  }
+
+  test("shuffle-shard: order is decorrelated from id order") {
+    val docs = (1L to 200L).toDF("id")
+    val out = Sampling.shuffleShard(docs, "id", nShards = 1)
+      .orderBy("pos").select("id").as[Long].collect()
+    // a hash order agreeing with ingest order anywhere near the start
+    // would mean the salt isn't doing its job
+    assert(out.take(20).toSeq != (1L to 20L).toSeq)
+    assert(out.sorted.toSeq == (1L to 200L).toSeq)      // a permutation
+  }
+}
