@@ -119,6 +119,17 @@ object TextFunctions {
     * [[graft.expressions.Segment]]); `dict` defaults to a compact bundled
     * lexicon. The reference declares this capability but never invokes it
     * (simility_books.py:11-15) — here it is a first-class function. */
+  /** F16/F17 at native scan speed: HTML → visible text in ONE pass (tag
+    * strip incl. script/style/comment blocks, the six ubiquitous named
+    * entities decoded, whitespace collapsed) — the extraction the
+    * reference runs as a chained-regex cascade over scraped pages
+    * (图书美文信息抓取.ipynb cell-4), here a single-walk native kernel
+    * that never re-scans the string ([[graft.expressions.HtmlText]]). */
+  def htmlText(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expressions.HtmlText(expression(c)))
+  }
+
   def segment(text: Column, dict: Seq[String] = defaultCjkDict): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     column(graft.expressions.Segment(expression(text), dict))

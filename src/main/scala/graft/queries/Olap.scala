@@ -63,6 +63,62 @@ object Olap {
         .orderBy("gid", "st", "pri")
     },
 
+    // Arbitrary GROUPING SETS — the mixed subtotal shape neither ROLLUP
+    // (a chain) nor CUBE (the full lattice) expresses: both one-dimension
+    // margins plus the full cross, no grand total. Same single
+    // Expand + aggregate plan as a16/a17; the set list only changes the
+    // Expand projections.
+    Q("a25_grouping_sets",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |  coalesce(o_orderpriority, 'ALL') AS pri,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY GROUPING SETS (
+        |  (o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, st, pri""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg((grouping(col("o_orderstatus")) * 2 +
+            grouping(col("o_orderpriority"))).cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("gid"), col("n"), col("revenue"))
+        .orderBy("gid", "st", "pri")
+    },
+
+    // Unpivot / melt — wide metrics to (name, value) rows, the reshape
+    // feeding generic per-metric aggregation and the Observe/Constraints
+    // unpivoted-report shape. Spark's native unpivot (an Expand, no
+    // shuffle at all); values cast to one type up front.
+    Q("so9_unpivot",
+      """SELECT l_orderkey, l_linenumber, name, value FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber,
+        |             CAST(l_quantity AS DOUBLE) AS l_quantity,
+        |             CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+        |             CAST(l_discount AS DOUBLE) AS l_discount
+        |           FROM lineitem WHERE l_orderkey < 400)
+        |  ON l_quantity, l_extendedprice, l_discount
+        |  INTO NAME name VALUE value)
+        |ORDER BY l_orderkey, l_linenumber, name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_orderkey") < 400)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "name", "value")
+        .orderBy("l_orderkey", "l_linenumber", "name")
+    },
+
     // Pivot cross-tab: order-status counts spread into columns per
     // priority. Explicit value list (the Spark form that skips the extra
     // distinct-values job — at scale the value list is knowledge the

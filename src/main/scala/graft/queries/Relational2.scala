@@ -479,6 +479,33 @@ object Relational2 {
         .orderBy("user_id", "event_id")
     },
 
+    // J16: null-safe equi-join (<=> / IS NOT DISTINCT FROM) — NULL keys
+    // match each other instead of silently dropping, the semantics a
+    // dimension with "unknown" keys needs. Still a hash-partitionable
+    // equi-join (Spark plans <=> as a shuffled/broadcast hash join, not a
+    // nested loop); nullable keys synthesized via nullif since the
+    // testdata ships none.
+    Q("j16_nullsafe_join",
+      """WITH l AS (SELECT nullif(o_orderstatus, 'O') AS k,
+        |             CAST(count(*) AS BIGINT) AS n_left
+        |           FROM orders GROUP BY 1),
+        |r AS (SELECT nullif(o_orderstatus, 'F') AS k,
+        |        CAST(count(*) AS BIGINT) AS n_right
+        |      FROM orders GROUP BY 1)
+        |SELECT coalesce(l.k, r.k, 'NULLKEY') AS k, n_left, n_right
+        |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = o.groupBy(nullif(col("o_orderstatus"), lit("O")).as("k"))
+        .agg(count(lit(1)).as("n_left"))
+      val r = o.groupBy(nullif(col("o_orderstatus"), lit("F")).as("k"))
+        .agg(count(lit(1)).as("n_right"))
+      l.join(r, l("k") <=> r("k"))
+        .select(coalesce(l("k"), r("k"), lit("NULLKEY")).as("k"),
+          col("n_left"), col("n_right"))
+        .orderBy("k")
+    },
+
     // J13 (engine ext): range join (point-in-interval) via bucketed
     // equi-join — Catalyst would plan the bare BETWEEN as a broadcast
     // nested loop; bucketing restores a shuffled equi-join with an exact

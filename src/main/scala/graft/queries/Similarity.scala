@@ -345,6 +345,40 @@ object Similarity {
         .orderBy("doc_id")
     },
 
+    // WITHIN-document line dedup (first in-doc occurrence survives —
+    // repeated "read more" rows, copy-paste stutter): deliberately a
+    // ZERO-shuffle projection (array_distinct is order-preserving), not
+    // the explode+window+regroup shape — each doc's lines already sit in
+    // one row. Lines are 3-token groups here (single-line testdata; real
+    // use passes split on '\n'). Oracle replays the rule as the window
+    // form, certifying the projection against the declarative spec.
+    Q("d17_intradoc_line_dedup",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(1, greatest(CAST(ceil(len(toks) / 3.0) AS BIGINT), 1) + 1),
+        |      i -> struct_pack(pos := i,
+        |        line := array_to_string(toks[(i-1)*3+1:(i-1)*3+3], ' ')))) AS pc
+        |  FROM t),
+        |r AS (SELECT doc_id, pc.pos AS pos, pc.line AS line FROM c),
+        |k AS (SELECT doc_id, pos, line,
+        |        row_number() OVER (PARTITION BY doc_id, line ORDER BY pos)
+        |          AS rn FROM r)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+        |           '') AS kept_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = graft.functions.TextFunctions.tokenize(col("text"))
+      val nLines = greatest(
+        ceil(size(toks).cast("double") / 3).cast("int"), lit(1))
+      val lines = transform(sequence(lit(1), nLines),
+        i => array_join(slice(toks, (i - 1) * 3 + 1, lit(3)), " "))
+      Dedup.intraDocLineDedup(Tables.documents(s, d), "doc_id", lines)
+        .orderBy("doc_id")
+    },
+
     // OVERLAPPING 8-token-gram substring dedup (the sliding-window
     // complement of d8's disjoint chunks — Lee et al.'s "any k-token span
     // shared verbatim" rule at doc granularity). A doc sharing any 8-gram

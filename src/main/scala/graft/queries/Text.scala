@@ -1045,6 +1045,45 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // F16/F17 as a native kernel: HTML → visible text, one pass — tag
+    // strip (script/style/comments removed WITH contents), the six
+    // ubiquitous named entities decoded, whitespace collapsed. The
+    // fixture page is synthesized identically in both engines around the
+    // documents text (the testdata ships no HTML); the oracle replays the
+    // rules as the regex cascade the reference itself uses, certifying
+    // the single-pass scanner against the declarative spec.
+    Q("t26_html_extract",
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>Sample Page</title><style type="text/css">p { color: red; }</style></head><body><!-- nav > here --><div id="main"><p>'
+        |    || text ||
+        |    '</p><script type="text/javascript">if (1 < 2) { alert("x"); }</script><br><p>&amp;joined &lt;b&gt;&nbsp;it&#39;s &quot;quoted&quot;</p></div></body></html>'
+        |      AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '(?is)<script.*?</script[^>]*>', ' ', 'g'),
+        |        '(?is)<style.*?</style[^>]*>', ' ', 'g'),
+        |        '<[/!?a-zA-Z][^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |      '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS extracted
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val h = concat(
+        lit("<html><head><title>Sample Page</title><style type=\"text/css\">" +
+          "p { color: red; }</style></head><body><!-- nav > here -->" +
+          "<div id=\"main\"><p>"),
+        col("text"),
+        lit("</p><script type=\"text/javascript\">if (1 < 2) { alert(\"x\"); }" +
+          "</script><br><p>&amp;joined &lt;b&gt;&nbsp;it&#39;s " +
+          "&quot;quoted&quot;</p></div></body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), htmlText(h).as("extracted"))
+        .orderBy("doc_id")
+    },
+
     // P8/F8: token filters — length >= 2, not all-digits
     // (simility_books.py:11-15).
     Q("p8_token_filter",

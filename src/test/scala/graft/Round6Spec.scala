@@ -114,6 +114,81 @@ class Round6Spec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
 
+  // ---- HtmlText ----------------------------------------------------------
+
+  private def html(s: String): String =
+    graft.expressions.HtmlText.extract(s)
+
+  test("html: tags strip to spaces, whitespace collapses, ends trim") {
+    assert(html("<p>a</p><br><p>b</p>") == "a b")
+    assert(html("  <div>\n  hello   world \n</div> ") == "hello world")
+    assert(html("a<b>c") == "a c") // unterminated-free inline tag
+  }
+
+  test("html: script/style/comment blocks removed WITH contents") {
+    assert(html("a<script>if (1 < 2) alert('</');</script>b") == "a b")
+    assert(html("a<SCRIPT TYPE='x'>var y;</SCRIPT >b") == "a b") // case+attr
+    assert(html("a<style>p { color: red }</style>b") == "a b")
+    assert(html("a<!-- commented > out -->b") == "a b") // '>' inside comment
+    // <scripted> is a PLAIN tag (boundary check), not a script block
+    assert(html("a<scripted>b</scripted>c") == "a b c")
+  }
+
+  test("html: entities — the six named forms decode, the rest is literal") {
+    assert(html("&amp;joined &lt;b&gt; it&#39;s &quot;q&quot; a&nbsp;b") ==
+      "&joined <b> it's \"q\" a b")
+    assert(html("x&apos;y") == "x'y")
+    assert(html("&unknown; &#960; & x") == "&unknown; &#960; & x")
+    // double-encoded stays single-decoded, never re-interpreted as a tag
+    assert(html("&amp;lt;p&amp;gt;") == "&lt;p&gt;")
+    assert(html("&lt;script&gt;not code&lt;/script&gt;") ==
+      "<script>not code</script>")
+  }
+
+  test("html: stray '<' is literal text (HTML5 tokenizer rule)") {
+    assert(html("1 < 2 and 3 > 2") == "1 < 2 and 3 > 2")
+    assert(html("a < <em>b</em>") == "a < b")
+  }
+
+  test("html: malformed tails drop the rest, never throw") {
+    assert(html("ok<script>never closed") == "ok")
+    assert(html("ok<!-- never closed") == "ok")
+    assert(html("ok<div unterminated") == "ok")
+    assert(html("") == "")
+  }
+
+  test("html: null in, null out; column wrapper works in a plan") {
+    val out = Seq((1L, "<p>x</p>"), (2L, null))
+      .toDF("id", "h")
+      .select(col("id"),
+        graft.functions.TextFunctions.htmlText(col("h")).as("t"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "x")
+    assert(out(1).isNullAt(1))
+  }
+
+  // ---- intraDocLineDedup -------------------------------------------------
+
+  test("intra-doc dedup: first in-doc occurrence survives, order kept") {
+    val docs = Seq(
+      (1L, "read more\nalpha\nread more\nbeta\nalpha"),
+      (2L, "read more\ngamma")   // other docs unaffected (doc-local rule)
+    ).toDF("id", "text")
+    val out = Dedup.intraDocLineDedup(docs, "id", lines("text"), sep = "\n")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_lines") == 5L)
+    assert(out(0).getAs[Long]("n_kept") == 3L)
+    assert(out(0).getAs[String]("kept_text") == "read more\nalpha\nbeta")
+    assert(out(1).getAs[String]("kept_text") == "read more\ngamma")
+  }
+
+  test("intra-doc dedup: zero shuffle (pure projection)") {
+    val docs = Seq((1L, "a\nb\na")).toDF("id", "text")
+    val plan = Dedup.intraDocLineDedup(docs, "id", lines("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
+
   // ---- shuffleShard ------------------------------------------------------
 
   test("shuffle-shard: reproducible, balanced-ish, contiguous positions") {
