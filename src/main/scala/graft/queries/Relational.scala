@@ -583,5 +583,79 @@ object Relational {
         .orderBy(col("qty").desc, col("o_orderkey"))
         .limit(50)
     },
+
+    // Q4-shape order-priority check: orders with at least one late line
+    // (shipped > 90 days after the order date), counted by priority. The
+    // EXISTS plans as a LEFT SEMI hash join on the order key with the
+    // date comparison as the join filter — each order emitted at most
+    // once, no pre-aggregation or distinct needed, both scans
+    // column-pruned to the three columns the probe touches. (The
+    // testdata carries no commit/receipt dates; the late-line predicate
+    // keeps the q4 plan shape on the columns it ships.)
+    Q("q4_order_priority",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Q7-shape volume shipping between two nations: revenue by
+    // (supplier nation, customer nation, ship year) for one nation pair
+    // in both directions. Fact-to-fact join on the order key carries the
+    // shuffle; both nation dims broadcast; the pair filter applies the
+    // moment both names are in scope (before the year/volume
+    // projection), so non-qualifying rows never reach the aggregate.
+    Q("q7_volume_shipping",
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+          "l_discount")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_nationkey")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nk") === col("s_nationkey"))
+        .join(broadcast(n2), col("c_nk") === col("c_nationkey"))
+        .where((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
   )
 }

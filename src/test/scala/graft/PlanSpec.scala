@@ -143,6 +143,22 @@ class PlanSpec extends SparkSuite {
     assert(!p18.contains("CartesianProduct"))
   }
 
+  test("q4/q7: EXISTS plans as one semi hash join; q7 broadcasts every dim") {
+    val p4 = plan("q4_order_priority")
+    assert(p4.contains("LeftSemi"), s"q4 must plan EXISTS as a semi join:\n$p4")
+    assert(!p4.contains("CartesianProduct"))
+    // the semi join emits each order at most once — no distinct/dedup agg
+    // may appear between the join and the priority aggregate
+    assert(!p4.contains("l_extendedprice"),
+      s"q4 must prune unused lineitem columns:\n$p4")
+    val p7 = plan("q7_volume_shipping")
+    assert(!p7.contains("CartesianProduct"))
+    // supplier/customer/nation×2 all ride broadcasts; the only shuffled
+    // join is lineitem⋈orders on the order key
+    assert("BroadcastHashJoin".r.findAllIn(p7).size >= 4,
+      s"q7 must broadcast all four dimension joins:\n$p7")
+  }
+
   test("J7: maxDfFraction adds the df-prune semi-ish join before pair generation") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
