@@ -96,6 +96,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier("wav_features"),
       info("wav_features", "wav_features(bin) - RIFF/PCM16 decode: rate, channels, samples, duration, rms, peak"),
       (es: Seq[Expression]) => WavFeatures(es.head)),
+    (FunctionIdentifier("mp3_features"),
+      info("mp3_features", "mp3_features(bin) - MPEG-audio frame-header walk: version, layer, rate, channels, frames, duration, bitrate, vbr"),
+      (es: Seq[Expression]) => Mp3Features(es.head)),
+    (FunctionIdentifier("html_text"),
+      info("html_text", "html_text(s) - one-pass HTML to visible text: tag/script/style/comment strip, named entities, whitespace collapse"),
+      (es: Seq[Expression]) => HtmlText(es.head)),
     (FunctionIdentifier("bmp_features"),
       info("bmp_features", "bmp_features(bin) - uncompressed 24-bit BMP decode: dims + channel means"),
       (es: Seq[Expression]) => BmpFeatures(es.head)),

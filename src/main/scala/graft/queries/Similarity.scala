@@ -831,6 +831,29 @@ object Similarity {
         .orderBy("query_id", "rank")
     },
 
+    // E2E3: the RAG index-build composition in ONE DAG — sliding chunker
+    // (s21) → deterministic stub embedding (the documented fakeEmbed; a
+    // real model forward pass slots into the same projection) → IVF ANN
+    // (ann3's plan) over the CHUNKS: top-3 related passages per chunk,
+    // doc attribution via the chunk id. Engine hashing → rows-only;
+    // Round6Spec asserts the invariants (self excluded, k bound,
+    // determinism across partitionings).
+    Q.rowsOnly("e2e3_rag_chunk_index") { (s, d) =>
+      val docs = Tables.documents(s, d).where(col("doc_id") < 50)
+      val chunks = graft.operators.Chunker.slidingTokenChunks(
+          docs, "doc_id", "text", windowTokens = 32, strideTokens = 16)
+        .select(
+          concat(col("doc_id"), lit("#"), col("chunk_idx")).as("chunk_id"),
+          col("chunk_text"))
+      val embedded = chunks.select(col("chunk_id"),
+        graft.operators.Multimodal.fakeEmbed(
+          col("chunk_text").cast("binary"), dim = 16).as("v"))
+      Ann.ivfTopK(embedded, "chunk_id", "v", k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    },
+
     // Random-hyperplane LSH ANN (seeded): the 100 TB path — bucket join
     // instead of cross join. Rows-only; recall vs brute force is asserted
     // in ScalaTest.

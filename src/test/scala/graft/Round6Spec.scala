@@ -210,6 +210,19 @@ class Round6Spec extends SparkSuite {
     assert(a.select(sum(lit(1L))).collect()(0).getLong(0) == 400L)
   }
 
+  test("e2e3 RAG chunk index: composition runs; self excluded; k bound; " +
+    "deterministic across partitionings") {
+    val out = graft.SparkEntry.queries("e2e3_rag_chunk_index")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getString(0) != r.getString(1))) // no self-match
+    val perQuery = out.groupBy(_.getString(0)).values.map(_.length)
+    assert(perQuery.forall(_ <= 3))                           // k bound
+    val again = graft.SparkEntry.queries("e2e3_rag_chunk_index")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("shuffle-shard: order is decorrelated from id order") {
     val docs = (1L to 200L).toDF("id")
     val out = Sampling.shuffleShard(docs, "id", nShards = 1)
