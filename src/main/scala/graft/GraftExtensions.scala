@@ -102,6 +102,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier("html_text"),
       info("html_text", "html_text(s) - one-pass HTML to visible text: tag/script/style/comment strip, named entities, whitespace collapse"),
       (es: Seq[Expression]) => HtmlText(es.head)),
+    (FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity, DuckDB-equivalent semantics (0.7 boost threshold, prefix cap 4)"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))),
     (FunctionIdentifier("bmp_features"),
       info("bmp_features", "bmp_features(bin) - uncompressed 24-bit BMP decode: dims + channel means"),
       (es: Seq[Expression]) => BmpFeatures(es.head)),

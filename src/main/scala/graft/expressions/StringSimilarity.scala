@@ -1,0 +1,86 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro-Winkler similarity as a native kernel — the edit-distance-free
+  * fuzzy string comparator (typo-tolerant, prefix-weighted) that entity
+  * resolution and record linkage reach for when Levenshtein's full DP is
+  * overkill ([[graft.operators.EntityResolution]] family; the reference
+  * matches titles by exact normalized equality, simility_books.py:74-89 —
+  * this is the graded form).
+  *
+  * Semantics follow the standard definition as implemented by DuckDB's
+  * `jaro_winkler_similarity` (verified value-for-value in Round6Spec,
+  * which is what lets the f20 gate hash-match the oracle): match window
+  * `max(len1, len2)/2 - 1` (floor, min 0), transpositions over matched
+  * sequences, Winkler prefix boost (common prefix capped at 4, scale
+  * 0.1) applied ONLY when the Jaro score exceeds 0.7, and 0.0 when
+  * either string is empty — including both-empty. Comparison is by
+  * UTF-16 code unit (names/titles; supplementary-plane text compares
+  * conservatively — surrogate pairs match as two units). */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.similarity(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  def jaro(s1: String, s2: String): Double = {
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var hit = false
+      while (!hit && j <= hi) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; hit = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched chars compared in matched order
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    (m.toDouble / l1 + m.toDouble / l2 + (m - t / 2.0) / m) / 3.0
+  }
+
+  def similarity(s1: String, s2: String): Double = {
+    val j = jaro(s1, s2)
+    if (j <= 0.7) return j // Winkler boost gated on the standard threshold
+    var l = 0
+    val max = math.min(4, math.min(s1.length, s2.length))
+    while (l < max && s1.charAt(l) == s2.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+}

@@ -130,6 +130,15 @@ object TextFunctions {
     column(graft.expressions.HtmlText(expression(c)))
   }
 
+  /** Jaro-Winkler similarity (typo-tolerant, prefix-weighted fuzzy
+    * comparator) — DuckDB-equivalent semantics, so oracle-checkable;
+    * the graded form of the reference's exact normalized-title match
+    * ([[graft.expressions.JaroWinkler]]). */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expressions.JaroWinkler(expression(a), expression(b)))
+  }
+
   def segment(text: Column, dict: Seq[String] = defaultCjkDict): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     column(graft.expressions.Segment(expression(text), dict))

@@ -83,4 +83,34 @@ object Funnel {
           .as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Rolling distinct actors per day — trailing-window WAU/MAU: for each
+    * ACTIVE day, the distinct `userCol` count over the `windowDays`-day
+    * window ending that day. count(DISTINCT) is not window-mergeable, so
+    * the shape is the contribution EXPLODE: each distinct (day, user)
+    * activity row fans out to the `windowDays` report days it supports,
+    * then one exact distinct aggregate per report day. Shuffle volume is
+    * |distinct (day, user)| × windowDays — bounded by actors×days, never
+    * by raw event count (the first distinct collapses event multiplicity
+    * before the fan-out). Report days are restricted to days that occur
+    * in the data (the day list is tiny — broadcast join).
+    *
+    * At 100 TB with large windows, swap the exact distinct for the
+    * mergeable HLL sketch path (a20): one sketch per (day), merged over
+    * the trailing window — windowDays× smaller shuffle at ~1% error.
+    * Output: (day: date, uniques: long). */
+  def rollingUniques(events: DataFrame, userCol: String, tsCol: String,
+                     windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1 (got $windowDays)")
+    val dayUser = events
+      .select(to_date(col(tsCol)).as("__day"), col(userCol).as("__u"))
+      .distinct()
+    val activeDays = dayUser.select(col("__day").as("day")).distinct()
+    dayUser
+      .select(col("__u"), explode(sequence(col("__day"),
+        date_add(col("__day"), windowDays - 1))).as("day"))
+      .join(broadcast(activeDays), "day")
+      .groupBy("day")
+      .agg(countDistinct(col("__u")).as("uniques"))
+  }
 }

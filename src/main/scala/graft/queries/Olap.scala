@@ -143,6 +143,61 @@ object Olap {
     // global ntile would serialize the corpus through one partition. The
     // (price, partkey) order key is total, so bucket assignment is
     // deterministic.
+    // Top-k per key WITH TIES — rank() semantics, the complement of w1's
+    // row_number cut: all rows tying the k-th value survive, so the
+    // result is order-deterministic without a tiebreaker column. Plans
+    // WindowGroupLimit exactly like w1 (rank is supported).
+    Q("w17_topk_with_ties",
+      """SELECT l_returnflag, l_quantity,
+        |  CAST(rnk AS BIGINT) AS rnk, CAST(n AS BIGINT) AS n
+        |FROM (SELECT l_returnflag, l_quantity,
+        |        rank() OVER (PARTITION BY l_returnflag
+        |                     ORDER BY l_quantity DESC) AS rnk,
+        |        count(*) AS n
+        |      FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rnk <= 3 ORDER BY l_returnflag, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val grouped = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+      grouped
+        .withColumn("rnk", rank().over(
+          Window.partitionBy("l_returnflag").orderBy(col("l_quantity").desc)))
+        .where(col("rnk") <= 3)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("rnk").cast("long").as("rnk"), col("n").cast("long").as("n"))
+        .orderBy("l_returnflag", "rnk")
+    },
+
+    // Equi-WIDTH histogram (the profiling complement of ml5's equi-depth
+    // bins): fixed-width buckets over a global min/max — one stats pass,
+    // broadcast back, one aggregate. Bucket ids are exact integer math on
+    // rounded bounds so both engines bin identically.
+    Q("a27_histogram",
+      """WITH s AS (SELECT round(min(c_acctbal), 2) AS lo,
+        |             round(max(c_acctbal), 2) AS hi FROM customer)
+        |SELECT CAST(least(floor((c_acctbal - lo) / ((hi - lo) / 16)), 15)
+        |         AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(min(c_acctbal), 2) AS b_min,
+        |  round(max(c_acctbal), 2) AS b_max
+        |FROM customer, s
+        |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d).select("c_acctbal")
+      val stats = cust.agg(round(min(col("c_acctbal")), 2).as("lo"),
+        round(max(col("c_acctbal")), 2).as("hi"))
+      cust.crossJoin(broadcast(stats))
+        .select(least(floor((col("c_acctbal") - col("lo")) /
+            ((col("hi") - col("lo")) / 16)), lit(15)).cast("long")
+            .as("bucket"),
+          col("c_acctbal"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("c_acctbal")), 2).as("b_min"),
+          round(max(col("c_acctbal")), 2).as("b_max"))
+        .orderBy("bucket")
+    },
+
     Q("w8_ntile",
       """SELECT p_size, p_partkey,
         |  CAST(ntile(4) OVER (PARTITION BY p_size

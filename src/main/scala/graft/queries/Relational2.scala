@@ -339,6 +339,29 @@ object Relational2 {
         .orderBy("cohort", "period_offset")
     },
 
+    // Rolling 7-day distinct users per active day (trailing WAU): the
+    // contribution-explode shape — count(DISTINCT) is not
+    // window-mergeable, so each distinct (day, user) fans out to the 7
+    // report days it supports, then one exact distinct agg per day.
+    // Shuffle bounded by |day×user| × 7, never raw events; HLL merge
+    // (a20) is the documented swap at scale.
+    Q("a26_rolling_uniques",
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |            FROM events),
+        |d AS (SELECT DISTINCT day FROM du)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT du.user_id) AS BIGINT) AS uniques
+        |FROM d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+      graft.operators.Funnel.rollingUniques(ev, "user_id", "t",
+          windowDays = 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("uniques"))
+        .orderBy("day")
+    },
+
     // Key-distribution profiling (the pre-join skew audit): per-key count
     // histogram on log2 buckets over the event log's user key. Two-level
     // agg — one shuffle on the key with map-side partials, then <= 64
@@ -709,6 +732,31 @@ object Relational2 {
 
     // F17: chained replace sanitization (the scraper's &nbsp;/brand-word
     // stripping, NB cell-4).
+    // Native Jaro-Winkler vs DuckDB's implementation, value-checked on
+    // real pairs: each customer name against its successor (high-sim,
+    // shared prefix → Winkler boost active) and against its own reversal
+    // (low-sim → boost gated off by the 0.7 threshold). Both regimes in
+    // one gate certifies the full formula, not just the easy branch.
+    Q("f20_jaro_winkler",
+      """SELECT a.c_custkey AS c_custkey,
+        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw_next,
+        |  round(jaro_winkler_similarity(a.c_name, reverse(a.c_name)), 6)
+        |    AS jw_rev
+        |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        |WHERE a.c_custkey < 100 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions.jaroWinkler
+      val c = Tables.customer(s, d).select("c_custkey", "c_name")
+      val a = c.where(col("c_custkey") < 100)
+        .select(col("c_custkey"), col("c_name").as("na"))
+      val b = c.select((col("c_custkey") - 1).as("c_custkey"),
+        col("c_name").as("nb"))
+      a.join(b, "c_custkey")
+        .select(col("c_custkey"),
+          round(jaroWinkler(col("na"), col("nb")), 6).as("jw_next"),
+          round(jaroWinkler(col("na"), reverse(col("na"))), 6).as("jw_rev"))
+        .orderBy("c_custkey")
+    },
+
     Q("f17_chained_replace",
       """SELECT p_partkey,
         |  replace(replace(replace(lower(p_type), 'anodized', 'an.'),

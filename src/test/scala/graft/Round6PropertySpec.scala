@@ -124,6 +124,33 @@ class Round6PropertySpec extends SparkSuite {
     }
   }
 
+  test("rollingUniques property: equals the brute-force trailing window") {
+    val evGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0, 20), Gen.choose(1L, 15L))) // (day offset, user)
+    samples(evGen, 4).foreach { evs =>
+      val base = java.time.LocalDate.of(2024, 3, 1)
+      val rows = evs.map { case (d, u) =>
+        (java.sql.Timestamp.valueOf(base.plusDays(d).atStartOfDay()
+          .plusHours((u % 23).toInt)), u)
+      }
+      val expected = {
+        val dayUser = evs.map { case (d, u) => (d, u) }.distinct
+        val days = dayUser.map(_._1).distinct.sorted
+        days.map { d =>
+          (base.plusDays(d).toString,
+            dayUser.filter(du => du._1 <= d && du._1 > d - 7)
+              .map(_._2).distinct.size.toLong)
+        }
+      }
+      val got = graft.operators.Funnel.rollingUniques(
+          rows.toDF("t", "user_id"), "user_id", "t", windowDays = 7)
+        .orderBy("day")
+        .select(col("day").cast("string"), col("uniques"))
+        .as[(String, Long)].collect().toSeq
+      assert(got == expected)
+    }
+  }
+
   test("mp3_features / html_text are reachable from SQL (extensions)") {
     GraftExtensions.register(spark)
     val r = spark.sql(

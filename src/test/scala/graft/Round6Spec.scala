@@ -189,6 +189,29 @@ class Round6Spec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
 
+  // ---- JaroWinkler -------------------------------------------------------
+
+  test("jaro-winkler: DuckDB-verified goldens, both boost regimes") {
+    import graft.expressions.JaroWinkler.{jaro, similarity}
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    // values cross-checked against DuckDB jaro[_winkler]_similarity
+    assert(close(jaro("MARTHA", "MARHTA"), 0.9444444444444445))
+    assert(close(similarity("MARTHA", "MARHTA"), 0.9611111111111111))
+    assert(close(similarity("DIXON", "DICKSONX"), 0.8133333333333332))
+    assert(close(similarity("DWAYNE", "DUANE"), 0.84))
+    assert(close(similarity("ABCDEF", "FEDCBA"), 0.3888888888888889))
+    assert(close(similarity("aaaaaaaaab", "aaaaaaaaba"), 0.98))
+    assert(close(similarity("abc", "axc"), 0.8))
+    // boost gated OFF at jaro <= 0.7 even with a common prefix
+    assert(close(similarity("xy", "xz"), 2.0 / 3.0))
+    // window 0: adjacent swap in 2-char strings matches nothing
+    assert(similarity("ab", "ba") == 0.0)
+    assert(similarity("same", "same") == 1.0)
+    // DuckDB convention: empty (either or both) is 0, not 1
+    assert(similarity("", "") == 0.0)
+    assert(similarity("a", "") == 0.0)
+  }
+
   // ---- shuffleShard ------------------------------------------------------
 
   test("shuffle-shard: reproducible, balanced-ish, contiguous positions") {
