@@ -105,6 +105,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity, DuckDB-equivalent semantics (0.7 boost threshold, prefix cap 4)"),
       (es: Seq[Expression]) => JaroWinkler(es(0), es(1))),
+    (FunctionIdentifier("accent_fold"),
+      info("accent_fold", "accent_fold(s) - NFD + combining-mark removal (DuckDB strip_accents-equivalent)"),
+      (es: Seq[Expression]) => AccentFold(es.head)),
     (FunctionIdentifier("bmp_features"),
       info("bmp_features", "bmp_features(bin) - uncompressed 24-bit BMP decode: dims + channel means"),
       (es: Seq[Expression]) => BmpFeatures(es.head)),

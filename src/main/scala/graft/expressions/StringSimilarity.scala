@@ -37,6 +37,39 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Accent folding (diacritic stripping) — search/match normalization the
+  * same way DuckDB's `strip_accents` does it (verified value-for-value in
+  * the t27 gate): NFD decomposition, then every combining mark dropped.
+  * Characters with no canonical decomposition (ß, ł) pass through
+  * unchanged — this is mark REMOVAL, not transliteration; pair with
+  * [[graft.functions.TextFunctions]] lower/cleanText for a full match
+  * key. One pass, no shuffle, null-safe. */
+case class AccentFold(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < d.length) {
+      val cp = d.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        out.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object JaroWinkler {
   def jaro(s1: String, s2: String): Double = {
     val l1 = s1.length; val l2 = s2.length

@@ -139,6 +139,14 @@ object TextFunctions {
     column(graft.expressions.JaroWinkler(expression(a), expression(b)))
   }
 
+  /** Accent folding (NFD + combining-mark removal, DuckDB
+    * `strip_accents`-equivalent) — search/match-key normalization
+    * ([[graft.expressions.AccentFold]]). */
+  def accentFold(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expressions.AccentFold(expression(c)))
+  }
+
   def segment(text: Column, dict: Seq[String] = defaultCjkDict): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     column(graft.expressions.Segment(expression(text), dict))

@@ -50,4 +50,34 @@ object SnapshotDiff {
                  compareCols: Seq[String]): DataFrame =
     diff(oldDf, newDf, idCol, compareCols)
       .groupBy("status").agg(count(lit(1)).as("n"))
+
+  /** MERGE/upsert apply — the lakehouse write path done relationally:
+    * fold a change set into a keyed snapshot in ONE full outer join.
+    * A change row updates its key when it exists, inserts it when it
+    * doesn't, and deletes it when `deleteCol` is true; base rows with no
+    * change pass through. The inverse direction of [[diff]]: diff tells
+    * you what changed between snapshots, applyChanges produces the next
+    * snapshot from a change feed (CDC apply, crawl-drop fold-in,
+    * correction batches).
+    *
+    * Columns: both frames must carry (idCol ++ valueCols); changes
+    * additionally carries boolean `deleteCol`. Keys must be unique per
+    * side (keyed-table contract, same as [[diff]]; dedup a raw CDC feed
+    * to its latest row per key FIRST — [[graft.prep.Collections]]
+    * latest-k or [[Scd]] are the usual upstreams). One shuffle total,
+    * keyed and AQE-skew-splittable; never a driver row. */
+  def applyChanges(base: DataFrame, changes: DataFrame, idCol: String,
+                   valueCols: Seq[String], deleteCol: String): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    val b = base.select((idCol +: valueCols).map(col): _*)
+      .toDF((s"__bid" +: valueCols.map("__b_" + _)): _*)
+    val c = changes.select((idCol +: valueCols :+ deleteCol).map(col): _*)
+      .toDF((s"__cid" +: valueCols.map("__c_" + _) :+ "__del"): _*)
+    b.join(c, col("__bid") === col("__cid"), "full_outer")
+      .where(!coalesce(col("__del"), lit(false)))
+      .select(coalesce(col("__cid"), col("__bid")).as(idCol) +:
+        valueCols.map(v =>
+          when(col("__cid").isNotNull, col("__c_" + v))
+            .otherwise(col("__b_" + v)).as(v)): _*)
+  }
 }

@@ -259,6 +259,42 @@ object Relational2 {
         .orderBy("doc_id")
     },
 
+    // MERGE/upsert apply (so7's inverse — produce the NEXT snapshot from
+    // a change feed): updates where the key exists, inserts where it
+    // doesn't, deletes where flagged, pass-through otherwise — one full
+    // outer join, the relational form of the lakehouse MERGE write path.
+    // An explicit NULL update value WINS over the base value (overwrite
+    // semantics, not coalesce).
+    Q("so10_merge_apply",
+      """WITH base AS (SELECT c_custkey AS k, round(c_acctbal, 2) AS v
+        |              FROM customer),
+        |chg AS (SELECT c_custkey AS k, round(c_acctbal + 100, 2) AS v,
+        |          (c_custkey % 7 = 0) AS del
+        |        FROM customer WHERE c_custkey % 3 = 0
+        |        UNION ALL
+        |        SELECT c_custkey + 1000000, 1.0, false
+        |        FROM customer WHERE c_custkey < 50)
+        |SELECT k, v FROM (
+        |  SELECT coalesce(c.k, b.k) AS k,
+        |    CASE WHEN c.k IS NOT NULL THEN c.v ELSE b.v END AS v,
+        |    coalesce(c.del, false) AS del
+        |  FROM base b FULL OUTER JOIN chg c ON b.k = c.k)
+        |WHERE NOT del ORDER BY k""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val base = cust.select(col("c_custkey").as("k"),
+        round(col("c_acctbal"), 2).as("v"))
+      val chg = cust.where(pmod(col("c_custkey"), lit(3)) === 0)
+        .select(col("c_custkey").as("k"),
+          round(col("c_acctbal") + 100, 2).as("v"),
+          (pmod(col("c_custkey"), lit(7)) === 0).as("del"))
+        .union(cust.where(col("c_custkey") < 50)
+          .select((col("c_custkey") + 1000000).as("k"),
+            lit(1.0).as("v"), lit(false).as("del")))
+      graft.operators.SnapshotDiff.applyChanges(base, chg, "k",
+          valueCols = Seq("v"), deleteCol = "del")
+        .orderBy("k")
+    },
+
     // Streaming-shaped trending: top-3 event types per tumbling hour —
     // st5's windowed counts + W1's WindowGroupLimit rank in one plan (the
     // batch form of a readStream trending dashboard; per-window state is

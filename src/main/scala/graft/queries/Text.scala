@@ -1045,6 +1045,23 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Accent folding vs DuckDB strip_accents, value-checked: NFD +
+    // combining-mark removal (non-decomposable letters like ß pass
+    // through — mark removal, not transliteration). Accented fixture
+    // appended identically in both engines (the testdata is ASCII).
+    Q("t27_accent_fold",
+      """SELECT doc_id,
+        |  strip_accents(text ||
+        |    ' café naïve münchen señor crème brûlée ß ācārya') AS folded
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          accentFold(concat(col("text"),
+            lit(" café naïve münchen señor crème brûlée ß ācārya")))
+            .as("folded"))
+        .orderBy("doc_id")
+    },
+
     // F16/F17 as a native kernel: HTML → visible text, one pass — tag
     // strip (script/style/comments removed WITH contents), the six
     // ubiquitous named entities decoded, whitespace collapsed. The

@@ -189,6 +189,51 @@ class Round6Spec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
 
+  // ---- applyChanges (MERGE) ----------------------------------------------
+
+  test("merge apply: update, insert, delete, pass-through, null-overwrite") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    val chg = Seq(
+      (2L, Some("B"), false),  // update
+      (3L, None, false),       // explicit null overwrite (must WIN)
+      (4L, Some("x"), true),   // delete
+      (9L, Some("new"), false) // insert
+    ).toDF("k", "v", "del")
+    val out = graft.operators.SnapshotDiff
+      .applyChanges(base, chg, "k", Seq("v"), "del")
+      .orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 9L))
+    assert(out(0).getString(1) == "a")   // untouched
+    assert(out(1).getString(1) == "B")   // updated
+    assert(out(2).isNullAt(1))           // null overwrite, not coalesce
+    assert(out(3).getString(1) == "new") // inserted
+  }
+
+  test("merge apply: delete of a missing key is a no-op insert-suppression") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val chg = Seq((7L, "x", true)).toDF("k", "v", "del")
+    val out = graft.operators.SnapshotDiff
+      .applyChanges(base, chg, "k", Seq("v"), "del").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  // ---- AccentFold --------------------------------------------------------
+
+  test("accent fold: DuckDB strip_accents-verified goldens") {
+    import graft.functions.TextFunctions.accentFold
+    val cases = Seq(
+      "café" -> "cafe", "naïve" -> "naive", "münchen" -> "munchen",
+      "señor" -> "senor", "ÀÉÎÕÜ" -> "AEIOU",
+      "ß sharp" -> "ß sharp",          // no decomposition -> untouched
+      "łódź" -> "łodz",                // ł stays, ó/ź fold
+      "crème brûlée" -> "creme brulee",
+      "ācārya" -> "acarya", "Ελλάς" -> "Ελλας", "中文" -> "中文")
+    val out = cases.map(_._1).toDF("s")
+      .select(accentFold(col("s")).as("f")).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+  }
+
   // ---- JaroWinkler -------------------------------------------------------
 
   test("jaro-winkler: DuckDB-verified goldens, both boost regimes") {
