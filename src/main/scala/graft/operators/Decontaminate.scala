@@ -62,4 +62,31 @@ object Decontaminate {
     withHits(corpus, benchmark, textCol, n)
       .where(col("overlap_hits") < minHits)
       .drop("overlap_hits")
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram forms above: drop every document whose embedding is within
+    * `minCosine` of ANY benchmark embedding. Catches paraphrased eval
+    * leakage that verbatim n-gram overlap can't see (and nothing else —
+    * run it IN ADDITION to, not instead of, the verbatim pass).
+    *
+    * The benchmark side is an eval suite — thousands of vectors, never
+    * corpus-sized — so it broadcasts and the scan is one pass over the
+    * corpus embeddings with the native cosine kernel per (doc, bench)
+    * pair; no shuffle of the corpus at all (left_anti against the
+    * distinct hit ids is the only exchange and it carries ids only). At
+    * a benchmark too large to broadcast, cluster it and route through
+    * [[Dedup]]'s SemDeDup cells instead. */
+  def semantic(corpus: DataFrame, idCol: String, vecCol: String,
+               benchmark: DataFrame, benchVecCol: String,
+               minCosine: Double): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine must be in (0, 1] (got $minCosine)")
+    val b = broadcast(benchmark.select(col(benchVecCol).as("__bv")))
+    val hits = corpus.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(b)
+      .where(graft.functions.VectorFunctions.cosine(col("__v"), col("__bv"))
+        >= minCosine)
+      .select(col(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
 }

@@ -239,6 +239,43 @@ object Sampling {
       .drop("rank")
   }
 
+  /** Fractional-EPOCH upsampling — the mixture-weights step of a
+    * pretraining recipe ("2.5 epochs of wiki, 0.25 of web"): each row of
+    * stratum s is emitted floor(w_s) times plus one more for the
+    * deterministic hash-selected (w_s - floor(w_s)) fraction of ids —
+    * so the expected multiplicity is exactly w_s, membership of the
+    * fractional copy is a pure (id, seed) function (stable across runs
+    * and partitionings), and w < 1 degrades to plain downsampling.
+    * Strata absent from `weights` pass through at 1.0; weight 0 drops.
+    *
+    * Pure projection + generator explode — ZERO shuffle; output fan-out
+    * is Σ w_s·|s| rows, each carrying a 0-based `copy` index (distinct
+    * training-order keys per replica — feed [[shuffleShard]] next so
+    * copies of one document land in different shards). */
+  def epochUpsample(df: DataFrame, stratumCol: String, idCol: String,
+                    weights: Map[String, Double], seed: Long): DataFrame =
+    epochUpsampleBy(df, pmod(xxhash64(col(idCol), lit(seed)), lit(10000L)),
+      stratumCol, weights)
+
+  /** [[epochUpsample]] with a caller-supplied bucket column in
+    * [0, 10000) — the s24 FNV-replay hook (s18's pattern). */
+  def epochUpsampleBy(df: DataFrame, bucket: org.apache.spark.sql.Column,
+                      stratumCol: String,
+                      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 100.0),
+      "epoch weights must be in [0, 100]")
+    val w = weights.foldLeft(lit(1.0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val n = (floor(w) +
+      when(bucket < (w - floor(w)) * 10000.0, 1L).otherwise(0L)).cast("long")
+    df.withColumn("__n", n)
+      .withColumn("copy",
+        explode(when(col("__n") >= 1L, sequence(lit(0L), col("__n") - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("__n")
+  }
+
   /** Deterministic global shuffle + sharding — the "shuffle the corpus
     * before training" step every pretraining run needs: an order that is
     * (a) decorrelated from ingest order (a corpus written source-by-source

@@ -807,6 +807,31 @@ object Similarity {
         .orderBy("a", "b")
     },
 
+    // SEMANTIC decontamination (embedding-space eval-leakage screen, the
+    // complement of dc1's verbatim n-gram pass): drop every corpus
+    // vector within cosine 0.3 of ANY benchmark vector (vec_id < 20
+    // plays the eval suite). Broadcast benchmark, native cosine kernel,
+    // zero corpus shuffle; exact-double parity with DuckDB (the
+    // ann1/d6 argument) makes the survivors list hash-checkable.
+    Q("dc3_semantic_decontam",
+      """WITH hits AS (SELECT DISTINCT a.vec_id
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id >= 20 AND b.vec_id < 20
+        |    AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+        |      >= 0.3)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id >= 20 AND vec_id NOT IN (SELECT vec_id FROM hits)
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Decontaminate.semantic(
+          emb.where(col("vec_id") >= 20), "vec_id", "embedding",
+          emb.where(col("vec_id") < 20), "embedding", minCosine = 0.3)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    },
+
     // Brute-force cosine ANN over embeddings: queries vec_id < 20, k = 5.
     // Double accumulation in index order on both sides → bit-identical.
     Q("ann1_brute_cosine_topk",

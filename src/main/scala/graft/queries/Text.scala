@@ -327,6 +327,42 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Fractional-EPOCH upsampling (the pretraining mixture-weights step:
+    // "2.5 epochs of src0, 0.25 of src2"): floor(w) full copies plus a
+    // hash-selected fractional copy, expected multiplicity exactly w,
+    // zero shuffle. FNV bucket → the oracle replays full membership AND
+    // copy counts per row; weight 0 drops, absent strata pass at 1.0.
+    Q("s24_epoch_upsample",
+      s"""WITH h AS (SELECT doc_id, source,
+        |    ${Q.fnvSql("CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |b AS (SELECT doc_id, source, ((h % 10000) + 10000) % 10000 AS b FROM h),
+        |w AS (SELECT doc_id, source, b,
+        |        CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+        |                    WHEN 'src2' THEN 0.25 ELSE 0.0 END AS w
+        |      FROM b),
+        |n AS (SELECT doc_id, source,
+        |        CAST(floor(w) + CASE WHEN b < (w - floor(w)) * 10000.0
+        |                             THEN 1 ELSE 0 END AS BIGINT) AS n
+        |      FROM w)
+        |SELECT doc_id, source, CAST(gs - 1 AS BIGINT) AS copy
+        |FROM n, LATERAL unnest(generate_series(1, n)) g(gs)
+        |ORDER BY doc_id, copy""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val bucket = pmod(
+        column(graft.expressions.Fnv1a64(
+          expression(col("doc_id").cast("string")))), lit(10000L))
+      graft.operators.Sampling.epochUpsampleBy(
+          Tables.documents(s, d)
+            .where(col("source").isin("src0", "src1", "src2", "src3"))
+            .select("doc_id", "source"), bucket, "source",
+          weights = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25,
+            "src3" -> 0.0))
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy("doc_id", "copy")
+    },
+
     // Domain mixing to a target composition (the training-mix step):
     // downsample each source deterministically so the output approaches
     // 40/30/20/10 across the four document sources at the largest feasible

@@ -189,6 +189,67 @@ class Round6Spec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
 
+  // ---- epochUpsample -----------------------------------------------------
+
+  test("epoch upsample: floor copies + hash fraction, w=0 drops, " +
+    "unmapped passes at 1.0, zero shuffle") {
+    val df = (1L to 1000L).map(i =>
+      (i, if (i <= 400) "a" else if (i <= 800) "b" else "c")).toDF("id", "s")
+    val out = graft.operators.Sampling.epochUpsample(df, "s", "id",
+      weights = Map("a" -> 2.5, "b" -> 0.0), seed = 7L)
+    val counts = out.groupBy("s").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(!counts.contains("b"))                  // w=0 drops
+    assert(counts("c") == 200L)                    // unmapped: exactly once
+    // stratum a: every id gets 2 copies, the hash-selected half a third;
+    // expected 400*2.5 = 1000 with binomial(400, 0.5) spread
+    assert(counts("a") >= 800L && counts("a") <= 1200L)
+    assert(counts("a") % 1L == 0L)
+    val perId = out.where(col("s") === "a").groupBy("id")
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect()
+    assert(perId.forall(p => p._2 == 2L || p._2 == 3L)) // floor(2.5) + 0/1
+    // copy indices are 0..n-1 per id (distinct replica keys)
+    val copies = out.where(col("s") === "a" && col("id") === perId.head._1)
+      .select("copy").as[Long].collect().sorted.toSeq
+    assert(copies == (0L until perId.head._2).toSeq)
+    // pure projection: no Exchange anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
+
+  test("epoch upsample: deterministic across partitionings") {
+    val df = (1L to 300L).map(i => (i, "a")).toDF("id", "s")
+    val a = graft.operators.Sampling.epochUpsample(df, "s", "id",
+      Map("a" -> 1.3), seed = 9L).orderBy("id", "copy").collect()
+    val b = graft.operators.Sampling.epochUpsample(df.repartition(13), "s",
+      "id", Map("a" -> 1.3), seed = 9L).orderBy("id", "copy").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  // ---- semantic decontamination ------------------------------------------
+
+  test("semantic decontam: equals the brute-force screen; benchmark empty " +
+    "keeps everything") {
+    import graft.functions.VectorFunctions.cosine
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .where(col("vec_id") >= 10)
+    val bench = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .where(col("vec_id") < 10)
+    val got = graft.operators.Decontaminate.semantic(
+        corpus, "vec_id", "embedding", bench, "embedding", minCosine = 0.3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val brute = corpus.select(col("vec_id"), col("embedding").as("cv"))
+      .crossJoin(bench.select(col("embedding").as("bv")))
+      .groupBy("vec_id").agg(max(cosine(col("cv"), col("bv"))).as("mx"))
+      .where(col("mx") < 0.3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(got == brute)
+    assert(got.nonEmpty && got.size < corpus.count()) // screen actually bites
+    val none = graft.operators.Decontaminate.semantic(
+      corpus, "vec_id", "embedding", bench.where(lit(false)), "embedding", 0.3)
+    assert(none.count() == corpus.count())
+  }
+
   // ---- applyChanges (MERGE) ----------------------------------------------
 
   test("merge apply: update, insert, delete, pass-through, null-overwrite") {
