@@ -105,7 +105,12 @@ object JaroWinkler {
       }
       i += 1
     }
-    (m.toDouble / l1 + m.toDouble / l2 + (m - t / 2.0) / m) / 3.0
+    // transposition count t is FLOORED half the mismatched positions
+    // (integer division) — the original Winkler reference-implementation
+    // convention DuckDB follows; the fractional 1.5-for-3-mismatches
+    // reading diverges on odd mismatch counts (caught by the d18 gate:
+    // "...120" vs "...012" has 3 crossed digits)
+    (m.toDouble / l1 + m.toDouble / l2 + (m - t / 2).toDouble / m) / 3.0
   }
 
   def similarity(s1: String, s2: String): Double = {

@@ -45,4 +45,39 @@ object FuzzyJoin {
       .where(col("dist") >= 0)
       .select("a", "b", "dist")
   }
+
+  /** Jaro-Winkler fuzzy join — [[editDistanceForQueries]]'s shape with a
+    * SIMILARITY threshold instead of a distance budget: pairs (a = query
+    * id, b = corpus id, jw) with Jaro-Winkler >= `minSim`. Same 100 TB
+    * form (broadcast query side, corpus only scans, one pass) and the
+    * same completeness-preserving length prune: Jaro is bounded above by
+    * (1/3)(m/|a| + 2) with m <= min(|a|,|b|), and the Winkler boost at
+    * prefix 4 maps that bound to b(j) = j + 0.4(1-j) — so a length ratio
+    * below the inverted bound can never clear `minSim`. The exact
+    * algebra: jw >= s requires min/max >= (3·(s-0.4)/0.6 - 2) when
+    * s > 0.7 (asserted against the unpruned brute force in
+    * FuzzyJoinSpec). Scores via [[graft.expressions.JaroWinkler]]
+    * (DuckDB-equivalent, so the d18 gate hash-matches). */
+  def jaroWinklerForQueries(rows: DataFrame, idCol: String, textCol: String,
+                            queryPred: Column, minSim: Double): DataFrame = {
+    require(minSim > 0.7 && minSim <= 1.0,
+      s"minSim must be in (0.7, 1] (got $minSim) — below the Winkler " +
+        "boost threshold the prefix bound is not valid and the screen " +
+        "degenerates to a full cross product")
+    import graft.functions.TextFunctions.jaroWinkler
+    // invert the prefix-boosted Jaro upper bound: with m <= min and
+    // jaro <= (min/max + 2) / 3, jw <= jaro + 0.4 (1 - jaro) clears s
+    // only if min/max >= 3 (s - 0.4) / 0.6 - 2
+    val minRatio = math.max(0.0, 3.0 * (minSim - 0.4) / 0.6 - 2.0)
+    val base = rows.select(col(idCol).as("id"), col(textCol).as("t"))
+    val q = base.where(queryPred).select(col("id").as("a"), col("t").as("ta"))
+    val c = base.select(col("id").as("b"), col("t").as("tb"))
+    c.join(broadcast(q),
+        col("a") =!= col("b") &&
+          least(length(col("ta")), length(col("tb"))).cast("double") >=
+            greatest(length(col("ta")), length(col("tb"))) * minRatio)
+      .withColumn("jw", jaroWinkler(col("ta"), col("tb")))
+      .where(col("jw") >= minSim)
+      .select("a", "b", "jw")
+  }
 }

@@ -807,6 +807,34 @@ object Similarity {
         .orderBy("a", "b")
     },
 
+    // Jaro-Winkler fuzzy JOIN (d9's shape with a similarity threshold):
+    // typo'd query names recover their originals — broadcast query side,
+    // corpus scans once, completeness-preserving length-ratio prune from
+    // the prefix-boosted Jaro upper bound. Exact kernel parity with
+    // DuckDB makes the matched pairs AND scores hash-checkable.
+    Q("d18_jw_fuzzy_join",
+      """WITH c AS (SELECT c_custkey AS id, c_name AS t FROM customer
+        |           WHERE c_custkey < 300),
+        |q AS (SELECT c_custkey + 10000 AS id,
+        |        replace(c_name, 'Customer', 'Custoner') AS t
+        |      FROM customer WHERE c_custkey % 30 = 0 AND c_custkey < 300)
+        |SELECT q.id AS a, c.id AS b,
+        |  round(jaro_winkler_similarity(q.t, c.t), 6) AS jw
+        |FROM q, c
+        |WHERE jaro_winkler_similarity(q.t, c.t) >= 0.95
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d).where(col("c_custkey") < 300)
+      val corpus = cust.select(col("c_custkey").as("id"), col("c_name").as("t"))
+      val queries = cust.where(pmod(col("c_custkey"), lit(30)) === 0)
+        .select((col("c_custkey") + 10000).as("id"),
+          regexp_replace(col("c_name"), "Customer", "Custoner").as("t"))
+      FuzzyJoin.jaroWinklerForQueries(corpus.unionByName(queries), "id", "t",
+          queryPred = col("id") >= 10000, minSim = 0.95)
+        .where(col("b") < 10000)    // query-vs-corpus pairs only
+        .select(col("a"), col("b"), round(col("jw"), 6).as("jw"))
+        .orderBy("a", "b")
+    },
+
     // SEMANTIC decontamination (embedding-space eval-leakage screen, the
     // complement of dc1's verbatim n-gram pass): drop every corpus
     // vector within cosine 0.3 of ANY benchmark vector (vec_id < 20

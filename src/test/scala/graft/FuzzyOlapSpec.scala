@@ -38,6 +38,33 @@ class FuzzyJoinSpec extends SparkSuite {
     assert(exp.nonEmpty)   // the fixture actually exercises matches
   }
 
+  test("jaro-winkler join: length-ratio prune preserves completeness vs " +
+    "unpruned brute force") {
+    // strings chosen to straddle the prune boundary at minSim = 0.9
+    // (ratio >= 0.5): near-dups, a short prefix of a long string (pruned
+    // AND genuinely below threshold), exact dups, empties
+    val rows = Seq(
+      (1L, "johnathan smith"), (2L, "jonathan smith"), (3L, "johnathan smyth"),
+      (4L, "jo"), (5L, "completely other"), (6L, "johnathan smith"),
+      (7L, ""), (8L, "johnathan")) // 9/15 ratio: prune must NOT drop it
+      .toDF("id", "t")
+    val got = FuzzyJoin.jaroWinklerForQueries(rows, "id", "t",
+        queryPred = col("id") <= 2, minSim = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val data = Seq((1L, "johnathan smith"), (2L, "jonathan smith"),
+      (3L, "johnathan smyth"), (4L, "jo"), (5L, "completely other"),
+      (6L, "johnathan smith"), (7L, ""), (8L, "johnathan"))
+    val exp = (for {
+      (a, ta) <- data if a <= 2
+      (b, tb) <- data if a != b
+      jw = graft.expressions.JaroWinkler.similarity(ta, tb) if jw >= 0.9
+    } yield (a, b)).toSet
+    assert(got == exp)
+    assert(exp.nonEmpty)
+    // and the kernel agrees with itself across the column/driver paths
+    assert(got.contains((1L, 6L))) // exact dup pair survives
+  }
+
   test("maxDist=0 degenerates to exact equality on distinct ids") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t")
     val got = FuzzyJoin.editDistanceForQueries(df, "id", "t",

@@ -308,6 +308,11 @@ class Round6Spec extends SparkSuite {
     assert(close(similarity("ABCDEF", "FEDCBA"), 0.3888888888888889))
     assert(close(similarity("aaaaaaaaab", "aaaaaaaaba"), 0.98))
     assert(close(similarity("abc", "axc"), 0.8))
+    // ODD mismatch count: 3 crossed digits floor to t=1, not 1.5 — the
+    // Winkler reference-implementation convention DuckDB follows (the
+    // d18 gate caught the fractional reading diverging here)
+    assert(close(similarity("Custoner#000000120", "Customer#000000012"),
+      0.9660130718954249))
     // boost gated OFF at jaro <= 0.7 even with a common prefix
     assert(close(similarity("xy", "xz"), 2.0 / 3.0))
     // window 0: adjacent swap in 2-char strings matches nothing
