@@ -159,6 +159,39 @@ class PlanSpec extends SparkSuite {
       s"q7 must broadcast all four dimension joins:\n$p7")
   }
 
+  test("j15: SCD2 lookup plans a bucketed equi-join — no nested loop on BETWEEN") {
+    val p = plan("j15_scd2_lookup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the day-bucketed range join must keep BETWEEN out of the join condition:\n$p")
+    assert(p.contains("Join"), "the lookup must still be join-shaped")
+  }
+
+  test("ml5: quantile binning broadcasts the per-stratum breakpoints") {
+    val p = plan("ml5_quantile_binning")
+    assert(p.contains("BroadcastHashJoin"),
+      s"breakpoints (|strata| rows) must broadcast, never shuffle lineitem:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join here would shuffle the fact table on the stratum key:\n$p")
+  }
+
+  test("d16: boilerplate removal is positions-only — no exchange carries line text") {
+    // node-level inspection needs the non-adaptive plan
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = SparkEntry.queries("d16_boilerplate_lines")(
+        spark, "/root/testdata/sf0.001").queryExecution
+      val exchanges = qe.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected the df/regroup shuffles to exist")
+      for (e <- exchanges)
+        assert(!e.output.exists(_.name == "line"),
+          s"exploded line string must not ride a shuffle; exchange output = " +
+            e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("J7: maxDfFraction adds the df-prune semi-ish join before pair generation") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
