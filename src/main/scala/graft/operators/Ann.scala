@@ -318,6 +318,62 @@ object Ann {
     * hash order, so this is a seeded random init), then `iters` rounds of
     * assign-to-nearest + recompute means. Empty cells keep their previous
     * center. Euclidean assignment — standard for IVF coarse quantizers. */
+  /** IVF-routed threshold PROBE, query-corpus form (the scale path for
+    * [[Decontaminate.semantic]] when the benchmark side outgrows a
+    * broadcast): coarse centroids are trained on a seeded benchmark
+    * sample, every benchmark vector lands in its HOME cell, every corpus
+    * vector probes its `nProbe` nearest cells, and the cell-keyed
+    * equi-join + exact cosine verify yields the corpus ids with at least
+    * one benchmark neighbor at `cosine >= minCosine`. Comparisons drop
+    * from |corpus|·|benchmark| to |corpus|·nProbe·(|benchmark|/cells);
+    * the only corpus-sized shuffles are the probe-cell window and the
+    * cell join — both keyed for 1000-executor parallelism.
+    *
+    * Approximate BY DESIGN (same contract as [[ivfTopK]]): a benchmark
+    * vector homed in a cell the corpus doc does not probe is missed;
+    * recall rises with `nProbe`/falls with `nCentroids`. The exact verify
+    * means NO false hits — survivors can only be over-kept, never
+    * over-dropped. Output: distinct (idCol) of hit corpus rows. */
+  def ivfThresholdHits(corpus: DataFrame, idCol: String, vecCol: String,
+                       benchmark: DataFrame, benchVecCol: String,
+                       minCosine: Double, nCentroids: Int = 64,
+                       nProbe: Int = 8, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val sampled: Array[Array[Double]] = benchmark
+      .select(col(benchVecCol).cast("array<double>").as("cvec"))
+      .orderBy(xxhash64(col("cvec").cast("string"), lit(seed)))
+      .limit(nCentroids * 20)
+      .collect().map(_.getSeq[Double](0).toArray)
+    if (sampled.isEmpty)
+      return corpus.select(col(idCol)).limit(0)
+    val centers = lloyd(sampled, math.min(nCentroids, sampled.length),
+      iters = 10)
+    val centerRows = centers.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
+    }.toSeq
+    val cents = spark.createDataFrame(
+      spark.sparkContext.parallelize(centerRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    // benchmark vectors keep only their HOME cell (rn == 1); any unique
+    // per-row id works as the window key — the home cell is a pure argmax
+    // over the broadcast centroid table
+    val bench = assignCells(
+      benchmark.select(monotonically_increasing_id().as("__bid"),
+        col(benchVecCol).as("__bv")),
+      "__bid", "__bv", cents, nCells = 1)
+      .select(col("cell"), col("v").as("__bv"))
+    val probes = assignCells(corpus.select(col(idCol), col(vecCol)),
+      idCol, vecCol, cents, nCells = nProbe)
+    probes.join(bench, Seq("cell"))
+      .where(cosine(col("v"), col("__bv")) >= minCosine)
+      .select(col("id").as(idCol)).distinct()
+  }
+
   private def lloyd(points: Array[Array[Double]], k: Int,
                     iters: Int): Array[Array[Double]] = {
     val dim = points.head.length

@@ -69,24 +69,40 @@ object Decontaminate {
     * leakage that verbatim n-gram overlap can't see (and nothing else —
     * run it IN ADDITION to, not instead of, the verbatim pass).
     *
-    * The benchmark side is an eval suite — thousands of vectors, never
-    * corpus-sized — so it broadcasts and the scan is one pass over the
-    * corpus embeddings with the native cosine kernel per (doc, bench)
-    * pair; no shuffle of the corpus at all (left_anti against the
-    * distinct hit ids is the only exchange and it carries ids only). At
-    * a benchmark too large to broadcast, cluster it and route through
-    * [[Dedup]]'s SemDeDup cells instead. */
+    * Two routes, switched on benchmark size (`maxBroadcastRows`):
+    *   - BROADCAST scan (benchmark <= the threshold — the common case,
+    *     eval suites are thousands of vectors): the benchmark broadcasts
+    *     and the scan is one pass over the corpus embeddings with the
+    *     native cosine kernel per (doc, bench) pair; no shuffle of the
+    *     corpus at all (left_anti against the distinct hit ids is the
+    *     only exchange and it carries ids only). Exact.
+    *   - IVF probe ([[Ann.ivfThresholdHits]], benchmark above the
+    *     threshold): benchmark vectors land in coarse-quantizer cells,
+    *     corpus docs probe their `nProbe` nearest cells, exact cosine
+    *     verifies inside the probed cells — |corpus|·|bench| comparisons
+    *     become |corpus|·nProbe·(|bench|/cells). Verify-exact (no false
+    *     drops beyond probe recall); recall dials are nProbe/nCentroids.
+    * Decontamination is recall-critical, so the broadcast threshold is
+    * generous by default — the IVF route exists for benchmark sets that
+    * genuinely cannot ship to every executor. */
   def semantic(corpus: DataFrame, idCol: String, vecCol: String,
                benchmark: DataFrame, benchVecCol: String,
-               minCosine: Double): DataFrame = {
+               minCosine: Double, maxBroadcastRows: Long = 2000000L,
+               nCentroids: Int = 64, nProbe: Int = 8): DataFrame = {
     require(minCosine > 0.0 && minCosine <= 1.0,
       s"minCosine must be in (0, 1] (got $minCosine)")
-    val b = broadcast(benchmark.select(col(benchVecCol).as("__bv")))
-    val hits = corpus.select(col(idCol), col(vecCol).as("__v"))
-      .crossJoin(b)
-      .where(graft.functions.VectorFunctions.cosine(col("__v"), col("__bv"))
-        >= minCosine)
-      .select(col(idCol)).distinct()
+    val hits =
+      if (benchmark.limit(math.min(maxBroadcastRows + 1,
+            Int.MaxValue.toLong).toInt).count() <= maxBroadcastRows) {
+        val b = broadcast(benchmark.select(col(benchVecCol).as("__bv")))
+        corpus.select(col(idCol), col(vecCol).as("__v"))
+          .crossJoin(b)
+          .where(graft.functions.VectorFunctions.cosine(col("__v"), col("__bv"))
+            >= minCosine)
+          .select(col(idCol)).distinct()
+      } else
+        Ann.ivfThresholdHits(corpus, idCol, vecCol, benchmark, benchVecCol,
+          minCosine, nCentroids, nProbe)
     corpus.join(hits, Seq(idCol), "left_anti")
   }
 }

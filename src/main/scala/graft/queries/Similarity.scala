@@ -782,6 +782,52 @@ object Similarity {
         .orderBy("label")
     },
 
+    // sd1's hash-matched sibling (the d3b/d4b/d5b playbook): the k-means
+    // assignment is engine state, but the PRUNE is not — swap the learned
+    // cluster for an FNV-1a-64 pseudo-cluster (a pure function of the id,
+    // replayed bit-for-bit in DuckDB, the s20 snippet) and the
+    // within-cluster cosine >= tau survivor set becomes value-checkable:
+    // this gate certifies the dedup rule itself (pairing, threshold,
+    // min-id survivorship) rather than rows-only.
+    Q("sd1b_semantic_dedup_fnv",
+      """WITH h AS (SELECT vec_id, embedding,
+        |    list_reduce(
+        |      list_prepend(CAST(-3750763034362895579 AS BIGINT),
+        |        list_transform(regexp_split_to_array(CAST(vec_id AS VARCHAR), ''),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (acc, cp) -> CAST(
+        |        CASE WHEN ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT >= 9223372036854775808::HUGEINT
+        |             THEN ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT - 18446744073709551616::HUGEINT
+        |             ELSE ((CAST(xor(acc, cp) AS HUGEINT) + 18446744073709551616::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT * 1099511628211)
+        |                  % 18446744073709551616::HUGEINT END AS BIGINT)) AS h
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, embedding, ((h % 16) + 16) % 16 AS cluster FROM h),
+        |drops AS (SELECT DISTINCT b2.vec_id
+        |  FROM b b1 JOIN b b2 ON b1.cluster = b2.cluster
+        |    AND b1.vec_id < b2.vec_id
+        |  WHERE list_dot_product(CAST(b1.embedding AS DOUBLE[]),
+        |          CAST(b2.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(b1.embedding AS DOUBLE[]),
+        |               CAST(b1.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(b2.embedding AS DOUBLE[]),
+        |                 CAST(b2.embedding AS DOUBLE[])))) >= 0.40)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val bucket = pmod(
+        column(graft.expressions.Fnv1a64(
+          expression(col("vec_id").cast("string")))), lit(16L))
+      Dedup.semanticDedupBy(Tables.embeddings(s, d), "vec_id", "embedding",
+          bucket, tau = 0.40)
+        .select(col("vec_id")).orderBy("vec_id")
+    },
+
     // Embedding-cosine near-dup mining: threshold join rather than top-k —
     // the dedup flavor of the ANN surface (pairs above a similarity
     // floor). Double index-order accumulation keeps it oracle-exact.

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{Decontaminate, Dedup}
 
 /** Round-7 behavior pins: the positions-only boilerplate rewrite keeps its
   * contract on the degenerate inputs the old explode-regroup shape dropped
@@ -28,6 +28,38 @@ class Round7Spec extends SparkSuite {
       assert(out(i).getAs[Long]("n_lines") == 0L, s"doc ${i + 1}")
       assert(out(i).getAs[Long]("n_kept") == 0L, s"doc ${i + 1}")
       assert(out(i).getAs[String]("kept_text") == "", s"doc ${i + 1}")
+    }
+  }
+
+  // ---- Decontaminate.semantic: broadcast vs IVF route ----------------------
+
+  /** Embeddings from the real testdata + a 5-vector benchmark drawn from
+    * it: the IVF route (forced by maxBroadcastRows = 0) must keep exactly
+    * the same survivors as the exact broadcast scan when it probes every
+    * cell (nProbe = nCentroids ⇒ recall is complete by construction, so
+    * this is an EQUALITY check, not a recall bound). */
+  test("semantic decontam: IVF route with full probe equals the broadcast scan") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bench = emb.where(col("vec_id") % 97 === 0).select(col("embedding"))
+    val exact = Decontaminate.semantic(emb, "vec_id", "embedding",
+        bench, "embedding", minCosine = 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = Decontaminate.semantic(emb, "vec_id", "embedding",
+        bench, "embedding", minCosine = 0.35,
+        maxBroadcastRows = 0L, nCentroids = 4, nProbe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact == ivf,
+      s"IVF-only=${ivf.diff(exact)} exact-only=${exact.diff(ivf)}")
+    assert(exact.size < emb.count(), "fixture must actually drop something")
+  }
+
+  test("semantic decontam: empty benchmark keeps the whole corpus on both routes") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val none = emb.where(lit(false)).select(col("embedding"))
+    for (mbr <- Seq(2000000L, 0L)) {
+      val out = Decontaminate.semantic(emb, "vec_id", "embedding",
+        none, "embedding", minCosine = 0.35, maxBroadcastRows = mbr)
+      assert(out.count() == emb.count())
     }
   }
 }
