@@ -56,8 +56,13 @@ object FuzzyJoin {
     * below the inverted bound can never clear `minSim`. The exact
     * algebra: jw >= s requires min/max >= (3·(s-0.4)/0.6 - 2) when
     * s > 0.7 (asserted against the unpruned brute force in
-    * FuzzyJoinSpec). Scores via [[graft.expressions.JaroWinkler]]
-    * (DuckDB-equivalent, so the d18 gate hash-matches). */
+    * FuzzyJoinSpec). Lengths for the prune are measured in UTF-16 CODE
+    * UNITS (octet_length of the UTF-16LE encoding / 2) — the same unit
+    * [[graft.expressions.JaroWinkler]] scores in — so the bound holds for
+    * supplementary-plane text too (`length()` counts codepoints, which
+    * can halve the ratio for astral input and void the derivation).
+    * Scores via [[graft.expressions.JaroWinkler]] (DuckDB-equivalent, so
+    * the d18 gate hash-matches). */
   def jaroWinklerForQueries(rows: DataFrame, idCol: String, textCol: String,
                             queryPred: Column, minSim: Double): DataFrame = {
     require(minSim > 0.7 && minSim <= 1.0,
@@ -69,13 +74,15 @@ object FuzzyJoin {
     // jaro <= (min/max + 2) / 3, jw <= jaro + 0.4 (1 - jaro) clears s
     // only if min/max >= 3 (s - 0.4) / 0.6 - 2
     val minRatio = math.max(0.0, 3.0 * (minSim - 0.4) / 0.6 - 2.0)
+    // UTF-16 code units, the kernel's unit (see scaladoc)
+    val cu = (c: Column) => octet_length(encode(c, "UTF-16LE")) / 2
     val base = rows.select(col(idCol).as("id"), col(textCol).as("t"))
     val q = base.where(queryPred).select(col("id").as("a"), col("t").as("ta"))
     val c = base.select(col("id").as("b"), col("t").as("tb"))
     c.join(broadcast(q),
         col("a") =!= col("b") &&
-          least(length(col("ta")), length(col("tb"))).cast("double") >=
-            greatest(length(col("ta")), length(col("tb"))) * minRatio)
+          least(cu(col("ta")), cu(col("tb"))).cast("double") >=
+            greatest(cu(col("ta")), cu(col("tb"))) * minRatio)
       .withColumn("jw", jaroWinkler(col("ta"), col("tb")))
       .where(col("jw") >= minSim)
       .select("a", "b", "jw")

@@ -243,9 +243,12 @@ object Sampling {
     * pretraining recipe ("2.5 epochs of wiki, 0.25 of web"): each row of
     * stratum s is emitted floor(w_s) times plus one more for the
     * deterministic hash-selected (w_s - floor(w_s)) fraction of ids —
-    * so the expected multiplicity is exactly w_s, membership of the
-    * fractional copy is a pure (id, seed) function (stable across runs
-    * and partitionings), and w < 1 degrades to plain downsampling.
+    * so the expected multiplicity is w_s quantized to the 1/10000 bucket
+    * grid (the fractional threshold is rounded half-up to the nearest
+    * bucket, so a non-representable weight like 1.1 admits exactly 1000
+    * buckets, never 1001), membership of the fractional copy is a pure
+    * (id, seed) function (stable across runs and partitionings), and
+    * w < 1 degrades to plain downsampling.
     * Strata absent from `weights` pass through at 1.0; weight 0 drops.
     *
     * Pure projection + generator explode — ZERO shuffle; output fan-out
@@ -267,8 +270,14 @@ object Sampling {
     val w = weights.foldLeft(lit(1.0)) { case (acc, (k, v)) =>
       when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
+    // threshold rounded half-up to the nearest bucket: the raw double
+    // product admits a stray 1e-13 tail on non-representable weights
+    // (1.1 → 1000.0000000000009, one extra bucket); rounding pins the
+    // fractional copy to EXACTLY round(frac·10000) buckets, so the
+    // multiplicity is w_s correct to the 1/10000 bucket grid (ADVICE r6)
+    val thresh = floor((w - floor(w)) * 10000.0 + 0.5)
     val n = (floor(w) +
-      when(bucket < (w - floor(w)) * 10000.0, 1L).otherwise(0L)).cast("long")
+      when(bucket < thresh, 1L).otherwise(0L)).cast("long")
     df.withColumn("__n", n)
       .withColumn("copy",
         explode(when(col("__n") >= 1L, sequence(lit(0L), col("__n") - 1))

@@ -343,7 +343,7 @@ object Text {
         |                    WHEN 'src2' THEN 0.25 ELSE 0.0 END AS w
         |      FROM b),
         |n AS (SELECT doc_id, source,
-        |        CAST(floor(w) + CASE WHEN b < (w - floor(w)) * 10000.0
+        |        CAST(floor(w) + CASE WHEN b < floor((w - floor(w)) * 10000.0 + 0.5)
         |                             THEN 1 ELSE 0 END AS BIGINT) AS n
         |      FROM w)
         |SELECT doc_id, source, CAST(gs - 1 AS BIGINT) AS copy

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontaminate, Dedup}
+import graft.operators.{Decontaminate, Dedup, FuzzyJoin, Sampling}
 
 /** Round-7 behavior pins: the positions-only boilerplate rewrite keeps its
   * contract on the degenerate inputs the old explode-regroup shape dropped
@@ -51,6 +51,52 @@ class Round7Spec extends SparkSuite {
     assert(exact == ivf,
       s"IVF-only=${ivf.diff(exact)} exact-only=${exact.diff(ivf)}")
     assert(exact.size < emb.count(), "fixture must actually drop something")
+  }
+
+  // ---- FuzzyJoin: UTF-16 code-unit prune (ADVICE r6) -----------------------
+
+  /** Supplementary-plane text: every 𝕏-style char is one codepoint but TWO
+    * UTF-16 code units. The kernel scores in code units; the prune must
+    * measure in the same unit or the derived bound is void for astral
+    * input. Completeness = pruned join equals the unpruned brute force. */
+  test("jaro-winkler prune: completeness holds for supplementary-plane text") {
+    val rows = Seq(
+      (1L, "𝕙𝕖𝕝𝕝𝕠"), // 𝕙𝕖𝕝𝕝𝕠
+      (2L, "𝕙𝕖𝕝𝕝𝕠"),
+      (3L, "𝕙𝕖𝕝𝕝𝕡"), // last differs
+      (4L, "hello"),
+      (5L, "𝕙x"),
+      (6L, "completely different words")
+    ).toDF("id", "t")
+    import graft.functions.TextFunctions.jaroWinkler
+    val minSim = 0.85
+    val brute = rows.select(col("id").as("a"), col("t").as("ta"))
+      .where(col("a") === 1L)
+      .crossJoin(rows.select(col("id").as("b"), col("t").as("tb")))
+      .where(col("a") =!= col("b"))
+      .withColumn("jw", jaroWinkler(col("ta"), col("tb")))
+      .where(col("jw") >= minSim)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = FuzzyJoin.jaroWinklerForQueries(rows, "id", "t",
+        col("id") === 1L, minSim)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == brute, s"pruned=$pruned brute=$brute")
+    assert(brute.nonEmpty, "fixture must produce matches")
+  }
+
+  // ---- epochUpsample: threshold quantization (ADVICE r6) -------------------
+
+  /** Weight 1.1 in doubles yields frac·10000 = 1000.0000000000009 — the old
+    * raw comparison admitted bucket 1000, one extra. With the half-up
+    * rounded threshold exactly buckets 0..999 get the fractional copy. */
+  test("epochUpsample: non-representable weight admits exactly round(frac*10000) buckets") {
+    val rows = (0 until 10000).map(b => (b.toLong, "s", b.toLong)).toDF("id", "src", "b")
+    val out = Sampling.epochUpsampleBy(rows, col("b"), "src",
+      weights = Map("s" -> 1.1))
+    assert(out.count() == 10000L + 1000L)
+    val extras = out.groupBy("id").agg(count(lit(1)).as("n"))
+      .where(col("n") === 2).agg(max(col("id"))).collect()(0).getLong(0)
+    assert(extras == 999L, s"highest double-copied bucket must be 999, got $extras")
   }
 
   test("semantic decontam: empty benchmark keeps the whole corpus on both routes") {
