@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Fixed-iteration PageRank over an edge list — the classic link-graph
   * quality signal (Page/Brin): a training-data pipeline runs it over a
@@ -18,20 +19,43 @@ import org.apache.spark.sql.functions._
   * Spark-first shape: each iteration is one join of the edge list with the
   * current ranks on `src` (co-partitioned with the out-degree join — a
   * single shuffle establishes the src partitioning once AQE reuses it)
-  * plus one partial+final aggregation on `dst`. Iterations compose as
-  * lineage; the iteration count is bounded (<= 20) because a production
-  * run at web scale persists each iteration's ranks and unpersists the
-  * previous (caller-owned), while a gate query's 3-5 iterations are
-  * cheaper as one pipelined DAG. */
+  * plus one partial+final aggregation on `dst`. [[pageRank]] composes
+  * iterations as pure lineage — a gate query's 3-5 iterations are cheaper
+  * as one pipelined DAG, and the <= 20 bound keeps the (linearly growing)
+  * plan small. [[pageRankStaged]] is the deep-run production shape:
+  * every `persistEvery`-th iteration persists + materializes the ranks
+  * and CUTS the plan to a LogicalRDD (persist alone does not truncate the
+  * analyzed plan — the d5 10× lesson, SCALING.md), releasing the previous
+  * barrier; results are bit-identical (a barrier is a pure
+  * materialization point). */
 object PageRank {
 
+  /** Pure-lineage form; iteration count bounded to keep the plan small. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
-      s"iterations must be in [1, 20] (got $iterations) — persist per " +
-        "iteration beyond that instead of growing lineage")
+      s"iterations must be in [1, 20] (got $iterations) — use " +
+        "pageRankStaged with persistEvery for deeper runs")
+    run(edges, srcCol, dstCol, iterations, damping, persistEvery = 0).df
+  }
+
+  /** Deep-run form: plan-cutting persist barrier every `persistEvery`
+    * iterations; call `release()` after the last downstream action. */
+  def pageRankStaged(edges: DataFrame, srcCol: String, dstCol: String,
+                     iterations: Int, damping: Double = 0.85,
+                     persistEvery: Int = 5): Dedup.Staged = {
+    require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
+    require(persistEvery >= 1,
+      s"persistEvery must be >= 1 (got $persistEvery)")
+    run(edges, srcCol, dstCol, iterations, damping, persistEvery)
+  }
+
+  private def run(edges: DataFrame, srcCol: String, dstCol: String,
+                  iterations: Int, damping: Double,
+                  persistEvery: Int): Dedup.Staged = {
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1) (got $damping)")
+    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
     val nodes = e.select(col("src").as("v"))
@@ -40,7 +64,8 @@ object PageRank {
     val n = nodes.agg(count(lit(1)).cast("double").as("n"))
     var pr = nodes.crossJoin(broadcast(n))
       .select(col("v"), (lit(1.0) / col("n")).as("pr"))
-    for (_ <- 1 to iterations) {
+    var barrier: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
       val contrib = e
         .join(pr.withColumnRenamed("v", "src"), "src")
         .join(outd, "src")
@@ -51,7 +76,15 @@ object PageRank {
         .select(col("v"),
           (lit(1.0 - damping) / col("n") +
             lit(damping) * coalesce(col("c"), lit(0.0))).as("pr"))
+      if (persistEvery > 0 && i % persistEvery == 0 && i < iterations) {
+        val cached = pr.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        pr = spark.createDataFrame(cached.rdd, cached.schema)
+        barrier.foreach(_.unpersist())
+        barrier = Some(cached)
+      }
     }
-    pr
+    val retained = barrier
+    Dedup.Staged(pr, () => retained.foreach(_.unpersist()))
   }
 }

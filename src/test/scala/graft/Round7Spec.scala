@@ -99,6 +99,33 @@ class Round7Spec extends SparkSuite {
     assert(extras == 999L, s"highest double-copied bucket must be 999, got $extras")
   }
 
+  // ---- PageRank: staged deep-run barrier ----------------------------------
+
+  /** pageRankStaged's persist barrier is a pure materialization point —
+    * ranks must be bit-identical to the pure-lineage form, and the
+    * release hook must drop the retained cache (the d5 10× lesson applied
+    * to the other iterative operator). */
+  test("pageRankStaged with barriers equals pure-lineage pageRank; release drops cache") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L), (5L, 1L))
+      .toDF("s", "d")
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pure = ranks(graft.operators.PageRank.pageRank(e, "s", "d",
+      iterations = 7))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val staged = graft.operators.PageRank.pageRankStaged(e, "s", "d",
+      iterations = 7, persistEvery = 2)
+    val viaBarrier = ranks(staged.df)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).size == 1,
+      "exactly one barrier cache retained while the result is live")
+    staged.release()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "release must drop the barrier")
+    assert(viaBarrier.keySet == pure.keySet)
+    for ((k, v) <- pure)
+      assert(viaBarrier(k) == v, s"node $k: ${viaBarrier(k)} != $v")
+  }
+
   test("semantic decontam: empty benchmark keeps the whole corpus on both routes") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val none = emb.where(lit(false)).select(col("embedding"))
