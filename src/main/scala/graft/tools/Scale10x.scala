@@ -43,6 +43,29 @@ object Scale10x {
     replicas.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
     println(s"wrote ${factor}x corpus: ${spark.read.parquet(s"$outDir/documents.parquet").count()} docs")
+
+    // Embeddings: replica i applies a per-replica SIGN-FLIP pattern — an
+    // orthogonal transform, so every within-replica cosine/dot/L2 relation
+    // is EXACTLY invariant (the vector-space analog of the token
+    // bijection) while cross-replica cosines decorrelate. The flip mask
+    // for (replica, dim) is a deterministic bit of a small hash.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = emb.selectExpr("size(embedding)").first().getInt(0)
+    val embReplicas = (0 until factor).map { i =>
+      val signs = Array.tabulate(dim) { j =>
+        if (i == 0) 1.0f
+        else if (((i * 1315423911L + j * 2654435761L) >>> 7 & 1L) == 1L) -1.0f
+        else 1.0f
+      }
+      val signCol = array(signs.map(lit): _*)
+      emb.select(
+        (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        zip_with(col("embedding"), signCol, (x, s) => x * s).as("embedding"),
+        col("label"))
+    }.reduce(_.unionAll(_))
+    embReplicas.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+    println(s"wrote ${factor}x embeddings: ${spark.read.parquet(s"$outDir/embeddings.parquet").count()} vecs")
     spark.stop()
   }
 }
