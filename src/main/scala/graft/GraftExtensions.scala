@@ -163,7 +163,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           (parts(0), parts(1))
         }
         BpeTokenize(es.head, merges)
-      }))
+      }),
+    (FunctionIdentifier("sparse_random_project"),
+      info("sparse_random_project",
+        "sparse_random_project(vec, outDim, seed) - seeded Achlioptas ±1/0 JL projection to outDim doubles"),
+      (es: Seq[Expression]) => SparseRandomProject(
+        org.apache.spark.sql.catalyst.expressions.Cast(es.head,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        es(1).eval().asInstanceOf[Int],
+        es(2).eval() match {
+          case l: Long => l
+          case i: Int  => i.toLong
+          case other => throw new IllegalArgumentException(
+            s"sparse_random_project: seed must be an integer literal (got $other)")
+        })))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)

@@ -74,6 +74,63 @@ object Graph {
       () => labels.unpersist())
   }
 
+  /** Multi-source BFS hop distances over a DIRECTED edge list: one row
+    * (id, dist) per vertex reachable from `sources` within `maxHops`
+    * hops, where `dist` is the minimum hop count (sources themselves at
+    * 0). Symmetrize the edge list first for undirected graphs.
+    *
+    * Level-synchronous frontier expansion — the textbook distributed BFS:
+    * each hop is one edge join keyed on the frontier vertex plus one
+    * anti-join against the settled set, so per-hop shuffle volume is
+    * |frontier adjacency|, never |graph|. The settled set is persisted
+    * and re-wrapped as a LogicalRDD each hop (the [[Dedup.propagateLabels]]
+    * lesson: persist alone does not truncate the analyzed plan, and an
+    * iteration referencing the prior frame twice doubles the plan per
+    * round), so plan size stays constant in `maxHops`. Terminates early
+    * when a frontier empties. Caller-owned-result cache contract (as
+    * [[connectedComponents]]/`lshTopK`): the returned frame reads one
+    * persisted settled set; unpersist via the returned plan when done. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: DataFrame, sourceCol: String,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 64,
+      s"maxHops must be in [0, 64] (got $maxHops)")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .dropDuplicates("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()   // materialize before the per-hop re-reads
+    val seeds = sources.select(col(sourceCol).as("id"))
+      .where(col("id").isNotNull).distinct()
+      .withColumn("dist", lit(0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var nSettled = seeds.count()
+    var settled = spark.createDataFrame(seeds.rdd, seeds.schema)
+    var prev: DataFrame = seeds
+    var hop = 0
+    var frontierEmpty = nSettled == 0
+    while (hop < maxHops && !frontierEmpty) {
+      val frontier = settled.where(col("dist") === hop).select("id")
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop + 1))
+      val grown = settled.unionAll(next)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = grown.count()
+      val cut = spark.createDataFrame(grown.rdd, grown.schema)
+      if (prev != null) prev.unpersist()
+      prev = grown
+      frontierEmpty = n == nSettled
+      nSettled = n
+      settled = cut
+      hop += 1
+    }
+    e.unpersist()
+    settled.select(col("id"), col("dist").cast("long").as("dist"))
+  }
+
   /** Per-vertex triangle counts (vertices in ≥1 triangle), via the
     * DEGREE-ORIENTED enumeration: every undirected edge is directed from
     * its lower-degree endpoint to the higher (ties to the smaller id),

@@ -27,6 +27,46 @@ object Ml {
         .orderBy(col("size").desc, col("cluster").asc)
     },
 
+    // A12 value-checked complement of ml1: ONE Lloyd assignment step
+    // against FIXED centroids drawn from the table itself (vec_id
+    // 0/100/200/300) — the part of k-means that actually runs over 100 TB
+    // (the fit samples; the assignment scans). dist² is computed as
+    // (v·v − 2 v·c) + c·c with the native VectorDot kernel — index-order
+    // double accumulation, so DuckDB's list_dot_product replays it
+    // bit-for-bit and the argmin (tie → smaller centroid id) is exactly
+    // checkable. Plan: broadcast 4 centroid rows × scan, one |k|-sized
+    // final agg — no corpus shuffle until the 4-row count.
+    Q("ml1b_kmeans_assign",
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        |           FROM embeddings WHERE vec_id IN (0, 100, 200, 300)),
+        |sc AS (SELECT e.vec_id, c.cid,
+        |         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |           - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+        |           + list_dot_product(c.cvec, c.cvec) AS dist2
+        |       FROM embeddings e CROSS JOIN c),
+        |a AS (SELECT vec_id, cid,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |      FROM sc)
+        |SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n
+        |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cluster""".stripMargin) { (s, d) =>
+      import graft.functions.VectorFunctions.dot
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cents = emb.where(col("vec_id").isin(0L, 100L, 200L, 300L))
+        .select(col("vec_id").as("cid"), col("v").as("cvec"))
+      val scored = emb.crossJoin(broadcast(cents))
+        .withColumn("dist2",
+          dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cvec"))
+            + dot(col("cvec"), col("cvec")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy(col("cid").as("cluster"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cluster")
+    },
+
     // North-star MLlib path: implicit-feedback ALS over the purchase graph
     // (customer x part via lineitem), top-5 recommendations for the 2,000
     // most active customers. The gate query keeps the full ALS surface but
@@ -100,6 +140,48 @@ object Ml {
         .groupBy(col("label"), col("pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "pred")
+    },
+
+    // ml4's value-checked complement: the SCORING projection with FIXED
+    // coefficients (the fit is ml4's rows-only half; scoring is what runs
+    // over 100 TB). Decision = margin ≥ 0 (≡ sigmoid ≥ 0.5), so no
+    // transcendental leaves the plan and DuckDB replays the feature
+    // extraction (token ratios + alpha ratio) and the ordered
+    // coefficient fold in exact double arithmetic.
+    Q("ml4b_classifier_margin",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','is','in','that'))) AS DOUBLE)
+        |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS f1,
+        |    CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','en','un'))) AS DOUBLE)
+        |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS f2,
+        |    CAST(len(list_filter(toks, t -> t IN ('le','la','de','et','les','des','un','une'))) AS DOUBLE)
+        |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS f3,
+        |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','von','mit','den'))) AS DOUBLE)
+        |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS f4,
+        |    alpha AS f5
+        |  FROM f),
+        |m AS (SELECT doc_id,
+        |        -0.05 + f1 * 3.0 + f2 * -1.5 + f3 * -1.5 + f4 * -1.5 + f5 * 0.8 AS margin
+        |      FROM r)
+        |SELECT doc_id, round(margin, 6) AS margin,
+        |  CAST(CASE WHEN margin >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val wts = Seq(3.0, -1.5, -1.5, -1.5, 0.8)
+      val f = graft.model.QualityClassifier.features(col("text"))
+      val margin = wts.zipWithIndex.foldLeft(lit(-0.05)) {
+        case (acc, (wi, i)) => acc + element_at(f, i + 1) * lit(wi)
+      }
+      Tables.documents(s, d).select(col("doc_id"),
+          round(margin, 6).as("margin"),
+          when(margin >= 0, 1L).otherwise(0L).as("pred"))
+        .orderBy("doc_id")
     },
 
     // Multimodal plumbing: pack text payloads as binary + metadata,

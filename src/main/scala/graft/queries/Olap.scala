@@ -583,6 +583,42 @@ object Olap {
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
       graft.operators.Graph.connectedComponents(edges, "src", "dst")
         .orderBy("id")
+    },
+
+    // Multi-source BFS hop distances on the same co-occurrence graph
+    // (sources = vertices with id < 100, 3 hops) — "how far is every
+    // part from the seed set", the reachability primitive behind
+    // link-graph crawl frontiers and contamination blast-radius audits.
+    // Level-synchronous frontier expansion: per-hop shuffle volume is the
+    // frontier's adjacency, never the graph; the oracle recomputes min
+    // hop distance from first principles via a recursive CTE.
+    Q("g4_bfs_distances",
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |       WHERE a.l_orderkey < 300 AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT a AS src, b AS dst FROM e0
+        |          UNION ALL SELECT b AS src, a AS dst FROM e0),
+        |s AS (SELECT DISTINCT src AS id FROM edges WHERE src < 100),
+        |bfs AS (
+        |  SELECT id, 0 AS d FROM s
+        |  UNION
+        |  SELECT edges.dst AS id, bfs.d + 1 AS d
+        |  FROM bfs JOIN edges ON bfs.id = edges.src WHERE bfs.d < 3)
+        |SELECT id, CAST(min(d) AS BIGINT) AS dist
+        |FROM bfs GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).where(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      val edges = e0.unionAll(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val sources = edges.select(col("src")).where(col("src") < 100)
+      graft.operators.Graph.bfsDistances(edges, "src", "dst",
+          sources, "src", maxHops = 3)
+        .orderBy("id")
     }
   )
 }

@@ -973,6 +973,70 @@ object Similarity {
         .orderBy("query_id", "rank")
     },
 
+    // ann3's value-checked complement: the SAME ivfTopK machinery
+    // (centroid training, home-cell assignment, probe-cell candidate
+    // join, exact re-rank) run with nProbe == nCentroids — every query
+    // probes every cell, so the candidate set is all pairs and the
+    // result must EXACTLY equal brute force, whatever centroids the
+    // seeded fit produced. This puts the whole IVF code path behind a
+    // DuckDB oracle; ann3 (partial probe) stays the recall-gated form.
+    Q("ann3b_ivf_full_probe",
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id != b.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+        |             CAST(row_number() OVER (PARTITION BY query_id
+        |               ORDER BY round(cosine, 6) DESC, neighbor_id) AS BIGINT) AS rank
+        |           FROM pairs)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      Ann.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 5, nCentroids = 8, nProbe = 8, seed = 42L)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // Sparse random projection (Achlioptas/JL): embedding dimension
+    // reduction as a pure scan-speed projection — the step that makes
+    // every downstream ANN distance 8× cheaper at 100 TB. The sign
+    // matrix is seeded FNV over "seed:i:j", never materialized; the
+    // oracle REBUILDS it from the same fold and replays the index-order
+    // term sum with list_reduce — the whole kernel is value-checked,
+    // not just row-counted.
+    Q("rp1_random_projection",
+      s"""WITH dims AS (SELECT CAST(i AS BIGINT) AS i FROM range(64) t(i)),
+         |outs AS (SELECT CAST(j AS BIGINT) AS j FROM range(8) t(j)),
+         |h AS (SELECT i, j,
+         |        ${Q.fnvSql("'42:' || i || ':' || j")} AS hv
+         |      FROM dims CROSS JOIN outs),
+         |signs AS (SELECT i, j,
+         |            CASE ((hv % 6) + 6) % 6 WHEN 0 THEN 1.0
+         |                 WHEN 1 THEN -1.0 ELSE 0.0 END AS s
+         |          FROM h),
+         |terms AS (SELECT e.vec_id, sg.j, sg.i,
+         |            CAST(e.embedding[sg.i + 1] AS DOUBLE) * sg.s AS term
+         |          FROM embeddings e CROSS JOIN signs sg
+         |          WHERE e.vec_id < 50),
+         |proj AS (SELECT vec_id, j,
+         |           list_reduce(list_prepend(0.0, list(term ORDER BY i)),
+         |             (a, b) -> a + b) * sqrt(3.0 / 8) AS v
+         |         FROM terms GROUP BY vec_id, j)
+         |SELECT vec_id, j, round(v, 6) AS v FROM proj
+         |ORDER BY vec_id, j""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).where(col("vec_id") < 50)
+      graft.operators.Projection.sparseRandomProject(
+          emb, "vec_id", "embedding", outDim = 8, seed = 42L)
+        .select(col("vec_id"), posexplode(col("projected")).as(Seq("j", "v")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          round(col("v"), 6).as("v"))
+        .orderBy("vec_id", "j")
+    },
+
     // Int8-quantized brute force + exact shortlist re-rank: the memory-
     // bandwidth path (coarse pass reads 1/4 the bytes). Quantization is
     // engine arithmetic → rows-only; recall + cosine-error bounds vs ann1
