@@ -106,9 +106,58 @@ object Ml {
     // MMR diversification over ANN candidates: top-10 cosine neighbors per
     // query re-ranked for diversity (λ = 0.7), picking 5. The greedy is
     // per-query local over the bounded candidate list; scores are exact
-    // doubles with a deterministic tie-break, so output is stable —
-    // rows-only because the greedy loop is not SQL-expressible.
-    Q.rowsOnly("ml3_mmr_diversify") { (s, d) =>
+    // doubles with a deterministic tie-break. The oracle UNROLLS the five
+    // greedy steps as CTEs (the g1-pagerank playbook): pick_i = argmax of
+    // 0.7·rel − (1.0−0.7)·max(cosine to picked_{i−1}), ties to the
+    // smaller item — note (1.0 − 0.7) spelled as the SUBTRACTION in SQL
+    // too, because 0.3 the literal is not 1.0−0.7 the double. Every
+    // pick and every mmr score is value-checked, not just row-counted.
+    Q("ml3_mmr_diversify", {
+      def cos(x: String, y: String) =
+        s"""list_dot_product(CAST($x.embedding AS DOUBLE[]), CAST($y.embedding AS DOUBLE[]))
+           |      / (sqrt(list_dot_product(CAST($x.embedding AS DOUBLE[]), CAST($x.embedding AS DOUBLE[])))
+           |         * sqrt(list_dot_product(CAST($y.embedding AS DOUBLE[]), CAST($y.embedding AS DOUBLE[]))))""".stripMargin
+      val steps = (2 to 5).map { i =>
+        s"""s$i AS (SELECT c.query_id, c.item, c.rel, max(s.cs) AS ms
+           |  FROM cands c
+           |  JOIN sims s ON s.query_id = c.query_id AND s.a = c.item
+           |  JOIN picked${i - 1} p ON p.query_id = s.query_id AND p.item = s.b
+           |  WHERE NOT EXISTS (SELECT 1 FROM picked${i - 1} x
+           |                    WHERE x.query_id = c.query_id AND x.item = c.item)
+           |  GROUP BY c.query_id, c.item, c.rel),
+           |p$i AS (SELECT query_id, item, rel, mmr FROM (
+           |  SELECT query_id, item, rel, 0.7 * rel - (1.0 - 0.7) * ms AS mmr,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY 0.7 * rel - (1.0 - 0.7) * ms DESC, item) AS rn
+           |  FROM s$i) WHERE rn = 1),
+           |picked$i AS (SELECT query_id, item FROM picked${i - 1}
+           |             UNION ALL SELECT query_id, item FROM p$i)""".stripMargin
+      }.mkString(",\n")
+      val finals = (1 to 5).map(i =>
+        s"SELECT query_id AS query, item, CAST($i AS BIGINT) AS rank, round(mmr, 6) AS mmr FROM p$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH cands AS (
+         |  SELECT query_id, item, rel FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS item,
+         |      ${cos("a", "b")} AS rel,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY round(${cos("a", "b")}, 6) DESC, b.vec_id) AS rnk
+         |    FROM embeddings a, embeddings b
+         |    WHERE a.vec_id < 20 AND a.vec_id != b.vec_id)
+         |  WHERE rnk <= 10),
+         |sims AS (
+         |  SELECT c1.query_id, c1.item AS a, c2.item AS b, ${cos("ea", "eb")} AS cs
+         |  FROM cands c1 JOIN cands c2 ON c1.query_id = c2.query_id AND c1.item != c2.item
+         |  JOIN embeddings ea ON ea.vec_id = c1.item
+         |  JOIN embeddings eb ON eb.vec_id = c2.item),
+         |p1 AS (SELECT query_id, item, rel, 0.7 * rel - (1.0 - 0.7) * 0.0 AS mmr FROM (
+         |  SELECT query_id, item, rel, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY 0.7 * rel - (1.0 - 0.7) * 0.0 DESC, item) AS rn FROM cands) WHERE rn = 1),
+         |picked1 AS (SELECT query_id, item FROM p1),
+         |$steps
+         |$finals
+         |ORDER BY query, rank""".stripMargin
+    }) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val cands = graft.operators.Ann.bruteForceTopK(
           emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 10)

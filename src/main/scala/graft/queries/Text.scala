@@ -190,6 +190,60 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // t6's value-checked complement: the REAL FMM kernel behind a DuckDB
+    // oracle. The documents table has no CJK text, so both engines build
+    // identical pure-CJK strings from the bundled lexicon (7 consecutive
+    // dictionary words rotated by doc_id) and segment them — Spark with
+    // the native Segment expression, the oracle with a recursive CTE
+    // replaying forward-maximum-matching from first principles (longest
+    // dict match >= 2 chars at each position, else one char). The rotation
+    // deliberately lines up compound entries (战争+和平 vs 战争与和平,
+    // 黑暗+森林 vs 黑暗森林), so FMM's greedy cross-word merges are part
+    // of the checked value, not just clean word-boundary recovery.
+    Q("t6b_fmm_segment", {
+      val words = graft.functions.TextFunctions.defaultCjkDict
+      val n = words.length
+      val wl = words.map(w => s"'$w'").mkString("[", ",", "]")
+      val built = (0 until 7).map(k =>
+        s"list_element($wl, CAST((doc_id + $k) % $n + 1 AS INTEGER))")
+        .mkString(" ||\n        |    ")
+      s"""WITH RECURSIVE
+         |w AS (SELECT unnest($wl) AS word),
+         |docs AS (SELECT doc_id,
+         |    $built AS text
+         |  FROM documents WHERE doc_id < 40),
+         |fmm AS (
+         |  SELECT doc_id, text, CAST(1 AS BIGINT) AS pos,
+         |    CAST(0 AS BIGINT) AS n_segments, '' AS segs
+         |  FROM docs
+         |  UNION ALL
+         |  SELECT doc_id, text,
+         |    pos + coalesce((SELECT max(len(word)) FROM w
+         |                    WHERE len(word) >= 2
+         |                      AND substr(text, CAST(pos AS INTEGER), len(word)) = word), 1),
+         |    n_segments + 1,
+         |    segs || CASE WHEN segs = '' THEN '' ELSE '|' END ||
+         |      substr(text, CAST(pos AS INTEGER),
+         |        CAST(coalesce((SELECT max(len(word)) FROM w
+         |                       WHERE len(word) >= 2
+         |                         AND substr(text, CAST(pos AS INTEGER), len(word)) = word), 1) AS INTEGER))
+         |  FROM fmm WHERE pos <= len(text))
+         |SELECT doc_id, n_segments, segs AS segments
+         |FROM fmm WHERE pos > len(text) ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val words = graft.functions.TextFunctions.defaultCjkDict
+      val n = words.length
+      val wordAt = (k: Int) => element_at(array(words.map(lit): _*),
+        ((col("doc_id") + lit(k)) % lit(n) + 1).cast("int"))
+      val segs = segment(col("ctext"))
+      Tables.documents(s, d).where(col("doc_id") < 40)
+        .select(col("doc_id"), concat((0 until 7).map(wordAt): _*).as("ctext"))
+        .select(col("doc_id"),
+          size(segs).cast("long").as("n_segments"),
+          array_join(segs, "|").as("segments"))
+        .orderBy("doc_id")
+    },
+
     // TF-IDF weighting (the standard upgrade of the reference's raw BoW
     // counts): per-doc term frequency x smoothed corpus idf, statistics
     // computed over the FULL corpus, output restricted to doc_id < 100 —

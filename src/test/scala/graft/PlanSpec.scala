@@ -192,6 +192,39 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("runtime bloom filter: selective dim filter injects a bloom probe into the fact scan") {
+    // The 100 TB fact-fact story when the filtered side is too big to
+    // broadcast: Spark's runtime row-level filter builds a bloom filter
+    // from the creation side's join keys and probes it BEFORE the fact
+    // side's shuffle, cutting shuffle volume by the filter's selectivity.
+    // The engine leans on this (SCALING.md relational core), so pin that
+    // the injection actually fires on our scan+join shape. Session-local
+    // confs on a newSession: thresholds opened so the sf0.001 fixture
+    // qualifies (at real scale the defaults — 10 GB application side /
+    // 10 MB creation side — gate it to where it pays).
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val d = "/root/testdata/sf0.001"
+    val li = s2.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = s2.read.parquet(s"$d/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"bloom probe missing on the fact (application) side:\n$p")
+    assert(p.contains("bloom_filter_agg"),
+      s"bloom build missing on the filtered (creation) side:\n$p")
+    assert(j.collect().head.getLong(1) > 0, "query must still return rows")
+  }
+
   test("J7: maxDfFraction adds the df-prune semi-ish join before pair generation") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
