@@ -250,12 +250,8 @@ object Ann {
     // everywhere (a distributed fit here costs ~15 scheduler round-trips
     // per call for a few-hundred-row problem; measured 10 s → ~3 s on the
     // bench). The corpus-sized work below stays fully distributed.
-    val sampled: Array[Array[Double]] = data
-      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
-      .orderBy(xxhash64(col("cid"), lit(seed))).limit(nCentroids * 20)
-      .select(col("cvec")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    if (sampled.isEmpty) {
+    val centsOpt = trainCentroids(data, idCol, vecCol, nCentroids, seed)
+    if (centsOpt.isEmpty) {
       // empty input → empty result with the output schema, like every
       // other operator here
       return spark.createDataFrame(
@@ -270,18 +266,7 @@ object Ann {
           org.apache.spark.sql.types.StructField("rank",
             org.apache.spark.sql.types.IntegerType))))
     }
-    val centers = lloyd(sampled, math.min(nCentroids, sampled.length), iters = 10)
-    val centerRows = centers.zipWithIndex.map { case (c, i) =>
-      org.apache.spark.sql.Row(i, c.toSeq)
-    }.toSeq
-    val cents = spark.createDataFrame(
-      spark.sparkContext.parallelize(centerRows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cid",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("cvec",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType)))))
+    val cents = centsOpt.get
     // one centroid scoring pass: rn == 1 is the home cell (assignment),
     // rn <= nProbe are the probe cells — no second cross join. The cell
     // join and dedup carry ids only; vectors re-attach afterwards (same
@@ -408,6 +393,94 @@ object Ann {
   /** Nearest `nCells` centroid ids per vector via broadcast centroid join;
     * keeps `rn` so callers can distinguish the home cell (rn == 1) from
     * probe cells. */
+  /** Seeded coarse-centroid training shared by [[ivfTopK]] and
+    * [[buildIvfIndex]]: a BOUNDED hash-ordered sample (nCentroids · 20
+    * rows) to the driver, local Lloyd's — the way IVF quantizers train
+    * everywhere (see [[ivfTopK]]'s rationale). None on empty input. */
+  private def trainCentroids(data: DataFrame, idCol: String, vecCol: String,
+                             nCentroids: Int, seed: Long): Option[DataFrame] = {
+    val spark = data.sparkSession
+    val sampled: Array[Array[Double]] = data
+      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
+      .orderBy(xxhash64(col("cid"), lit(seed))).limit(nCentroids * 20)
+      .select(col("cvec")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    if (sampled.isEmpty) return None
+    val centers = lloyd(sampled, math.min(nCentroids, sampled.length), iters = 10)
+    val centerRows = centers.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
+    }.toSeq
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(centerRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))))
+  }
+
+  /** Build a PERSISTED IVF index under `dir` — the serving-plane form of
+    * [[ivfTopK]]: centroid training and the corpus-sized home-cell
+    * assignment are paid ONCE at build time, and every later query batch
+    * reads only the tiny centroid table plus the probed posting
+    * partitions. Layout:
+    *
+    *   dir/centroids.parquet — (cid, cvec), nCentroids rows
+    *   dir/postings.parquet  — (id, v) partitioned BY home cell, so a
+    *     probe of p cells is a partition-pruned scan of p/nCentroids of
+    *     the corpus bytes (the parquet-native analogue of FAISS's
+    *     inverted lists)
+    *
+    * At 100 TB this is the difference between re-assigning the corpus per
+    * query batch (ivfTopK's self-join form, right for one-shot all-pairs
+    * work) and an O(|batch| · probed-fraction) incremental read. */
+  def buildIvfIndex(data: DataFrame, idCol: String, vecCol: String,
+                    dir: String, nCentroids: Int = 16,
+                    seed: Long = 42L): Unit = {
+    val cents = trainCentroids(data, idCol, vecCol, nCentroids, seed)
+      .getOrElse(throw new IllegalArgumentException(
+        "buildIvfIndex: input is empty — nothing to index"))
+    cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    // assignment reads the centroids BACK from the written file, so the
+    // persisted index is self-consistent even if training were re-run
+    val spark = data.sparkSession
+    val centsBack = spark.read.parquet(s"$dir/centroids.parquet")
+    assignCells(data, idCol, vecCol, centsBack, nCells = 1)
+      .where(col("rn") === 1)
+      .select(col("id"), col("v"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/postings.parquet")
+  }
+
+  /** Query a [[buildIvfIndex]] index: assign each query to its `nProbe`
+    * nearest centroids (broadcast of the centroid table — no corpus
+    * work), equi-join the probed cells against the posting lists, exact
+    * cosine + per-query top-k. Same output contract and ranking as
+    * [[ivfTopK]]/[[bruteForceTopK]]; with nProbe == nCentroids the result
+    * is exactly brute force. Query vectors ride the probe join (bounded:
+    * nProbe rows per query); posting vectors come off the scan that reads
+    * them anyway — no second corpus join. */
+  def queryIvfIndex(queries: DataFrame, idCol: String, vecCol: String,
+                    dir: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val post = spark.read.parquet(s"$dir/postings.parquet")
+    val qcells = assignCells(queries, idCol, vecCol, cents, nProbe)
+      .select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
+    val cand = qcells
+      .join(post.select(col("cell"), col("id").as("neighbor_id"),
+        col("v").as("cv")), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   private def assignCells(data: DataFrame, idCol: String, vecCol: String,
                           cents: DataFrame, nCells: Int): DataFrame = {
     val scored = data.select(col(idCol).as("id"), col(vecCol).as("v"))

@@ -531,6 +531,73 @@ object Relational {
           count(lit(1)).as("n_lines"))
     },
 
+    // Q15-shape top supplier: quarterly revenue per supplier, then the
+    // supplier(s) hitting the GLOBAL max — the scalar-subquery
+    // decorrelation probe. Spark-first: the revenue aggregate is computed
+    // once, its 1-row max is broadcast back as an equi-filter (no second
+    // scan of the fact table, no nested-loop subquery). Integer cents
+    // keep the max comparison bit-stable.
+    Q("q15_top_supplier",
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")
+      val rev = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents).as("total_cents"))
+      val mx = rev.agg(max(col("total_cents")).as("mx"))
+      rev.join(broadcast(mx), col("total_cents") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+        .orderBy("s_suppkey")
+    },
+
+    // Q17-shape small-quantity revenue: lines whose quantity is under 20%
+    // of their part's average — the correlated-aggregate decorrelation
+    // probe, written as the plan Spark SHOULD produce (per-part average
+    // aggregated once, joined back; never a per-row subquery). Quantities
+    // are integral, so the average is an exact-long sum over a count and
+    // the 0.2·avg comparison is bit-stable in both engines.
+    Q("q17_small_quantity_revenue",
+      """WITH pq AS (SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS avg_q
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN pq ON pq.l_partkey = lineitem.l_partkey
+        |WHERE p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+        |  AND l_quantity < 0.2 * avg_q""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val pq = li.groupBy(col("l_partkey"))
+        .agg((sum(col("l_quantity").cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_q"))
+      li.join(broadcast(Tables.part(s, d)
+          .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(pq.withColumnRenamed("l_partkey", "pq_partkey"),
+          col("l_partkey") === col("pq_partkey"))
+        .where(col("l_quantity") < lit(0.2) * col("avg_q"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("total_cents"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // Q12-shape priority audit: among late shipments (shipped >= 60 days
     // after the order date), count high- vs low-priority lines per line
     // status — the two-way conditional aggregate. One fact-fact shuffle on

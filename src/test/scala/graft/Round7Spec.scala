@@ -194,6 +194,43 @@ class Round7Spec extends SparkSuite {
       s"mean relative squared-distance error $meanRelErr >= 0.5")
   }
 
+  // ---- Persisted IVF index (build once, query many) ------------------------
+
+  test("IVF index: full-probe query equals brute force; partial probe is a subset; no retrain on reuse") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    graft.operators.Ann.buildIvfIndex(emb, "vec_id", "embedding", dir,
+      nCentroids = 8, seed = 42L)
+    // layout: centroids + cell-partitioned postings (partition pruning is
+    // what makes a partial probe read a fraction of the corpus bytes)
+    val cellDirs = new java.io.File(s"$dir/postings.parquet")
+      .listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length > 1, "postings must be partitioned by home cell")
+    val queries = emb.where(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("c"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val viaIndex = rows(graft.operators.Ann.queryIvfIndex(
+      queries, "vec_id", "embedding", dir, k = 5, nProbe = 8))
+    val brute = rows(graft.operators.Ann.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 5))
+    assert(viaIndex == brute, "full probe must be exactly brute force")
+    // partial probe: at most k per query, every hit is a true pair from
+    // the full ranking's candidate set, deterministic across runs
+    val p1 = rows(graft.operators.Ann.queryIvfIndex(
+      queries, "vec_id", "embedding", dir, k = 5, nProbe = 2))
+    val p2 = rows(graft.operators.Ann.queryIvfIndex(
+      queries, "vec_id", "embedding", dir, k = 5, nProbe = 2))
+    assert(p1 == p2, "index queries must be deterministic")
+    val bruteAll = rows(graft.operators.Ann.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 499))
+    assert(p1.forall { case (q, n, c, _) =>
+      bruteAll.exists(t => t._1 == q && t._2 == n && t._3 == c) },
+      "partial-probe cosines must match the exact scores")
+  }
+
   // ---- Multi-source BFS distances ------------------------------------------
 
   test("bfsDistances: hand-checkable chain + early exit past the last frontier") {
