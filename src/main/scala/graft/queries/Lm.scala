@@ -171,7 +171,71 @@ object Lm {
     // counts, lexicographic tie-break); BpeTrainSpec hand-traces the
     // classic low/lower/newest/widest corpus and round-trips the learned
     // table through the t13 apply expression.
-    Q.rowsOnly("t20_bpe_train") { (s, d) =>
+    // Value-checked via a 24-stage UNROLLED replay of the Sennrich loop:
+    // stage i re-applies the i−1 already-picked merges to the vocabulary
+    // (the same recursive-CTE BPE apply as the t13 oracle, with the merge
+    // list carried as a column — DuckDB lambdas cannot hold subqueries),
+    // explodes adjacent pairs, and takes the count-weighted argmax with
+    // the lexicographic tie-break. Each stage's single-row pick feeds the
+    // next stage's merge list as scalar subqueries; ml/d/p CTEs are
+    // MATERIALIZED or the shared-prefix recomputation is exponential in
+    // the stage count (measured: >5 min inlined, 0.6 s materialized).
+    // The oracle presumes all 24 merges are learnable on the gate corpus
+    // (they are; the early-stop path is pinned in BpeTrainSpec).
+    Q("t20_bpe_train", {
+      val n = 24
+      def stage(i: Int): String = {
+        val ml =
+          if (i == 1) "CAST([] AS VARCHAR[])"
+          else (1 until i).map(j => s"(SELECT pr FROM p$j)")
+            .mkString("[", ",", "]")
+        val rks =
+          s"""[coalesce(nullif(list_position(ml, parts[k + 1] || ' ' || parts[k + 2]), 0), 999999)
+             |         for k in range(len(parts) - 1)]""".stripMargin
+        s"""ml$i AS MATERIALIZED (SELECT $ml AS ml),
+           |b$i AS (
+           |  SELECT word, regexp_split_to_array(word, '') AS parts, ml
+           |  FROM v0 CROSS JOIN ml$i
+           |  UNION ALL
+           |  SELECT word,
+           |    list_concat(list_concat(parts[1:bi - 1],
+           |      [parts[bi] || parts[bi + 1]]), parts[bi + 2:len(parts)]),
+           |    ml
+           |  FROM (
+           |    SELECT word, parts, ml,
+           |      list_position(rks, list_min(rks)) AS bi, list_min(rks) AS br
+           |    FROM (SELECT word, parts, ml, $rks AS rks
+           |          FROM b$i WHERE len(parts) >= 2))
+           |  WHERE br != 999999),
+           |d$i AS MATERIALIZED (
+           |  SELECT word, parts FROM (
+           |    SELECT word, parts,
+           |      CASE WHEN len(parts) < 2 THEN true ELSE
+           |        list_min($rks) = 999999 END AS fin
+           |    FROM b$i) WHERE fin),
+           |p$i AS MATERIALIZED (
+           |  SELECT w1, w2, w1 || ' ' || w2 AS pr FROM (
+           |    SELECT u.pair[1] AS w1, u.pair[2] AS w2, sum(v0.cnt) AS n
+           |    FROM d$i JOIN v0 USING (word),
+           |      LATERAL (SELECT unnest([[parts[k + 1], parts[k + 2]]
+           |        for k in range(len(parts) - 1)]) AS pair) u
+           |    GROUP BY 1, 2)
+           |  WHERE n >= 2 ORDER BY n DESC, w1, w2 LIMIT 1)""".stripMargin
+      }
+      val stages = (1 to n).map(stage).mkString(",\n")
+      val finals = (1 to n).map(i =>
+        s"SELECT CAST(${i - 1} AS BIGINT) AS rank, w1, w2 FROM p$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE
+         |v0 AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+         |    FROM documents)
+         |  WHERE word != '' GROUP BY word),
+         |$stages
+         |$finals
+         |ORDER BY rank""".stripMargin
+    }) { (s, d) =>
       val merges = graft.model.BpeTrain.learn(
         Tables.documents(s, d), "text", numMerges = 24)
       import s.implicits._

@@ -1038,10 +1038,45 @@ object Similarity {
     },
 
     // Int8-quantized brute force + exact shortlist re-rank: the memory-
-    // bandwidth path (coarse pass reads 1/4 the bytes). Quantization is
-    // engine arithmetic → rows-only; recall + cosine-error bounds vs ann1
-    // are asserted in QuantAnnSpec.
-    Q.rowsOnly("ann4_quantized_topk") { (s, d) =>
+    // bandwidth path (coarse pass reads 1/4 the bytes). Fully
+    // value-checked: the oracle replays symmetric quantization — Java's
+    // Math.round IS floor(x + 0.5), spelled exactly that way in SQL
+    // (DuckDB round() is half-away-from-zero and diverges on negative
+    // .5 boundaries) — the integer int8 cosine (dots ≤ 64·127² are exact
+    // in doubles), the k·4 shortlist window, and the float re-rank.
+    // Recall + cosine-error bounds vs ann1 stay in QuantAnnSpec.
+    Q("ann4_quantized_topk",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS ma FROM v),
+        |q AS (SELECT vec_id,
+        |        list_transform(e, x -> floor(x * (127.0 / ma) + 0.5)) AS qv
+        |      FROM m),
+        |qsum AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nn FROM q),
+        |coarse AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CASE WHEN a.nn = 0 OR b.nn = 0 THEN 0.0
+        |         ELSE list_dot_product(a.qv, b.qv) / (sqrt(a.nn) * sqrt(b.nn)) END AS qcos
+        |  FROM qsum a JOIN qsum b ON a.vec_id != b.vec_id
+        |  WHERE a.vec_id < 20),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(qcos, 6) DESC, neighbor_id) AS crank
+        |  FROM coarse) WHERE crank <= 20),
+        |rescored AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    list_dot_product(va.e, vb.e)
+        |      / (sqrt(list_dot_product(va.e, va.e))
+        |         * sqrt(list_dot_product(vb.e, vb.e))) AS cosine
+        |  FROM short s JOIN v va ON va.vec_id = s.query_id
+        |  JOIN v vb ON vb.vec_id = s.neighbor_id)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+        |  CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(cosine, 6) DESC, neighbor_id) AS rank
+        |  FROM rescored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Ann.quantizedTopK(emb.where(col("vec_id") < 20), emb,
           "vec_id", "embedding", k = 5)

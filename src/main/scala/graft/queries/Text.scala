@@ -11,6 +11,52 @@ import graft.functions.TextFunctions._
   * built-ins — codegen'd, no UDFs. */
 object Text {
 
+  /** The t13/t23 merge table (fixed English digraphs). */
+  private val bpeMerges = Seq(("t", "h"), ("th", "e"), ("i", "n"),
+    ("a", "n"), ("an", "d"), ("in", "g"), ("e", "r"), ("o", "n"),
+    ("r", "e"), ("o", "u"), ("s", "t"), ("e", "n"))
+
+  /** DuckDB CTE block replaying [[graft.expressions.BpeTokenize]] from
+    * first principles: per whitespace word, repeatedly merge the LEFTMOST
+    * occurrence of the LOWEST-RANK adjacent pair (rank = position in the
+    * merge table), one merge per recursive step, until no pair matches.
+    * Ends with `done(doc_id, wi, parts)` — the final parts list per word.
+    * Shared by the t13 and t23 oracles so the two replays cannot drift. */
+  private def bpeDoneCtes(merges: Seq[(String, String)]): String = {
+    val ml = merges.map { case (a, b) => s"'$a $b'" }.mkString("[", ",", "]")
+    val rks =
+      s"""[coalesce(nullif(list_position($ml, parts[i + 1] || ' ' || parts[i + 2]), 0), 999999)
+         |         for i in range(len(parts) - 1)]""".stripMargin
+    s"""words AS (
+       |  SELECT doc_id, wi, word FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word,
+       |      generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS wi
+       |    FROM documents)
+       |  WHERE word != ''),
+       |bpe AS (
+       |  SELECT doc_id, wi, regexp_split_to_array(word, '') AS parts
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, wi,
+       |    list_concat(list_concat(parts[1:bi - 1],
+       |      [parts[bi] || parts[bi + 1]]), parts[bi + 2:len(parts)])
+       |  FROM (
+       |    SELECT doc_id, wi, parts,
+       |      list_position(rks, list_min(rks)) AS bi, list_min(rks) AS br
+       |    FROM (
+       |      SELECT doc_id, wi, parts,
+       |        $rks AS rks
+       |      FROM bpe WHERE len(parts) >= 2))
+       |  WHERE br != 999999),
+       |done AS (
+       |  SELECT doc_id, wi, parts FROM (
+       |    SELECT doc_id, wi, parts,
+       |      CASE WHEN len(parts) < 2 THEN true ELSE
+       |        list_min($rks) = 999999 END AS fin
+       |    FROM bpe) WHERE fin)""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // F1/F2/F3/F8 + token stats: tokenization and counting (reference doc
@@ -618,15 +664,23 @@ object Text {
     // Real BPE subword segmentation (merge-table application — the
     // algorithm t2's regex heuristic approximates): token counts + the
     // leading tokens per document under a fixed English-digraph merge
-    // table. The greedy merge loop is engine-side (plan-embedded table,
-    // primitive per-word loop) → rows-only; semantics pinned in BpeSpec.
-    Q.rowsOnly("t13_bpe_tokenize") { (s, d) =>
+    // table. VALUE-CHECKED end to end: the oracle replays the classic
+    // greedy loop — merge the LEFTMOST occurrence of the LOWEST-RANK
+    // adjacent pair, one merge per step — in a recursive CTE whose state
+    // is the per-word parts list (rank = list_position in the merge
+    // table; leftmost-lowest via list_position(rks, list_min(rks));
+    // splice via list slicing). BpeSpec keeps the hand-computed pins.
+    Q("t13_bpe_tokenize",
+      s"""WITH RECURSIVE
+         |${bpeDoneCtes(bpeMerges)},
+         |agg AS (SELECT doc_id, flatten(list(parts ORDER BY wi)) AS toks
+         |        FROM done GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe,
+         |  array_to_string(toks[1:8], ' ') AS head_toks
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
-        ("an", "d"), ("in", "g"), ("e", "r"), ("o", "n"), ("r", "e"),
-        ("o", "u"), ("s", "t"), ("e", "n"))
       val toks = column(graft.expressions.BpeTokenize(
-        expression(lower(col("text"))), merges))
+        expression(lower(col("text"))), bpeMerges))
       Tables.documents(s, d)
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_bpe"),
@@ -982,16 +1036,23 @@ object Text {
     // Tokenizer fertility audit: characters per BPE token by language —
     // the "is this tokenizer efficient on this corpus slice" number that
     // drives vocab decisions (CJK under an English-digraph merge table
-    // shows near-1.0 fertility: nothing merges). Engine-side BPE →
-    // rows-only; the merge table is t13's, so BpeSpec's goldens pin the
-    // tokenization itself.
-    Q.rowsOnly("t23_tokenizer_fertility") { (s, d) =>
+    // shows near-1.0 fertility: nothing merges). Value-checked via the
+    // same recursive-CTE BPE replay as t13 (shared bpeDoneCtes, so the
+    // two oracles cannot drift); avg(nc/nt) reorder noise is ~1e-15,
+    // inside the checker's 1e-9 — the g1-pagerank argument.
+    Q("t23_tokenizer_fertility",
+      s"""WITH RECURSIVE
+         |${bpeDoneCtes(bpeMerges)},
+         |cnt AS (SELECT doc_id, CAST(sum(len(parts)) AS DOUBLE) AS nt
+         |        FROM done GROUP BY doc_id)
+         |SELECT lang,
+         |  round(avg(CAST(length(text) AS DOUBLE) / nt), 4) AS chars_per_token,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens
+         |FROM documents JOIN cnt USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
-        ("an", "d"), ("in", "g"), ("e", "r"), ("o", "n"), ("r", "e"),
-        ("o", "u"), ("s", "t"), ("e", "n"))
       val toks = column(graft.expressions.BpeTokenize(
-        expression(lower(col("text"))), merges))
+        expression(lower(col("text"))), bpeMerges))
       Tables.documents(s, d)
         .select(col("lang"), length(col("text")).cast("double").as("nc"),
           size(toks).cast("double").as("nt"))
