@@ -5,6 +5,24 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
+/** FNV-1a-64 over a string's Unicode code points, driver/executor-side —
+  * the same fold as [[Fnv1a64]]'s eval and [[graft.queries.Q.fnvSql]]'s
+  * SQL replay, shared so seeded structures (projection sign matrices, LSH
+  * sign planes) can be generated identically in Scala and rebuilt in a
+  * DuckDB oracle. */
+object Fnv {
+  def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h ^ cp) * 0x100000001b3L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
 /** Sparse random projection (Achlioptas 2003, JL lemma): maps an
   * `array<double>` embedding of any input dimension down to `outDim`
   * components via a seeded ±1/0 sign matrix,
@@ -47,17 +65,6 @@ case class SparseRandomProject(child: Expression, outDim: Int, seed: Long)
   @transient private lazy val signCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
 
-  private def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      h = (h ^ cp) * 0x100000001b3L
-      i += Character.charCount(cp)
-    }
-    h
-  }
-
   private def signs(dIn: Int): Array[Double] =
     signCache.computeIfAbsent(dIn, { d =>
       val m = new Array[Double](d * outDim)
@@ -65,7 +72,7 @@ case class SparseRandomProject(child: Expression, outDim: Int, seed: Long)
       while (i < d) {
         var j = 0
         while (j < outDim) {
-          val h = fnv1a64(s"$seed:$i:$j")
+          val h = Fnv.hash64(s"$seed:$i:$j")
           val r = ((h % 6) + 6) % 6
           m(i * outDim + j) =
             if (r == 0) 1.0 else if (r == 1) -1.0 else 0.0

@@ -197,6 +197,38 @@ object Ann {
         math.max(4, math.min(16,
           math.ceil(math.log(math.max(n, 64L) / 8.0) / math.log(2.0)).toInt))
     val planes = hyperplanes(dim, tables, nBits, seed)
+    lshWithPlanes(vecs, k, planes)
+  }
+
+  /** [[lshTopK]] with SIGN planes (components ±1 from the FNV-1a-64 fold
+    * over "seed:t:j:i") instead of gaussian directions — random sign
+    * projections are a standard LSH family with the same collision-
+    * probability monotonicity, and the FNV derivation makes the ENTIRE
+    * pipeline (signatures → bucket join → exact re-rank) replayable in
+    * plain SQL: the ann2b gate rebuilds the planes and hash-matches every
+    * output row. Gaussian [[lshTopK]] stays the production default. */
+  def lshTopKSignPlanes(data: DataFrame, idCol: String, vecCol: String,
+                        k: Int, dim: Int, tables: Int, bits: Int,
+                        seed: Long = 42L): DataFrame = {
+    require(tables >= 1 && bits >= 1 && bits <= 62,
+      s"need tables >= 1 and bits in [1, 62] (got $tables, $bits)")
+    val vecs = data.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    vecs.count()
+    val planes = Seq.tabulate(tables, bits) { (t, j) =>
+      Array.tabulate(dim) { i =>
+        val h = graft.expressions.Fnv.hash64(s"$seed:$t:$j:$i")
+        if (((h % 2) + 2) % 2 == 0L) 1.0 else -1.0
+      }
+    }
+    lshWithPlanes(vecs, k, planes)
+  }
+
+  /** Shared LSH core: signatures from the given planes, id-only bucket
+    * join, exact cosine re-rank. `vecs` must be a persisted (id, v)
+    * frame; released here once the caller-owned result materializes. */
+  private def lshWithPlanes(vecs: DataFrame, k: Int,
+                            planes: Seq[Seq[Array[Double]]]): DataFrame = {
     val sigCols = planes.zipWithIndex.map { case (tablePlanes, t) =>
       val sig = tablePlanes.zipWithIndex.map { case (h, j) =>
         val hc = array(h.map(lit): _*)

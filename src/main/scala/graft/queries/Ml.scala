@@ -245,8 +245,22 @@ object Ml {
     },
 
     // Multimodal frame sampling: one row per byte-range "frame" per media
-    // item (the plan shape of video frame extraction).
-    Q.rowsOnly("mm2_frame_sample") { (s, d) =>
+    // item (the plan shape of video frame extraction). Value-checked: the
+    // emitted columns are byte-range LENGTHS, so the oracle replays the
+    // frame geometry arithmetically — frame_len = trunc(n/4) (Spark's
+    // double-divide + int cast truncates; DuckDB's plain CAST rounds),
+    // frame k spans min(1024, n − k·fl) bytes, empty frames filtered.
+    Q("mm2_frame_sample",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |             octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT media_id, n,
+        |        greatest(CAST(trunc(n / 4) AS INTEGER), 1) AS fl FROM m),
+        |fr AS (SELECT media_id, CAST(k AS BIGINT) AS frame_no,
+        |         CAST(least(1024, n - k * fl) AS BIGINT) AS frame_bytes
+        |       FROM f CROSS JOIN range(4) t(k)
+        |       WHERE n - k * fl > 0)
+        |SELECT media_id, frame_no, frame_bytes FROM fr
+        |ORDER BY media_id, frame_no""".stripMargin) { (s, d) =>
       val packed = Multimodal.pack(Tables.documents(s, d), "doc_id", "text")
       Multimodal.sampleFrames(packed, n = 4)
         .select(col("media_id"), col("frame_no").cast("long"),

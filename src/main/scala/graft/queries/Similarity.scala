@@ -964,6 +964,57 @@ object Similarity {
         .orderBy("query_id", "rank")
     },
 
+    // ann2's value-checked complement: the SAME LSH pipeline (signature
+    // → bucket self-join → exact cosine re-rank) with SIGN planes from
+    // the FNV fold over "seed:t:j:i" — a standard LSH family whose
+    // derivation the oracle can rebuild. Every surviving (query,
+    // neighbor, cosine, rank) row hash-matches; what stays spec-gated in
+    // ann2 is only the gaussian plane generator. Approximate BY DESIGN:
+    // both engines drop the same non-colliding pairs.
+    Q("ann2b_lsh_sign_planes",
+      s"""WITH dims AS (SELECT CAST(i AS BIGINT) AS i FROM range(64) t(i)),
+         |bits AS (SELECT CAST(j AS BIGINT) AS j FROM range(6) t(j)),
+         |tabs AS (SELECT CAST(t AS BIGINT) AS t FROM range(4) t(t)),
+         |pl AS (SELECT t, j, i,
+         |         CASE ((hv % 2) + 2) % 2 WHEN 0 THEN 1.0 ELSE -1.0 END AS s
+         |       FROM (SELECT tabs.t, bits.j, dims.i,
+         |               ${Q.fnvSql("'42:' || t || ':' || j || ':' || i")} AS hv
+         |             FROM tabs CROSS JOIN bits CROSS JOIN dims)),
+         |terms AS (SELECT e.vec_id, p.t, p.j, p.i,
+         |            CAST(e.embedding[p.i + 1] AS DOUBLE) * p.s AS term
+         |          FROM embeddings e CROSS JOIN pl p),
+         |dots AS (SELECT vec_id, t, j,
+         |           list_reduce(list_prepend(0.0, list(term ORDER BY i)),
+         |             (a, b) -> a + b) AS d
+         |         FROM terms GROUP BY vec_id, t, j),
+         |sigs AS (SELECT vec_id, t,
+         |           CAST(sum((CASE WHEN d >= 0 THEN 1 ELSE 0 END)
+         |             * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS sig
+         |         FROM dots GROUP BY vec_id, t),
+         |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |         FROM sigs a JOIN sigs b
+         |           ON a.t = b.t AND a.sig = b.sig AND a.vec_id != b.vec_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+         |      / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+         |         * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) AS cosine
+         |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.query_id
+         |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+         |  CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(cosine, 6) DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      Ann.lshTopKSignPlanes(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 5, dim = 64, tables = 4, bits = 6, seed = 42L)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // IVF-style coarse-quantized ANN (seeded centroids, nProbe cells).
     Q.rowsOnly("ann3_ivf_topk") { (s, d) =>
       Ann.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
