@@ -1150,6 +1150,36 @@ object Similarity {
         .orderBy("query_id", "rank")
     },
 
+    // ann5's value-checked complement (the ann3b playbook applied to PQ):
+    // a SATURATED shortlist (k · 400 ≥ any gate/bench corpus) forces the
+    // exact re-rank to cover every candidate, so the output must equal
+    // brute force whatever the codebooks quantized — gating the PQ
+    // encode/score/shortlist/re-rank machinery end to end. What stays
+    // spec-bounded in ann5 is only the codebook quality (recall at a
+    // REAL shortlist, PqAnnSpec).
+    Q("ann5b_pq_saturated",
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 20 AND a.vec_id != b.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+        |             CAST(row_number() OVER (PARTITION BY query_id
+        |               ORDER BY round(cosine, 6) DESC, neighbor_id) AS BIGINT) AS rank
+        |           FROM pairs)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Ann.pqTopK(emb.where(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 5, m = 8, nCodes = 32,
+          shortlistFactor = 400)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // Edit-distance fuzzy join (typo-tolerant matching): the string-level
     // near-dup metric shingle operators miss — a 1-char edit disturbs up to
     // n shingles but is distance 1 here. Query-vs-corpus broadcast with the
