@@ -585,6 +585,40 @@ object Olap {
         .orderBy("id")
     },
 
+    // Typed Aggregator surface (SURVEY §2.9 bucket 4): per-nation top-3
+    // customers by balance via [[graft.functions.Aggregators.TopKByScore]]
+    // — a k-BOUNDED single-pass object aggregation (partial buffers carry
+    // at most k items per key into the shuffle; the Dataset-native
+    // counterpart of WindowGroupLimit). The ordering (score desc, id asc)
+    // is total, so merge order cannot change the result and the window-
+    // form SQL oracle hash-matches exactly.
+    Q("a28_typed_topk",
+      """WITH ranked AS (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nation, CAST(rnk AS BIGINT) AS rnk,
+        |  c_custkey, round(c_acctbal, 2) AS acctbal
+        |FROM ranked WHERE rnk <= 3 ORDER BY nation, rnk""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.Aggregators.{Scored, TopKByScore}
+      Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("_1"),
+          col("c_custkey").as("_2"), col("c_acctbal").as("_3"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(t => Scored(t._2, t._3))
+        .agg(new TopKByScore(3).toColumn.name("top"))
+        .flatMap { case (nation, tops) =>
+          tops.zipWithIndex.map { case (sc, i) =>
+            (nation, (i + 1).toLong, sc.id, sc.score) } }
+        .toDF("nation", "rnk", "c_custkey", "acctbal")
+        .select(col("nation"), col("rnk"), col("c_custkey"),
+          round(col("acctbal"), 2).as("acctbal"))
+        .orderBy("nation", "rnk")
+    },
+
     // Multi-source BFS hop distances on the same co-occurrence graph
     // (sources = vertices with id < 100, 3 hops) — "how far is every
     // part from the seed set", the reachability primitive behind

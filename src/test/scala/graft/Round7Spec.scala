@@ -194,6 +194,43 @@ class Round7Spec extends SparkSuite {
       s"mean relative squared-distance error $meanRelErr >= 0.5")
   }
 
+  // ---- Typed Aggregator (SURVEY §2.9 bucket 4) -----------------------------
+
+  test("TopKByScore: equals the window form, buffers stay k-bounded, plans object aggregation") {
+    import graft.functions.Aggregators.{Scored, TopKByScore}
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001")
+    val typed = cust
+      .select(col("c_nationkey").cast("long").as("_1"),
+        col("c_custkey").as("_2"), col("c_acctbal").as("_3"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => Scored(t._2, t._3))
+      .agg(new TopKByScore(3).toColumn.name("top"))
+    // plan: typed agg goes through partial+final ObjectHashAggregate /
+    // SortAggregate — the map-side combine that carries <= k items per
+    // key per task into the shuffle
+    val planStr = typed.queryExecution.executedPlan.toString
+    assert(planStr.contains("Aggregate"), s"expected an aggregate plan:\n$planStr")
+    val viaAgg = typed.collect().flatMap { case (nation, tops) =>
+      tops.zipWithIndex.map { case (s, i) => (nation, i + 1, s.id, s.score) }
+    }.toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val viaWindow = cust
+      .select(col("c_nationkey").cast("long").as("n"), col("c_custkey"),
+        col("c_acctbal"), row_number().over(w).as("rnk"))
+      .where(col("rnk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1),
+        r.getDouble(2))).toSet
+    assert(viaAgg == viaWindow, "typed Aggregator must equal the window form")
+    // reduce keeps the running buffer bounded at k (the partial-agg
+    // shuffle bound)
+    val a = new TopKByScore(2)
+    val grown = (1 to 10).foldLeft(a.zero)((b, i) => a.reduce(b, Scored(i.toLong, i.toDouble)))
+    assert(grown.length == 2 && grown.map(_.id).toSet == Set(9L, 10L))
+  }
+
   // ---- Persisted IVF index (build once, query many) ------------------------
 
   test("IVF index: full-probe query equals brute force; partial probe is a subset; no retrain on reuse") {
