@@ -819,6 +819,38 @@ object Text {
         .orderBy("bucket", "pack_id")
     },
 
+    // E2E4 — the first VALUE-CHECKED member of the e2e family: real BPE
+    // tokenization (t13's merge table) feeding sequence packing (s12's
+    // bucket-parallel cumsum) in one DAG — the "tokenize the corpus,
+    // lay it out in 1024-token training windows" step, with the oracle
+    // chaining the recursive BPE replay into the pack arithmetic. The
+    // other e2e pipelines stay rows-only because they embed engine
+    // hashing or learned models; this one is exact end to end.
+    Q("e2e4_tokenize_pack",
+      s"""WITH RECURSIVE
+         |${bpeDoneCtes(bpeMerges)},
+         |cnt AS (SELECT doc_id, CAST(sum(len(parts)) AS BIGINT) AS n
+         |        FROM done GROUP BY doc_id),
+         |t AS (SELECT doc_id, doc_id % 8 AS bucket, n FROM cnt),
+         |c AS (SELECT doc_id, bucket, n,
+         |        sum(n) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+         |      FROM t)
+         |SELECT bucket, CAST((cum - n) // 1024 AS BIGINT) AS pack_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY bucket, pack_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val toks = column(graft.expressions.BpeTokenize(
+        expression(lower(col("text"))), bpeMerges))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("bucket"),
+          size(toks).cast("long").as("n"))
+      graft.operators.Packing.contiguousPack(docs, "n", maxTokens = 1024L,
+          bucketCol = col("bucket"), orderCol = col("doc_id"))
+        .groupBy("bucket", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .orderBy("bucket", "pack_id")
+    },
+
     // Misra-Gries heavy-hitters as a native Catalyst aggregate (the
     // bounded-memory vocabulary audit: k counters per partition, short
     // merged summaries — vs t9's full |distinct|-wide shuffle). With
