@@ -268,6 +268,50 @@ class Round7Spec extends SparkSuite {
       "partial-probe cosines must match the exact scores")
   }
 
+  test("streaming ANN serve: micro-batches query the persisted IVF index (stream-static)") {
+    // The serving composition the index exists for: the corpus-sized work
+    // happened at BUILD time; each micro-batch of query ids only reads
+    // the centroid table + its probed posting partitions. Full probe here
+    // so the streamed answers are checkable against brute force.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("ivfserve").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    graft.operators.Ann.buildIvfIndex(emb, "vec_id", "embedding", dir,
+      nCentroids = 8, seed = 42L)
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Int)]
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val q = input.toDS.toDF("vec_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val withVecs = batch.join(emb, "vec_id")
+        val hits = graft.operators.Ann.queryIvfIndex(
+            withVecs, "vec_id", "embedding", dir, k = 3, nProbe = 8)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            r.getDouble(2), r.getInt(3)))
+        results.synchronized { results ++= hits }
+        ()
+      }
+      .start()
+    try {
+      input.addData(1L, 2L)
+      q.processAllAvailable()
+      input.addData(3L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val brute = graft.operators.Ann.bruteForceTopK(
+        emb.where(col("vec_id").isin(1L, 2L, 3L)), emb,
+        "vec_id", "embedding", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(results.toSet == brute,
+      s"streamed index answers must equal brute force; got ${results.size} rows")
+    assert(results.size == 9, "3 queries x k=3 across two micro-batches")
+  }
+
   // ---- Multi-source BFS distances ------------------------------------------
 
   test("bfsDistances: hand-checkable chain + early exit past the last frontier") {
