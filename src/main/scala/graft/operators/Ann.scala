@@ -267,7 +267,17 @@ object Ann {
 
   /** IVF-style ANN: sample `nCentroids` seed vectors as coarse centroids,
     * assign every vector to its nearest centroid (broadcast centroid table),
-    * probe the `nProbe` nearest cells per query, exact-rank within them. */
+    * probe the `nProbe` nearest cells per query, exact-rank within them.
+    *
+    * LANE CONTRACT (measured in SCALING.md's 10× ANN rehearsal): in this
+    * all-pairs form with balanced √n-sized cells the candidate volume is
+    * Σ|cell|² = n^1.5 — fine for gate/oracle work and bounded batches,
+    * WRONG for all-pairs dedup at corpus scale, where [[lshTopK]]'s
+    * banded candidates stay ~linear (measured exponent 0.71 vs 1.36).
+    * IVF's scale lane is QUERY-BATCH probing ([[queryIvfIndex]] /
+    * [[ivfThresholdHits]]): per-query cost scales with the probed
+    * fraction nProbe/nCentroids, which shrinks as the index grows
+    * (measured 2.0× at a 10× corpus). */
   def ivfTopK(data: DataFrame, idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               seed: Long = 42L): DataFrame = {

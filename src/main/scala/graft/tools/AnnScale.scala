@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+/** ANN-family 10× scale rehearsal (the similarity-stack companion to
+  * `Scale10x`/`SuffixScale`'s dedup curve in SCALING.md): times the
+  * PRODUCTION ANN paths at 1× and N× vector counts on the sign-flip
+  * replica corpus (within-replica cosine structure exactly preserved).
+  *
+  * Paths timed — each with its documented scale knob applied, because the
+  * rehearsal's point is whether the knobs hold, not whether fixed
+  * parameters break:
+  *  - lshTopK: auto-sized bits (log2(n/8)) — bucket fanout stays ~linear;
+  *  - ivfTopK: nCentroids = ~sqrt(n), nProbe 4;
+  *  - buildIvfIndex + queryIvfIndex(100 queries): the build-once cost vs
+  *    the per-batch probe cost — the latter should scale with the probed
+  *    FRACTION, not the corpus;
+  *  - bruteForceTopK (20 queries): the linear-in-n baseline.
+  *
+  * Usage: AnnScale <dir1x> <dirNx>
+  * Timing: cold cache, warm JVM; 3 runs each, prints all three — read the
+  * median of runs 2-3 as steady state (same protocol as TimeOne).
+  */
+object AnnScale {
+  def main(args: Array[String]): Unit = {
+    val Array(d1, dN) = args.take(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(tag: String)(body: => Long): Unit =
+      (1 to 3).foreach { i =>
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        val rows = body
+        println(f"ANNSCALE $tag run$i ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+      }
+
+    for ((dir, tag) <- Seq((d1, "1x"), (dN, "10x"))) {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      println(s"== $tag: $n vectors ==")
+      val cents = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+      time(s"$tag lshTopK_auto") {
+        val out = Ann.lshTopK(emb, "vec_id", "embedding", k = 5, dim = 64)
+        val c = out.count(); out.unpersist(); c
+      }
+      time(s"$tag ivfTopK_sqrtN") {
+        val out = Ann.ivfTopK(emb, "vec_id", "embedding", k = 5,
+          nCentroids = cents, nProbe = 4)
+        val c = out.count(); out.unpersist(); c
+      }
+      val idx = s"/tmp/annscale_idx_$tag"
+      time(s"$tag buildIvfIndex") {
+        Ann.buildIvfIndex(emb, "vec_id", "embedding", idx,
+          nCentroids = cents)
+        spark.read.parquet(s"$idx/postings.parquet").count()
+      }
+      time(s"$tag queryIvfIndex_100q") {
+        Ann.queryIvfIndex(emb.where(col("vec_id") < 100), "vec_id",
+          "embedding", idx, k = 5, nProbe = 4).count()
+      }
+      time(s"$tag bruteForce_20q") {
+        Ann.bruteForceTopK(emb.where(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 5).count()
+      }
+    }
+    spark.stop()
+  }
+}
