@@ -241,6 +241,15 @@ object TextFunctions {
         ipv4Re, "<IP>"),
       longDigitsRe, "<NUM>")
 
+  /** Consistent email pseudonymization — same address ⇒ same surrogate
+    * corpus-wide, so referential structure survives the privacy pass
+    * ([[graft.expressions.PseudonymizeEmails]]; contrast [[redactPii]],
+    * which collapses every address to one token). */
+  def pseudonymizeEmails(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expressions.PseudonymizeEmails(expression(text)))
+  }
+
   /** Pre-redaction PII hit counts (audit surface: find documents worth
     * redacting, measure PII density per source). */
   def piiCounts(text: Column): Column =

@@ -819,6 +819,33 @@ object Text {
         .orderBy("bucket", "pack_id")
     },
 
+    // Consistent pseudonymization (the privacy op redaction can't do:
+    // same address ⇒ same surrogate corpus-wide, so joins and per-user
+    // aggregation survive the pass). The corpus ships no PII, so both
+    // engines CONSTRUCT identical email-bearing text per customer (the
+    // t6b playbook) — each address appears twice, so the oracle's
+    // replace() also checks within-document consistency; the surrogate
+    // is rebuilt from the same FNV fold.
+    Q("t28_pseudonymize",
+      s"""WITH t AS (SELECT c_custkey,
+         |    'contact user' || c_custkey || '@corp.example or user' || c_custkey
+         |      || '@corp.example ref ' || c_custkey AS text,
+         |    'user' || c_custkey || '@corp.example' AS email
+         |  FROM customer),
+         |tok AS (SELECT c_custkey, text, email,
+         |    'user_' || CAST(((hv % 100000) + 100000) % 100000 AS VARCHAR)
+         |      || '@redacted.example' AS token
+         |  FROM (SELECT t.*, ${Q.fnvSql("email")} AS hv FROM t))
+         |SELECT c_custkey, replace(text, email, token) AS pseudo
+         |FROM tok ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val email = concat(lit("user"), col("c_custkey"), lit("@corp.example"))
+      val text = concat(lit("contact "), email, lit(" or "), email,
+        lit(" ref "), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), pseudonymizeEmails(text).as("pseudo"))
+        .orderBy("c_custkey")
+    },
+
     // E2E4 — the first VALUE-CHECKED member of the e2e family: real BPE
     // tokenization (t13's merge table) feeding sequence packing (s12's
     // bucket-parallel cumsum) in one DAG — the "tokenize the corpus,

@@ -194,6 +194,27 @@ class Round7Spec extends SparkSuite {
       s"mean relative squared-distance error $meanRelErr >= 0.5")
   }
 
+  // ---- Pseudonymization (consistent surrogates) ----------------------------
+
+  test("pseudonymizeEmails: corpus-wide consistency, distinct surrogates, non-PII untouched") {
+    import graft.functions.TextFunctions.pseudonymizeEmails
+    val df = Seq(
+      (1L, "mail a@x.com now"),
+      (2L, "again a@x.com and b@y.org"),
+      (3L, "no pii here, not even half@way")).toDF("id", "t")
+    val out = df.select(col("id"), pseudonymizeEmails(col("t")).as("p"))
+      .orderBy("id").collect().map(_.getString(1))
+    val tokRe = "user_\\d+@redacted\\.example".r
+    val t1 = tokRe.findFirstIn(out(0)).get
+    val row2 = tokRe.findAllIn(out(1)).toSeq
+    assert(row2.size == 2, s"two addresses pseudonymized: ${out(1)}")
+    assert(row2.head == t1, "same address must map to the same surrogate everywhere")
+    assert(row2(1) != t1, "different addresses must get different surrogates")
+    assert(out(0) == s"mail $t1 now", "surrounding text untouched")
+    assert(out(2) == "no pii here, not even half@way",
+      "non-address text (no TLD) must pass through verbatim")
+  }
+
   // ---- Typed Aggregator (SURVEY §2.9 bucket 4) -----------------------------
 
   test("TopKByScore: equals the window form, buffers stay k-bounded, plans object aggregation") {
