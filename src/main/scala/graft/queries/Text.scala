@@ -878,6 +878,36 @@ object Text {
         .orderBy("bucket", "pack_id")
     },
 
+    // Count-min sketch word frequencies — the MERGEABLE point-query
+    // frequency sketch (incremental corpora sum sketches; Misra-Gries
+    // answers top-k, CMS answers "how often is THIS key"). Built with
+    // Spark's distributed count_min_sketch aggregate (partial sketches
+    // merge associatively — the same map-side-combine story as HLL),
+    // probed driver-side for the OBSERVED vocabulary (bounded here; at
+    // 100 TB you probe known keys, never enumerate). With width 2/eps =
+    // 20,000 against a 31-word vocabulary, collisions are absent for
+    // this seed and CMS's one-sided error is ZERO — so the gate
+    // hash-matches the exact-count oracle; eviction-regime guarantees
+    // live with the Misra-Gries spec family.
+    Q("a29_count_min",
+      """SELECT word, CAST(count(*) AS BIGINT) AS est
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |      FROM documents)
+        |WHERE word != '' GROUP BY word ORDER BY word""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .where(col("word") =!= "")
+      val skBytes = words
+        .agg(expr("count_min_sketch(word, 0.0001d, 0.999d, 42)"))
+        .head().getAs[Array[Byte]](0)
+      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val vocab = words.distinct().as[String].collect().sorted
+      vocab.toSeq.map(w => (w, sk.estimateCount(w)))
+        .toDF("word", "est").orderBy("word")
+    },
+
     // Misra-Gries heavy-hitters as a native Catalyst aggregate (the
     // bounded-memory vocabulary audit: k counters per partition, short
     // merged summaries — vs t9's full |distinct|-wide shuffle). With
