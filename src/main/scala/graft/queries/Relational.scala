@@ -598,6 +598,36 @@ object Relational {
           count(lit(1)).as("n_lines"))
     },
 
+    // Q19-shape disjunctive revenue: an OR of three conjunctive
+    // brand/size/quantity clauses — the predicate shape that breaks
+    // naive pushdown (only the per-side residues of the OR tree can
+    // reach each scan; the cross-table conjuncts must evaluate
+    // post-join). One broadcast dim join, integer-cents total.
+    Q("q19_disjunctive_revenue",
+      """SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin) { (s, d) =>
+      def clause(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+          col("l_quantity") >= qLo && col("l_quantity") <= qHi
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .where(clause("Brand#12", 5, 1, 11) ||
+          clause("Brand#23", 10, 10, 20) ||
+          clause("Brand#34", 15, 20, 30))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("total_cents"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // Q12-shape priority audit: among late shipments (shipped >= 60 days
     // after the order date), count high- vs low-priority lines per line
     // status — the two-way conditional aggregate. One fact-fact shuffle on

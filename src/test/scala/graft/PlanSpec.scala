@@ -225,6 +225,34 @@ class PlanSpec extends SparkSuite {
     assert(j.collect().head.getLong(1) > 0, "query must still return rows")
   }
 
+  test("dynamic partition pruning: a filtered dim join prunes fact partitions at runtime") {
+    // THE partitioned-fact optimization at 100 TB: when the fact table is
+    // partitioned on the join key and the dim side carries a selective
+    // filter, Spark injects a dynamicpruning subquery so the fact scan
+    // reads only the partitions the dim rows can match — partition
+    // elimination decided at RUNTIME, not plan time. Pin that our
+    // partitioned-sink layout actually triggers it.
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    // force the non-broadcast-reuse path decision to still prune:
+    s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    val li = s2.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .withColumn("bucket", org.apache.spark.sql.functions.pmod(col("l_orderkey"), org.apache.spark.sql.functions.lit(16L)))
+    li.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val fact = s2.read.parquet(dir)
+    val dim = s2.range(0, 16).toDF("bucket")
+      .where(col("bucket") < 3)   // selective dim filter
+    val j = fact.join(dim, Seq("bucket")).groupBy("bucket").count()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+      s"expected a dynamic partition pruning subquery on the fact scan:\n$p")
+    assert(j.collect().map(_.getLong(1)).sum > 0)
+  }
+
   test("J7: maxDfFraction adds the df-prune semi-ish join before pair generation") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
