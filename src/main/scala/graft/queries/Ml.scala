@@ -275,7 +275,23 @@ object Ml {
     // bit-exactly. Input synthesis is driver-side by necessity (the
     // testdata ships no media files); decode itself is the native
     // executor-side WavFeatures expression.
-    Q.rowsOnly("mm3_wav_decode") { (s, d) =>
+    // VALUE-CHECKED against the synthesis ground truth: the inputs are
+    // engine-built square waves with closed-form stats (amp = i·327 of
+    // full scale ⇒ rms == peak == i·327/32768 EXACTLY — power-of-two
+    // division, 15-bit squares, and an exact-square sqrt are all
+    // IEEE-exact), so the oracle computes what a correct decoder MUST
+    // emit from doc-id arithmetic alone; the corrupt row must be null.
+    Q("mm3_wav_decode",
+      """WITH ok AS (
+        |  SELECT CAST(i AS BIGINT) AS media_id,
+        |    8000 AS sample_rate, CAST(400 AS BIGINT) AS n_samples,
+        |    round((i * 327) / 32768.0, 6) AS rms,
+        |    round((i * 327) / 32768.0, 6) AS peak
+        |  FROM range(1, 65) t(i))
+        |SELECT * FROM ok
+        |UNION ALL
+        |SELECT 65, NULL, NULL, NULL, NULL
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
       import s.implicits._
       def wav(amp: Short): Array[Byte] = {
         val samples = Array.tabulate[Short](400)(j =>
@@ -306,7 +322,31 @@ object Ml {
     // one pass. Pixel (x,y) of image i is ((i*7+x*13+y*29)%256, ...), so
     // the channel means are exactly recomputable — PngSpec pins them
     // bit-exactly; this gate row-counts and regression-tracks the values.
-    Q.rowsOnly("mm4_png_decode") { (s, d) =>
+    // VALUE-CHECKED against the synthesis ground truth: pixel (x,y) of
+    // image i is a pure mod-256 formula, so per-channel sums (integer,
+    // order-free, exact in doubles) and the single /12240.0 normalization
+    // are recomputable without touching a byte — a correct DEFLATE +
+    // five-filter reconstruction MUST reproduce them; the non-PNG row
+    // must be null.
+    Q("mm4_png_decode",
+      """WITH px AS (
+        |  SELECT CAST(i.i AS BIGINT) AS media_id, x.x, y.y
+        |  FROM range(1, 65) i(i) CROSS JOIN range(8) x(x) CROSS JOIN range(6) y(y)),
+        |sums AS (SELECT media_id,
+        |    sum((media_id * 7 + x * 13 + y * 29) % 256) AS sr,
+        |    sum((media_id * 11 + x * 3 + y * 17) % 256) AS sg,
+        |    sum((media_id * 5 + x * 23 + y * 7) % 256) AS sb
+        |  FROM px GROUP BY media_id),
+        |ok AS (SELECT media_id, CAST(8 AS BIGINT) AS width,
+        |    CAST(6 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+        |    round(CAST(sr AS DOUBLE) / (8.0 * 6 * 255.0), 6) AS mean_r,
+        |    round(CAST(sg AS DOUBLE) / (8.0 * 6 * 255.0), 6) AS mean_g,
+        |    round(CAST(sb AS DOUBLE) / (8.0 * 6 * 255.0), 6) AS mean_b
+        |  FROM sums)
+        |SELECT * FROM ok
+        |UNION ALL
+        |SELECT 65, NULL, NULL, NULL, NULL, NULL, NULL
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val imgs = (1 to 64).map(i => (i.toLong, Ml.pngRgb(8, 6) { (x, y) =>
         ((i * 7 + x * 13 + y * 29) % 256,
@@ -385,7 +425,41 @@ object Ml {
     // detection and trailer stop in one gate. duration = n_frames *
     // 1152 / sample_rate exactly; Mp3Spec pins every value bit-exactly,
     // this gate row-counts and regression-tracks them.
-    Q.rowsOnly("mm7_mp3_headers") { (s, d) =>
+    // VALUE-CHECKED against the synthesis ground truth: every output is a
+    // pure function of the frame parameters the fixture encodes (ISO
+    // 11172-3 table B.2 inlined as VALUES; duration = n·1152/rate; mean
+    // bitrate = exact integer kbps sum over frames; VBR iff the index
+    // sequence mixes) — a spec-correct header walk MUST reproduce them,
+    // ID3v2 skip, padding slots, and TAG trailer included. Non-MPEG row
+    // must be null.
+    Q("mm7_mp3_headers",
+      """WITH kb AS (SELECT * FROM (VALUES (1, 32), (2, 40), (3, 48), (4, 56),
+        |    (5, 64), (6, 80), (7, 96), (8, 112), (9, 128), (10, 160),
+        |    (11, 192), (12, 224), (13, 256), (14, 320)) t(idx, kbps)),
+        |ids AS (SELECT CAST(i AS BIGINT) AS media_id,
+        |    20 + i % 8 AS n, i % 3 AS sr_idx,
+        |    CASE WHEN i % 2 = 0 THEN 1 ELSE 2 END AS n_channels,
+        |    i % 5 = 0 AS is_vbr, 1 + i % 14 AS cbr_idx
+        |  FROM range(1, 49) t(i)),
+        |r AS (SELECT media_id, n, n_channels, is_vbr,
+        |    CASE sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate,
+        |    CASE WHEN is_vbr
+        |         THEN CAST(((n + 1) // 2) * 128 + (n // 2) * 192 AS DOUBLE) / n
+        |         ELSE CAST((SELECT kbps FROM kb WHERE idx = cbr_idx) AS DOUBLE)
+        |    END AS bitrate
+        |  FROM ids),
+        |ok AS (SELECT media_id, 'MPEG1' AS version, CAST(3 AS BIGINT) AS layer,
+        |    CAST(rate AS BIGINT) AS sample_rate,
+        |    CAST(n_channels AS BIGINT) AS n_channels,
+        |    CAST(n AS BIGINT) AS n_frames,
+        |    round(n * 1152.0 / rate, 6) AS duration_s,
+        |    round(bitrate, 3) AS bitrate_kbps,
+        |    is_vbr AS vbr
+        |  FROM r)
+        |SELECT * FROM ok
+        |UNION ALL
+        |SELECT 49, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val streams = (1 to 48).map { i =>
         val n = 20 + i % 8
