@@ -400,7 +400,25 @@ object Ml {
     // extraction shape (mm2's byte-range form remains the stub for
     // codec-less formats). Palette-exact solid colors → deterministic
     // means; GifSpec (in ImageSpec.scala) pins per-frame values.
-    Q.rowsOnly("mm6_gif_frames") { (s, d) =>
+    // VALUE-CHECKED against the synthesis ground truth: solid-color
+    // frames mean the decoded per-channel mean equals the palette color
+    // exactly (64·c / 16320.0 and c / 255.0 round the same real number,
+    // so the doubles are identical); n=2 of 4 frames samples indices
+    // {0, 2}; the non-GIF row must surface as one null row
+    // (explode_outer contract).
+    Q("mm6_gif_frames",
+      """WITH f AS (SELECT CAST(i AS BIGINT) AS media_id,
+        |    CAST(fr AS BIGINT) AS frame_no
+        |  FROM range(1, 33) t(i) CROSS JOIN (VALUES (0), (2)) v(fr)),
+        |ok AS (SELECT media_id, frame_no, CAST(8 AS BIGINT) AS width,
+        |    round(((media_id * 29 + frame_no * 61) % 256) / 255.0, 6) AS mean_r,
+        |    round(((media_id * 47 + frame_no * 13) % 256) / 255.0, 6) AS mean_g,
+        |    round(((media_id * 7 + frame_no * 31) % 256) / 255.0, 6) AS mean_b
+        |  FROM f)
+        |SELECT * FROM ok
+        |UNION ALL
+        |SELECT 33, NULL, NULL, NULL, NULL, NULL
+        |ORDER BY media_id, frame_no""".stripMargin) { (s, d) =>
       import s.implicits._
       val gifs = (1 to 32).map { i =>
         val cols = (0 until 4).map(f => (((i * 29 + f * 61) % 256) << 16) |
