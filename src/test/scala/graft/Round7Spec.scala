@@ -289,6 +289,29 @@ class Round7Spec extends SparkSuite {
       "partial-probe cosines must match the exact scores")
   }
 
+  test("queryIvfIndex: the postings scan is dynamically partition-pruned to the probed cells") {
+    // The layout claim, pinned: because postings are PARTITIONED BY home
+    // cell and the probe side joins on cell, Spark injects a
+    // dynamicpruning expression into the postings FileScan — a partial
+    // probe physically reads only the probed cells' files, which is the
+    // whole point of the persisted-index layout at 100 TB.
+    val dir = java.nio.file.Files.createTempDirectory("ivfdpp").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    graft.operators.Ann.buildIvfIndex(emb, "vec_id", "embedding", dir,
+      nCentroids = 8, seed = 42L)
+    val q = graft.operators.Ann.queryIvfIndex(
+      emb.where(col("vec_id") < 5), "vec_id", "embedding", dir,
+      k = 3, nProbe = 2)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    val postingsScanLines = plan.split("\n")
+      .filter(l => l.contains("postings.parquet"))
+    assert(postingsScanLines.nonEmpty, s"postings scan not found:\n$plan")
+    assert(postingsScanLines.exists(_.contains("dynamicpruning")),
+      "postings scan must carry a dynamicpruning partition filter on cell; " +
+        s"got:\n${postingsScanLines.mkString("\n")}")
+  }
+
   test("streaming ANN serve: micro-batches query the persisted IVF index (stream-static)") {
     // The serving composition the index exists for: the corpus-sized work
     // happened at BUILD time; each micro-batch of query ids only reads
