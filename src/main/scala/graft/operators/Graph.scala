@@ -87,12 +87,23 @@ object Graph {
     * lesson: persist alone does not truncate the analyzed plan, and an
     * iteration referencing the prior frame twice doubles the plan per
     * round), so plan size stays constant in `maxHops`. Terminates early
-    * when a frontier empties. Caller-owned-result cache contract (as
-    * [[connectedComponents]]/`lshTopK`): the returned frame reads one
-    * persisted settled set; unpersist via the returned plan when done. */
+    * when a frontier empties. The returned frame reads one persisted
+    * settled set whose handle this overload does NOT expose — use
+    * [[bfsDistancesStaged]] and call `release()` after the last
+    * downstream action to free it (same contract as
+    * [[connectedComponentsStaged]]/[[Dedup.dedupCorpusStaged]]). */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    sources: DataFrame, sourceCol: String,
-                   maxHops: Int): DataFrame = {
+                   maxHops: Int): DataFrame =
+    bfsDistancesStaged(edges, srcCol, dstCol, sources, sourceCol, maxHops).df
+
+  /** [[bfsDistances]] with the cache-release hook exposed: `release()`
+    * unpersists the final settled set the returned plan reads (the
+    * returned frame is a LogicalRDD cut over it, so `.unpersist()` on the
+    * frame itself would be a no-op). */
+  def bfsDistancesStaged(edges: DataFrame, srcCol: String, dstCol: String,
+                         sources: DataFrame, sourceCol: String,
+                         maxHops: Int): Dedup.Staged = {
     require(maxHops >= 0 && maxHops <= 64,
       s"maxHops must be in [0, 64] (got $maxHops)")
     val spark = edges.sparkSession
@@ -128,7 +139,10 @@ object Graph {
       hop += 1
     }
     e.unpersist()
-    settled.select(col("id"), col("dist").cast("long").as("dist"))
+    val last = prev                        // final persisted settled set
+    Dedup.Staged(
+      settled.select(col("id"), col("dist").cast("long").as("dist")),
+      () => if (last != null) { last.unpersist(); () })
   }
 
   /** Per-vertex triangle counts (vertices in ≥1 triangle), via the

@@ -825,7 +825,10 @@ object Text {
     // engines CONSTRUCT identical email-bearing text per customer (the
     // t6b playbook) — each address appears twice, so the oracle's
     // replace() also checks within-document consistency; the surrogate
-    // is rebuilt from the same FNV fold.
+    // is the FULL unsigned-64-bit keyed FNV (no mod-1e5 truncation —
+    // r7 advice: 1e5 birthday-collides at ~370 addresses), rebuilt by
+    // the oracle from the gate key + the same FNV fold. DuckDB renders
+    // the unsigned value via HUGEINT offset of the signed BIGINT.
     Q("t28_pseudonymize",
       s"""WITH t AS (SELECT c_custkey,
          |    'contact user' || c_custkey || '@corp.example or user' || c_custkey
@@ -833,16 +836,19 @@ object Text {
          |    'user' || c_custkey || '@corp.example' AS email
          |  FROM customer),
          |tok AS (SELECT c_custkey, text, email,
-         |    'user_' || CAST(((hv % 100000) + 100000) % 100000 AS VARCHAR)
+         |    'user_' || CAST(CASE WHEN hv < 0
+         |        THEN CAST(hv AS HUGEINT) + 18446744073709551616::HUGEINT
+         |        ELSE CAST(hv AS HUGEINT) END AS VARCHAR)
          |      || '@redacted.example' AS token
-         |  FROM (SELECT t.*, ${Q.fnvSql("email")} AS hv FROM t))
+         |  FROM (SELECT t.*, ${Q.fnvSql("'gate-r8|' || email")} AS hv FROM t))
          |SELECT c_custkey, replace(text, email, token) AS pseudo
          |FROM tok ORDER BY c_custkey""".stripMargin) { (s, d) =>
       val email = concat(lit("user"), col("c_custkey"), lit("@corp.example"))
       val text = concat(lit("contact "), email, lit(" or "), email,
         lit(" ref "), col("c_custkey"))
       Tables.customer(s, d)
-        .select(col("c_custkey"), pseudonymizeEmails(text).as("pseudo"))
+        .select(col("c_custkey"),
+          pseudonymizeEmails(text, key = "gate-r8|").as("pseudo"))
         .orderBy("c_custkey")
     },
 
@@ -882,29 +888,37 @@ object Text {
     // frequency sketch (incremental corpora sum sketches; Misra-Gries
     // answers top-k, CMS answers "how often is THIS key"). Built with
     // Spark's distributed count_min_sketch aggregate (partial sketches
-    // merge associatively — the same map-side-combine story as HLL),
-    // probed driver-side for the OBSERVED vocabulary (bounded here; at
-    // 100 TB you probe known keys, never enumerate). With width 2/eps =
-    // 20,000 against a 31-word vocabulary, collisions are absent for
-    // this seed and CMS's one-sided error is ZERO — so the gate
-    // hash-matches the exact-count oracle; eviction-regime guarantees
-    // live with the Misra-Gries spec family.
+    // merge associatively — the same map-side-combine story as HLL).
+    // The probe key set is BOUNDED (r7 verdict item: distinct().collect()
+    // of the vocabulary is a driver OOM at 100 TB): one pass computes
+    // BOTH the sketch and a Misra-Gries candidate set (≤ k items on the
+    // driver, whatever the corpus size), and only those candidates are
+    // probed. Gate regime: k = 4096 >> |vocabulary| ⇒ no MG eviction, the
+    // candidate set IS the vocabulary, and with CMS width 2/eps = 20,000
+    // collisions are absent for this seed — one-sided error ZERO, so the
+    // gate hash-matches the exact-count oracle; eviction-regime
+    // guarantees live with the Misra-Gries spec family.
     Q("a29_count_min",
       """SELECT word, CAST(count(*) AS BIGINT) AS est
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
         |      FROM documents)
         |WHERE word != '' GROUP BY word ORDER BY word""".stripMargin) { (s, d) =>
-      import s.implicits._
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
       val words = Tables.documents(s, d)
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
         .where(col("word") =!= "")
-      val skBytes = words
-        .agg(expr("count_min_sketch(word, 0.0001d, 0.999d, 42)"))
-        .head().getAs[Array[Byte]](0)
+      val row = words.agg(
+        expr("count_min_sketch(word, 0.0001d, 0.999d, 42)").as("sk"),
+        column(graft.expressions.MisraGriesTopK(
+          expression(col("word")), 4096).toAggregateExpression()).as("hh"))
+        .head()
       val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(skBytes))
-      val vocab = words.distinct().as[String].collect().sorted
-      vocab.toSeq.map(w => (w, sk.estimateCount(w)))
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("sk")))
+      val probes = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("hh")
+        .map(_.getAs[String]("item")).sorted
+      val s2 = words.sparkSession
+      import s2.implicits._
+      probes.toSeq.map(w => (w, sk.estimateCount(w)))
         .toDF("word", "est").orderBy("word")
     },
 

@@ -32,40 +32,55 @@ object AnnScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time(tag: String)(body: => Long): Unit =
-      (1 to 3).foreach { i =>
-        spark.catalog.clearCache(); System.gc()
-        val t0 = System.nanoTime()
-        val rows = body
-        println(f"ANNSCALE $tag run$i ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
-      }
-
     for ((dir, tag) <- Seq((d1, "1x"), (dN, "10x"))) {
+      // `label` is the bare op name; the scale tag is prefixed HERE, once
+      // (r7 advice: call sites that re-embed the tag doubled the output)
+      def time(label: String)(body: => Long): Unit =
+        (1 to 3).foreach { i =>
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          val rows = body
+          println(f"ANNSCALE $tag $label run$i ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+        }
+
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = emb.count()
       println(s"== $tag: $n vectors ==")
       val cents = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
 
-      time(s"$tag lshTopK_auto") {
+      time("lshTopK_auto") {
         val out = Ann.lshTopK(emb, "vec_id", "embedding", k = 5, dim = 64)
         val c = out.count(); out.unpersist(); c
       }
-      time(s"$tag ivfTopK_sqrtN") {
+      time("ivfTopK_sqrtN") {
         val out = Ann.ivfTopK(emb, "vec_id", "embedding", k = 5,
           nCentroids = cents, nProbe = 4)
         val c = out.count(); out.unpersist(); c
       }
+      // the linear all-pairs lane: nCentroids ∝ n (constant ~64-vector
+      // target cell), distributed MLlib fit — Σ|cell|² = n·64 stays
+      // linear where the √n lane above is n^1.5 by construction
+      val centsLinear = math.max(16, (n / 64L).toInt)
+      time("ivfTopK_linear_mllib") {
+        val out = Ann.ivfTopK(emb, "vec_id", "embedding", k = 5,
+          nCentroids = centsLinear, nProbe = 4, distributedFit = true)
+        val c = out.count(); out.unpersist(); c
+      }
       val idx = s"/tmp/annscale_idx_$tag"
-      time(s"$tag buildIvfIndex") {
+      time("buildIvfIndex") {
+        // the count is the build's own postings job finishing — but time
+        // only the build; read the row count OUTSIDE the timed body
         Ann.buildIvfIndex(emb, "vec_id", "embedding", idx,
           nCentroids = cents)
-        spark.read.parquet(s"$idx/postings.parquet").count()
+        -1L
       }
-      time(s"$tag queryIvfIndex_100q") {
+      println(s"ANNSCALE $tag buildIvfIndex postings rows (untimed): " +
+        spark.read.parquet(s"$idx/postings.parquet").count())
+      time("queryIvfIndex_100q") {
         Ann.queryIvfIndex(emb.where(col("vec_id") < 100), "vec_id",
           "embedding", idx, k = 5, nProbe = 4).count()
       }
-      time(s"$tag bruteForce_20q") {
+      time("bruteForce_20q") {
         Ann.bruteForceTopK(emb.where(col("vec_id") < 20), emb,
           "vec_id", "embedding", k = 5).count()
       }
