@@ -15,15 +15,16 @@ import org.apache.spark.sql.functions._
   *   - REAL compressed-image decode via the JDK's built-in ImageIO
   *     readers ([[decodeImage]]: JPEG/PNG/GIF/TIFF/BMP/WBMP — java.desktop
   *     ships the codecs, no external library);
-  *   - compressed AUDIO/VIDEO (MP3/H.264) still require codec libraries
-  *     this environment lacks, so those kernels are STUBBED with
-  *     deterministic byte-derived fakes. The Spark-side plumbing is real
-  *     either way: binary columns survive shuffles/spills, metadata
-  *     travels as a struct, features come out as `array<float>` ready for
-  *     [[Ann]], and batch shape follows
-  *     `spark.sql.files.maxPartitionBytes`. Swap
-  *     [[fakeEmbed]]/[[sampleFrames]] byte-ranges for codec calls and
-  *     nothing else changes.
+  *   - REAL feature vectors via [[mediaEmbed]]: WAV → windowed RMS
+  *     energy contour; images → chunked luminance profile; only
+  *     compressed AUDIO/VIDEO sample decode (MP3/H.264) still requires
+  *     codec libraries this environment lacks, so those payloads fall to
+  *     a deterministic byte-derived stub lane (and [[sampleFrames]]
+  *     remains the byte-range stub for codec-less video). The Spark-side
+  *     plumbing is real in every lane: binary columns survive
+  *     shuffles/spills, metadata travels as a struct, features come out
+  *     as `array<float>` ready for [[Ann]], and batch shape follows
+  *     `spark.sql.files.maxPartitionBytes`.
   */
 object Multimodal {
 
@@ -43,11 +44,24 @@ object Multimodal {
   /** STUB decode → fixed-dim float features. Deterministic in the content
     * bytes (seeded per dimension via xxhash64), so tests are exact. A real
     * implementation replaces the hash with a codec + model forward pass;
-    * signature and plan shape are identical. */
+    * signature and plan shape are identical. Kept for TEXT payload
+    * embedding (s21/e2e3's deterministic corpus embeddings); media
+    * columns should use [[mediaEmbed]], which decodes for real. */
   def fakeEmbed(content: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(content, i), lit(100000L)) / lit(50000.0) - lit(1.0))
         .cast("float"))
+
+  /** REAL decode → fixed-dim float features
+    * ([[graft.expressions.MediaEmbed]]): WAV payloads yield a windowed
+    * RMS energy contour, image payloads (PNG/BMP/JPEG/GIF via ImageIO) a
+    * chunked luminance-layout profile; only codec-less formats (MP3
+    * samples, H.264) fall back to the documented deterministic hash lane.
+    * Value-checked against synthesis ground truth in the mm1b gate. */
+  def mediaEmbed(content: Column, dim: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expressions.MediaEmbed(expression(content), dim))
+  }
 
   /** STUB frame sampling: split the payload into `n` byte-range "frames"
     * (a real video decoder emits one row per sampled frame the same way). */
@@ -67,13 +81,15 @@ object Multimodal {
   def resize(content: Column, targetBytes: Int): Column =
     substring(content, 1, targetBytes)
 
-  /** Full stub featurization pipeline: pack → decode-to-features; the
+  /** Full featurization pipeline: pack → decode-to-features
+    * ([[mediaEmbed]]: real decode for WAV + every ImageIO-readable image
+    * format, deterministic hash lane only for codec-less payloads); the
     * output (media_id, meta, features) feeds [[Ann]] directly. */
   def featurize(df: DataFrame, idCol: String, payloadCol: String,
                 dim: Int = 16): DataFrame =
     pack(df, idCol, payloadCol)
       .select(col("media_id"), col("meta"),
-        fakeEmbed(col("content"), dim).as("features"))
+        mediaEmbed(col("content"), dim).as("features"))
 
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
