@@ -66,17 +66,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => ShingleHashes(es.head,
         es(1).eval().asInstanceOf[Int])),
     (FunctionIdentifier("cjk_segment"),
-      info("cjk_segment", "cjk_segment(text) - dictionary-FMM CJK segmentation"),
-      (es: Seq[Expression]) => Segment(es.head, TextFunctions.defaultCjkDict)),
+      info("cjk_segment",
+        "cjk_segment(text[, cutAll]) - dictionary CJK segmentation: FMM by default, jieba-full-mode overlap with cutAll=true"),
+      (es: Seq[Expression]) => Segment(es.head, TextFunctions.defaultCjkDict,
+        cutAll = es.lift(1).exists(_.eval() == true))),
     (FunctionIdentifier("cjk_segment_dict"),
       info("cjk_segment_dict",
-        "cjk_segment_dict(text, dictName) - FMM segmentation with a broadcast dictionary pre-registered via TextFunctions.SegmentDicts.register"),
+        "cjk_segment_dict(text, dictName[, cutAll]) - FMM (or full-mode with cutAll=true) segmentation with a broadcast dictionary pre-registered via TextFunctions.SegmentDicts.register"),
       (es: Seq[Expression]) => {
         val name = Option(es(1).eval())
           .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
           .getOrElse(throw new IllegalArgumentException(
             "cjk_segment_dict: dictName must be a non-null string literal"))
-        SegmentDict(es.head, TextFunctions.SegmentDicts.get(name))
+        SegmentDict(es.head, TextFunctions.SegmentDicts.get(name),
+          cutAll = es.lift(2).exists(_.eval() == true))
       }),
     (FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(text) - Unicode canonical composition (NFC)"),

@@ -19,6 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * on transitions. The reference's P8 filters (len >= 2, not all digits)
   * are available separately via `TextFunctions.filterTokens`.
   *
+  * `cutAll = true` switches to FULL mode — the reference's dormant jieba
+  * call is `cut_all=True` (simility_books.py:12, guessLike_u_like.py:21),
+  * which emits ALL overlapping dictionary words: at every CJK position,
+  * every dictionary word starting there (ascending length) is emitted,
+  * and a position emits its single character only when no multi-char word
+  * starts there AND no previously emitted word covers it (jieba
+  * `__cut_all` parity). Full mode is the recall-oriented indexing form
+  * (every word a query might use appears); FMM remains the default
+  * analysis form (one segmentation per span).
+  *
   * Two dictionary carriers share the kernel:
   *   - [[Segment]] embeds the word list in the expression — right for
   *     small lexicons and the SQL-registered form;
@@ -33,6 +43,8 @@ abstract class SegmentBase extends UnaryExpression with CodegenFallback {
     * is (re)built at most once per deserialized instance per executor. */
   protected def words: Set[String]
   protected def maxWordLen: Int
+  /** false = FMM (one segmentation); true = jieba-full-mode overlap. */
+  protected def cutAll: Boolean
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -53,18 +65,51 @@ abstract class SegmentBase extends UnaryExpression with CodegenFallback {
       if (Character.isWhitespace(cp)) {
         i += cw
       } else if (isCjk(cp)) {
-        // FMM: longest dictionary word starting at i, else the single
-        // code point (`matched` counts chars, so a surrogate pair advances
-        // by 2)
-        var l = math.min(maxWordLen, n - i)
-        var matched = cw
-        var found = false
-        while (l >= 2 && !found) {
-          if (words.contains(s.substring(i, i + l))) { matched = l; found = true }
-          l -= 1
+        if (!cutAll) {
+          // FMM: longest dictionary word starting at i, else the single
+          // code point (`matched` counts chars, so a surrogate pair
+          // advances by 2)
+          var l = math.min(maxWordLen, n - i)
+          var matched = cw
+          var found = false
+          while (l >= 2 && !found) {
+            if (words.contains(s.substring(i, i + l))) { matched = l; found = true }
+            l -= 1
+          }
+          out += UTF8String.fromString(s.substring(i, i + matched))
+          i += matched
+        } else {
+          // FULL mode over the maximal CJK run (jieba __cut_all parity):
+          // every dictionary word starting at each position, ascending
+          // length; a bare character only when nothing multi-char starts
+          // there and no emitted word covers it (`oldJ` = furthest
+          // emitted end, exclusive)
+          var end = i
+          while (end < n && isCjk(s.codePointAt(end)))
+            end += Character.charCount(s.codePointAt(end))
+          var k = i
+          var oldJ = i
+          while (k < end) {
+            val kcw = Character.charCount(s.codePointAt(k))
+            var emitted = false
+            var l = 2
+            val maxL = math.min(maxWordLen, end - k)
+            while (l <= maxL) {
+              if (words.contains(s.substring(k, k + l))) {
+                out += UTF8String.fromString(s.substring(k, k + l))
+                emitted = true
+                if (k + l > oldJ) oldJ = k + l
+              }
+              l += 1
+            }
+            if (!emitted && k >= oldJ) {
+              out += UTF8String.fromString(s.substring(k, k + kcw))
+              oldJ = k + kcw
+            }
+            k += kcw
+          }
+          i = end
         }
-        out += UTF8String.fromString(s.substring(i, i + matched))
-        i += matched
       } else {
         // non-CJK run: consume until whitespace or CJK
         val start = i
@@ -82,7 +127,8 @@ abstract class SegmentBase extends UnaryExpression with CodegenFallback {
 }
 
 /** Plan-embedded dictionary (small lexicons, SQL registration). */
-case class Segment(child: Expression, dict: Seq[String]) extends SegmentBase {
+case class Segment(child: Expression, dict: Seq[String],
+                   cutAll: Boolean = false) extends SegmentBase {
   @transient protected lazy val words: Set[String] = dict.toSet
   @transient protected lazy val maxWordLen: Int =
     if (dict.isEmpty) 1 else dict.map(_.length).max
@@ -95,7 +141,8 @@ case class Segment(child: Expression, dict: Seq[String]) extends SegmentBase {
   * handle; each executor materializes the word set once from the broadcast
   * blocks (fetched once per JVM), so task size is independent of lexicon
   * size. */
-case class SegmentDict(child: Expression, dictBc: Broadcast[Array[String]])
+case class SegmentDict(child: Expression, dictBc: Broadcast[Array[String]],
+                       cutAll: Boolean = false)
     extends SegmentBase {
   @transient protected lazy val words: Set[String] = dictBc.value.toSet
   @transient protected lazy val maxWordLen: Int = {

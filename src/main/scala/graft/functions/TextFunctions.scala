@@ -147,9 +147,10 @@ object TextFunctions {
     column(graft.expressions.AccentFold(expression(c)))
   }
 
-  def segment(text: Column, dict: Seq[String] = defaultCjkDict): Column = {
+  def segment(text: Column, dict: Seq[String] = defaultCjkDict,
+              cutAll: Boolean = false): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    column(graft.expressions.Segment(expression(text), dict))
+    column(graft.expressions.Segment(expression(text), dict, cutAll))
   }
 
   /** F9 at corpus scale: same FMM segmentation with the dictionary shipped
@@ -158,11 +159,12 @@ object TextFunctions {
     * dictionary (~350k entries) costs megabytes per JVM instead of
     * megabytes per task. Use this form whenever the dictionary is bigger
     * than a few hundred words. */
-  def segmentBroadcast(text: Column, dict: Seq[String])
+  def segmentBroadcast(text: Column, dict: Seq[String],
+                       cutAll: Boolean = false)
                       (implicit spark: org.apache.spark.sql.SparkSession): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val bc = spark.sparkContext.broadcast(dict.toArray)
-    column(graft.expressions.SegmentDict(expression(text), bc))
+    column(graft.expressions.SegmentDict(expression(text), bc, cutAll))
   }
 
   /** Named broadcast dictionaries, so `spark.sql` users can reach the

@@ -953,6 +953,66 @@ object Similarity {
         .orderBy("query_id", "neighbor_id")
     },
 
+    // E2E3's VALUE-CHECKED sibling (r7 verdict item 4 — the ann3b
+    // playbook applied to the whole composition): the SAME chunk → embed
+    // → IVF DAG with (a) an FNV-derived deterministic embedding the
+    // oracle can rebuild per dimension (the d4b/s11b fold) and (b) FULL
+    // probe (nProbe = nCentroids), which makes IVF exactly brute force
+    // by construction — so the oracle replays the chunker (s21's
+    // unnest/list_transform), the 16-dim FNV embedding, and all-pairs
+    // cosine top-3, and every output row hash-matches end to end. What
+    // stays rows-only in e2e3 is only the xxhash64 stub embed.
+    Q("e2e3b_rag_full_probe",
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE doc_id < 30),
+         |c AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(
+         |      CAST(ceil((len(toks) - 32) / 16.0) AS BIGINT) + 1, 1) + 1),
+         |    i -> struct_pack(ci := i - 1,
+         |      ch := toks[(i-1)*16+1:(i-1)*16+32]))) AS pc
+         |  FROM t),
+         |ch AS (SELECT doc_id || '#' || CAST(pc.ci AS VARCHAR) AS chunk_id,
+         |    array_to_string(pc.ch, ' ') AS chunk_text FROM c),
+         |dims AS (SELECT CAST(i AS BIGINT) AS i FROM range(16) t(i)),
+         |hv AS (SELECT chunk_id, i,
+         |    ${Q.fnvSql("CAST(i AS VARCHAR) || '|' || chunk_text")} AS hv
+         |  FROM ch CROSS JOIN dims),
+         |vec AS (SELECT chunk_id,
+         |    list(((hv % 100000) + 100000) % 100000 / 50000.0 - 1.0
+         |      ORDER BY i) AS v
+         |  FROM hv GROUP BY chunk_id),
+         |pairs AS (SELECT a.chunk_id AS query_id, b.chunk_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v)
+         |      / (sqrt(list_dot_product(a.v, a.v))
+         |         * sqrt(list_dot_product(b.v, b.v))) AS cosine
+         |  FROM vec a, vec b WHERE a.chunk_id != b.chunk_id),
+         |ranked AS (SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(cosine, 6) DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val docs = Tables.documents(s, d).where(col("doc_id") < 30)
+      val chunks = graft.operators.Chunker.slidingTokenChunks(
+          docs, "doc_id", "text", windowTokens = 32, strideTokens = 16)
+        .select(
+          concat(col("doc_id"), lit("#"), col("chunk_idx")).as("chunk_id"),
+          col("chunk_text"))
+      val dims = (0 until 16).map { i =>
+        val h = column(graft.expressions.Fnv1a64(expression(
+          concat(lit(s"$i|"), col("chunk_text")))))
+        pmod(h, lit(100000L)) / lit(50000.0) - lit(1.0)
+      }
+      val embedded = chunks.select(col("chunk_id"), array(dims: _*).as("v"))
+      Ann.ivfTopK(embedded, "chunk_id", "v", k = 3,
+          nCentroids = 8, nProbe = 8)   // full probe ⇒ exactly brute force
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // Random-hyperplane LSH ANN (seeded): the 100 TB path — bucket join
     // instead of cross join. Rows-only; recall vs brute force is asserted
     // in ScalaTest.

@@ -106,6 +106,49 @@ class TextFunctionsSpec extends SparkSuite {
     assert(got == Seq("三体", "黑暗森林", "与", "activity", "小王子", "123", "测试", "x"))
   }
 
+  test("F9 full mode (cutAll): all overlapping dict words, jieba parity") {
+    // jieba's canonical full-mode example: 我来到北京清华大学 with a
+    // dictionary containing the overlapping words ⇒
+    // 我/来到/北京/清华/清华大学/华大/大学 — 清华 AND 清华大学 both emitted
+    // (ascending length at one position), 华大/大学 from interior starts,
+    // 学 suppressed (covered, nothing starts there), 我 bare (uncovered).
+    val dict = Seq("来到", "北京", "清华", "清华大学", "华大", "大学")
+    val got = Seq("我来到北京清华大学").toDF("t")
+      .select(TextFunctions.segment(col("t"), dict, cutAll = true))
+      .as[Seq[String]].collect().head
+    assert(got == Seq("我", "来到", "北京", "清华", "清华大学", "华大", "大学"))
+    // FMM over the same input is the single greedy segmentation
+    val fmm = Seq("我来到北京清华大学").toDF("t")
+      .select(TextFunctions.segment(col("t"), dict))
+      .as[Seq[String]].collect().head
+    assert(fmm == Seq("我", "来到", "北京", "清华大学"))
+    // non-CJK runs are whole tokens in both modes; bare chars emitted
+    // only when uncovered
+    val mixed = Seq("清华大学abc测试").toDF("t")
+      .select(TextFunctions.segment(col("t"), dict, cutAll = true))
+      .as[Seq[String]].collect().head
+    assert(mixed == Seq("清华", "清华大学", "华大", "大学", "abc", "测", "试"))
+  }
+
+  test("F9 full mode via SQL arg and broadcast dict") {
+    implicit val s = spark
+    GraftExtensions.register(spark)
+    val sql = spark.sql(
+      "SELECT cjk_segment('三体黑暗森林', true) AS seg")
+      .as[Seq[String]].collect().head
+    // default dict contains 三体, 黑暗森林, 黑暗, 森林? — assert vs the
+    // literal-form full-mode output so the SQL arg is what's under test
+    val lit = Seq("三体黑暗森林").toDF("t")
+      .select(TextFunctions.segment(col("t"), cutAll = true))
+      .as[Seq[String]].collect().head
+    assert(sql == lit)
+    val bc = Seq("三体黑暗森林").toDF("t")
+      .select(TextFunctions.segmentBroadcast(col("t"),
+        TextFunctions.defaultCjkDict, cutAll = true))
+      .as[Seq[String]].collect().head
+    assert(bc == lit)
+  }
+
   test("F9: broadcast-dictionary segment matches the literal form at 10k+ words") {
     implicit val s = spark
     // corpus-scale lexicon: the real words plus 12k synthetic entries —
