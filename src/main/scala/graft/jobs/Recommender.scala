@@ -28,23 +28,37 @@ object Recommender {
     * corpusPostings: optional PRECOMPUTED similarity index
     * ([[Scoring.termPostings]] over `fitted.userTokens`) — pass it from a
     * serving loop so the static corpus side is not recomputed per batch. */
+  /** `serve` selects the micro-batch latency path
+    * ([[Scoring.fusedServeScore]]: zero-shuffle scoring over the
+    * deployment-lifetime broadcast index, identical results —
+    * FusedScoringSpec); build it once per deployment with
+    * [[Scoring.buildServeAssets]]. Leave None for batch scoring, where
+    * the exchange pipeline's partial aggregation is the scalable plan. */
   def recommend(fitted: RecommenderModel.Fitted, queries: DataFrame,
                 ownBooks: DataFrame, p: Params = Params(),
                 filterOwn: Boolean = true,
-                corpusPostings: Option[DataFrame] = None): Recs = {
-    val vocab = fitted.cv.vocabulary.toSet
-    val sims = Scoring.clusterCosine(queries, fitted.userTokens, Some(vocab),
-      corpusPostings)
-    val neighbors = Scoring.topNeighbors(sims, p.topFraction)
-    val votes = Scoring.discountedBookVotes(neighbors, fitted.userBooks)
-    val candidates = Scoring.topCandidates(votes, p.candidateCap)
+                corpusPostings: Option[DataFrame] = None,
+                broadcastQueries: Boolean = false,
+                serve: Option[Scoring.ServeIndex] = None): Recs = {
+    val (candidates, simUsers) = serve match {
+      case Some(idx) =>
+        Scoring.fusedServeScore(queries, idx,
+          p.topFraction, p.candidateCap, p.similarUserCap)
+      case None =>
+        val vocab = fitted.cv.vocabulary.toSet
+        val sims = Scoring.clusterCosine(queries, fitted.userTokens,
+          Some(vocab), corpusPostings, broadcastQueries = broadcastQueries)
+        val neighbors = Scoring.topNeighbors(sims, p.topFraction)
+        val votes = Scoring.discountedBookVotes(neighbors, fitted.userBooks)
+        (Scoring.topCandidates(votes, p.candidateCap),
+          Scoring.similarUsers(sims, p.similarUserCap))
+    }
     val own = if (filterOwn) ownBooks else ownBooks.limit(0)
     val blended = Blend.blend(candidates, fitted.hot, own,
       p.recCap, p.backfill, p.seed)
     val books = Blend.withFallback(blended,
       queries.select(col("userId")), fitted.hot, p.recCap)
-    val users = Blend.withUserFallback(
-      Scoring.similarUsers(sims, p.similarUserCap),
+    val users = Blend.withUserFallback(simUsers,
       queries.select(col("userId")), p.defaultUsers)
     Recs(books, users)
   }

@@ -53,29 +53,82 @@ object ServeJob {
     * ([[graft.rank.Scoring.termPostings]] over `fitted.userTokens`) — the
     * streaming path passes it so the static corpus side is built once per
     * deployment, not once per micro-batch. */
-  def scoreBatch(events: DataFrame, fitted: RecommenderModel.Fitted,
+  def scoreBatch(events0: DataFrame, fitted: RecommenderModel.Fitted,
                  collect: DataFrame, latestK: Int = 3,
                  filterCollected: Boolean = true,
                  params: Recommender.Params = Recommender.Params(),
-                 corpusPostings: Option[DataFrame] = None): Recommender.Recs = {
-    // restrict the collect snapshot to this batch's users FIRST — the
-    // snapshot is large and static, the batch is small; without the
-    // semi-join every micro-batch pays a full-table window + groupBy
-    val batchCollect = collect
-      .join(events.select(col("userId")), Seq("userId"), "left_semi")
-    val latest = Collections.latestBooks(batchCollect, latestK)
-    // payload bookIds win; otherwise the user's latest collected books
-    val queryBooks = events
-      .join(latest, events("userId") === latest("userId"), "left")
-      .select(events("userId"),
-        coalesce(events("bookIds"), latest("books")).as("books"))
-      .where(col("books").isNotNull && size(col("books")) > 0)
-    val queryDocs = Collections.userDocs(queryBooks, fitted.bookDocs)
-    val queries = RecommenderModel.assignQueries(fitted, queryDocs)
-    val collected = batchCollect.where(col("isCollect") === 1)
-      .groupBy("userId").agg(collect_set(col("bookId")).as("books"))
-    val recs = Recommender.recommend(fitted, queries, collected,
-      params, filterOwn = filterCollected, corpusPostings = corpusPostings)
+                 corpusPostings: Option[DataFrame] = None,
+                 serve: Option[graft.rank.Scoring.ServeIndex] = None,
+                 stageTimer: (String, Double) => Unit = (_, _) => ()): Recommender.Recs = {
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      stageTimer(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    // Micro-batch lane: the incoming batch frame has NO size statistics
+    // (it is a streaming source slice), so every plan that joins it
+    // assumes it is huge. One collect of the batch (bounded by the
+    // trigger size, by definition) re-creates it as a local relation
+    // with statistics, and the whole scoring DAG downstream plans small.
+    val spark = events0.sparkSession
+    import spark.implicits._
+    val (events, queries, collected) = serve match {
+      case Some(idx) =>
+        // Micro-batch lane: ONE collect of the batch (bounded by the
+        // trigger size), then the query context comes entirely out of
+        // the deployment broadcasts — latest-k books, collected sets,
+        // book docs, CV/KMeans assignment all replicated locally by
+        // [[graft.rank.Scoring.localAssign]] with batch-lane parity
+        // (FusedScoringSpec + the golden specs pin it). No per-batch
+        // plan touches the snapshot or the model tables; the local
+        // relations carry statistics, so every later join broadcasts.
+        val evRows = timed("localize_batch")(
+          events0.select(col("userId").cast("long"),
+              col("bookIds").cast("array<long>"))
+            .as[(Long, Option[Seq[Long]])].collect())
+        val ev = spark.createDataset(evRows.map(_._1).toSeq).toDF("userId")
+        val qRows = evRows.flatMap { case (uid, payload) =>
+          // non-null payload WINS even when empty (coalesce semantics of
+          // the batch lane: an empty payload filters out, it does not
+          // fall through to the latest-k context)
+          val books = payload.getOrElse(
+            idx.latest.value.get(uid).getOrElse(Seq.empty))
+          if (books.isEmpty) None
+          else graft.rank.Scoring.localAssign(idx, uid, books)
+        }
+        val q = spark.createDataset(qRows.toSeq)
+          .toDF("userId", "cluster", "tokens")
+        val ownRows = evRows.map(_._1).distinct
+          .flatMap(uid => idx.own.value.get(uid).map(b => (uid, b)))
+        val own = spark.createDataset(ownRows.toSeq).toDF("userId", "books")
+        (ev, q, own)
+      case None =>
+        // Batch lane: the distributed chain, unchanged — snapshot
+        // semi-join first (the snapshot is large and static, the batch
+        // is small; without it every micro-batch pays a full-table
+        // window + groupBy), then latest-k window, doc assembly, model
+        // assignment.
+        val batchCollect = collect
+          .join(broadcast(events0.select(col("userId"))),
+            Seq("userId"), "left_semi")
+        val latest = Collections.latestBooks(batchCollect, latestK)
+        // payload bookIds win; otherwise the user's latest collected books
+        val queryBooks = events0
+          .join(broadcast(latest), events0("userId") === latest("userId"), "left")
+          .select(events0("userId"),
+            coalesce(events0("bookIds"), latest("books")).as("books"))
+          .where(col("books").isNotNull && size(col("books")) > 0)
+        val queryDocs = Collections.userDocs(broadcast(queryBooks), fitted.bookDocs)
+        val queries0 = RecommenderModel.assignQueries(fitted, queryDocs)
+        val collected0 = batchCollect.where(col("isCollect") === 1)
+          .groupBy("userId").agg(collect_set(col("bookId")).as("books"))
+        (events0, queries0, collected0)
+    }
+    val recs = timed("recommend")(
+      Recommender.recommend(fitted, queries, collected,
+        params, filterOwn = filterCollected, corpusPostings = corpusPostings,
+        broadcastQueries = true, serve = serve))
     // ST6: every decoded event user gets an answer — users with no query
     // context (no collections, no payload books) fall back to the hot list
     // and the default similar-user ids (the reference's evident intent on
@@ -86,6 +139,15 @@ object ServeJob {
     val users = graft.rank.Blend.withUserFallback(
       recs.users, events.select(col("userId")), params.defaultUsers)
     Recommender.Recs(books, users)
+  }
+
+  /** Collect a batch-bounded frame and re-create it as a local relation:
+    * one execution of its lineage, full size statistics for the planner.
+    * ONLY for frames bounded by the micro-batch size. */
+  private def localize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
   }
 
   /** Wire a raw frame stream (value: String) through decode → score →
@@ -103,26 +165,29 @@ object ServeJob {
     * replayable source (file/Kafka-class). KV writes are at-least-once
     * across restarts — idempotent, since every write is a full-value SET
     * per user key. */
-  def start(frames: DataFrame, fitted: RecommenderModel.Fitted,
+  def start(frames: DataFrame, fitted0: RecommenderModel.Fitted,
             collect: DataFrame, kv: KVSink,
             filterCollected: Boolean = true,
             params: Recommender.Params = Recommender.Params(),
             trigger: Trigger = Trigger.AvailableNow(),
-            checkpointLocation: Option[String] = None): StreamingQuery = {
+            checkpointLocation: Option[String] = None,
+            stageTimer: (String, Double) => Unit = (_, _) => ()): StreamingQuery = {
     val decoded = EventSource.decode(frames)
-    // Build the SERVING INDEX once per deployment: the corpus side of the
-    // similarity join (term postings + norms over the model users) is
-    // batch-invariant, and recomputing it per micro-batch makes batch
-    // latency scale with corpus size instead of batch size. This is the
-    // engine form of the reference's per-cluster similarity index (its
-    // 66 s build stage, simility_compute.py via BASELINE.md) — held for
-    // the stream's lifetime, released when the deployment's session ends.
-    // At 100 TB the same frame is a materialized table bucketed by
-    // (cluster, term); MEMORY_AND_DISK is its local-mode stand-in.
-    val postings = graft.rank.Scoring
-      .termPostings(fitted.userTokens, Some(fitted.cv.vocabulary.toSet))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    postings.count() // eager: the index must not rebuild lazily mid-batch
+    // Build the SERVE INDEX once per deployment: every batch-invariant
+    // asset — inverted (cluster, term) postings, userBooks, latest-k and
+    // collected-book maps, book docs, vocabulary indexes, the fitted
+    // KMeans — is one distributed job here, collected to model-sized
+    // broadcasts (the engine form of the reference's in-memory
+    // per-cluster similarity index + its Redis u_read/u_collect state;
+    // its 66 s build stage, simility_compute.py via BASELINE.md). With
+    // the index in place a micro-batch runs ZERO corpus-sized work:
+    // scoring is one narrow executor job over the batch rows, and no
+    // per-batch plan ever rescans the snapshot or the model tables.
+    val serveIdx = graft.rank.Scoring.buildServeAssets(fitted0, collect)
+    // the hot list is collected by blend/fallback EVERY batch
+    // (Blend.collectHotIds) — as a local relation that collect is a
+    // driver-side LocalTableScan instead of a per-batch file-scan job
+    val fitted = fitted0.copy(hot = localize(fitted0.hot))
     val base = decoded.writeStream
       .outputMode("append")
     checkpointLocation.foreach(base.option("checkpointLocation", _))
@@ -131,7 +196,8 @@ object ServeJob {
         if (!batch.isEmpty) {
           val recs = scoreBatch(batch, fitted, collect,
             filterCollected = filterCollected, params = params,
-            corpusPostings = Some(postings))
+            serve = Some(serveIdx), stageTimer = stageTimer)
+          val tw0 = System.nanoTime()
           // ONE write action for both key families: the books and users
           // plans share the whole similarity subtree (queries → sims), and
           // two separate actions would execute it twice per batch — cross-
@@ -144,21 +210,24 @@ object ServeJob {
             .unionAll(recs.users.select(
               TextFunctions.kvKey("u_similar", col("query")).as("key"),
               TextFunctions.joinIds(col("users")).as("value"))), kv)
+          stageTimer("kv_write", (System.nanoTime() - tw0) / 1e9)
         }
         ()
       }
       .trigger(trigger)
       .start()
-    withIndexCleanup(query, postings)
+    withIndexCleanup(query, () => { serveIdx.destroy(); () })
   }
 
-  /** [[start]] with index-lifecycle hygiene: the serving index persist is
-    * released when THIS query terminates (a resubmitted deployment builds
-    * its own), so repeated deploy/stop cycles — restart tests, model
-    * refreshes — do not accumulate stream-lifetime caches. */
+  /** [[start]] with index-lifecycle hygiene: the stream-lifetime state
+    * (serving index, collect snapshot, fused book-map broadcast) is
+    * released when THIS query
+    * terminates (a resubmitted deployment builds its own), so repeated
+    * deploy/stop cycles — restart tests, model refreshes — do not
+    * accumulate stream-lifetime caches. */
   private def withIndexCleanup(q: StreamingQuery,
-                               postings: DataFrame): StreamingQuery = {
-    val spark = postings.sparkSession
+                               release: () => Unit): StreamingQuery = {
+    val spark = org.apache.spark.sql.SparkSession.active
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
@@ -168,7 +237,7 @@ object ServeJob {
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
           if (e.id == q.id) {
-            postings.unpersist()
+            release()
             spark.streams.removeListener(this)
           }
       })

