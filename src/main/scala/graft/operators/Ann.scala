@@ -250,6 +250,19 @@ object Ann {
       .join(vecs.select(col("id").as("query_id"), col("v").as("qv")), "query_id")
       .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
     val scored = cand.withColumn("cosine", cosine(col("qv"), col("cv")))
+      // Pin the rank stage's width (all-pairs lanes only): the window's
+      // auto-inserted exchange carries just (ids, cosine) — a few MB even
+      // for millions of candidate rows — so AQE's byte-sized coalescing
+      // can legally fuse it down to ONE task, serializing the expensive
+      // per-row rank work (sort + HALF_UP rounding) over the whole
+      // candidate set. Measured at the 10× rehearsal as a bimodal
+      // ~2 s / ~30 s wall on identical seeded runs. A NUMBERED
+      // repartition on the window key satisfies the window's required
+      // distribution (EnsureRequirements adds no second exchange) and is
+      // exempt from AQE coalescing — deterministic full-width ranking,
+      // identical output rows.
+      .repartition(vecs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("query_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
     val ranked = scored.withColumn("rank", row_number().over(w))
@@ -269,22 +282,24 @@ object Ann {
     * assign every vector to its nearest centroid (broadcast centroid table),
     * probe the `nProbe` nearest cells per query, exact-rank within them.
     *
-    * LANE CONTRACT (measured in SCALING.md's 10× ANN rehearsal): in the
+    * LANE CONTRACT (SCALING.md's ANN rehearsal, corrected r8): in the
     * default all-pairs form with balanced √n-sized cells the candidate
-    * volume is Σ|cell|² = n^1.5 — fine for gate/oracle work and bounded
-    * batches, WRONG for all-pairs work at corpus scale. Two linear
-    * all-pairs lanes exist:
+    * volume is Σ|cell|² = n^1.5 BY CONSTRUCTION — measured sublinear
+    * (1.8× at a 10× step) through the rehearsal range once the r8 rank-
+    * width fix landed, i.e. the n^1.5 term bites later than round 7's
+    * artifact suggested, but at extreme all-pairs scale the rule stands.
+    * Two linear all-pairs lanes exist for that regime:
     *  - [[lshTopK]]'s banded candidates stay ~linear (measured exponent
-    *    0.71 vs 1.36);
+    *    0.68);
     *  - this operator with `distributedFit = true` AND nCentroids ∝ n
     *    (constant target cell size c ⇒ Σ|cell|² = n·c): the MLlib fit
-    *    keeps centroid training off the driver at large k, restoring
-    *    linear candidate volume (r7 verdict item; measured in the r8
-    *    AnnScale rerun).
+    *    keeps centroid training off the driver at large k, keeping
+    *    candidate volume linear (measured ~4× at a 10× step,
+    *    fit-dominated since k ∝ n makes the fit itself k·n).
     * IVF's query lane is unchanged: QUERY-BATCH probing
     * ([[queryIvfIndex]] / [[ivfThresholdHits]]) — per-query cost scales
     * with the probed fraction nProbe/nCentroids, which shrinks as the
-    * index grows (measured 2.0× at a 10× corpus). */
+    * index grows (measured 1.5× at a 10× corpus). */
   def ivfTopK(data: DataFrame, idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               seed: Long = 42L, distributedFit: Boolean = false): DataFrame = {
@@ -301,7 +316,7 @@ object Ann {
     //    call for a few-hundred-row problem; measured 10 s → ~3 s).
     //  - distributedFit = true (MLlib KMeans): the 100 TB all-pairs lane.
     //    With √n centroids the candidate volume Σ|cell|² is n^1.5 BY
-    //    CONSTRUCTION (measured 23× at a 10× step, SCALING.md) — keeping
+    //    CONSTRUCTION (asymptotic; see SCALING.md's corrected curve) — keeping
     //    all-pairs IVF linear requires nCentroids ∝ n (constant target
     //    cell size), and nCentroids ∝ n makes the driver-sample fit a
     //    driver OOM. MLlib's fit never collects the corpus; the driver
@@ -346,6 +361,10 @@ object Ann {
       .join(vecs.select(col("id").as("query_id"), col("v").as("qv")), "query_id")
       .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
       .withColumn("cosine", cosine(col("qv"), col("cv")))
+      // Same rank-width pin as lshTopK (see there): keep AQE from fusing
+      // the skinny candidate shuffle into a single-task window stage.
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("query_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
     val ranked = cand.withColumn("rank", row_number().over(w))
