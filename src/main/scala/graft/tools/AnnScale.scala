@@ -32,11 +32,22 @@ object AnnScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    for ((dir, tag) <- Seq((d1, "1x"), (dN, "10x"))) {
+    // Nx = whatever factor the second dir was generated with (10× or
+    // 100× corpora both go through here; the row-count line disambiguates)
+    for ((dir, tag) <- Seq((d1, "1x"), (dN, "Nx"))) {
       // `label` is the bare op name; the scale tag is prefixed HERE, once
       // (r7 advice: call sites that re-embed the tag doubled the output)
+      // ANNSCALE_RUNS (default 3): big-factor steps (100×) cost minutes
+      // per run — 2 runs there beats 3 runs never. ANNSCALE_PATHS
+      // (comma-separated label prefixes): at 100× the √n all-pairs lane
+      // DIES BY DESIGN (n^1.5 candidates exhaust local spill disk) — the
+      // filter lets the surviving lanes be measured in the same session.
+      val nRuns = sys.env.getOrElse("ANNSCALE_RUNS", "3").toInt
+      val pathFilter = sys.env.get("ANNSCALE_PATHS")
+        .map(_.split(",").toSet)
       def time(label: String)(body: => Long): Unit =
-        (1 to 3).foreach { i =>
+        if (pathFilter.forall(_.exists(label.startsWith)))
+        (1 to nRuns).foreach { i =>
           spark.catalog.clearCache(); System.gc()
           val t0 = System.nanoTime()
           val rows = body
