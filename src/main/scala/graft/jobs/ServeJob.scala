@@ -188,6 +188,28 @@ object ServeJob {
     // (Blend.collectHotIds) — as a local relation that collect is a
     // driver-side LocalTableScan instead of a per-batch file-scan job
     val fitted = fitted0.copy(hot = localize(fitted0.hot))
+    // WARMUP: score one synthetic event through the full fused path
+    // before attaching the stream. The first batch otherwise pays every
+    // one-off deployment cost — codegen compilation of the scoring
+    // plans, broadcast deserialization on each executor thread, JIT —
+    // which lands on real events' latency (measured: first batch ~3-5×
+    // the steady p50). The synthetic user id is negative (outside the
+    // event-source domain, which enforces userId > 0), its payload is
+    // the head of the hot list, and nothing is written to the KV sink.
+    locally {
+      val spark = frames.sparkSession
+      import spark.implicits._
+      val payload = fitted.hot.select(col("bookId").cast("long"))
+        .limit(3).as[Long].collect().toSeq
+      if (payload.nonEmpty) {
+        val fake = spark.createDataset(Seq((-1L, payload)))
+          .toDF("userId", "bookIds")
+        val recs = scoreBatch(fake, fitted, collect,
+          filterCollected = filterCollected, params = params,
+          serve = Some(serveIdx))
+        recs.books.count(); recs.users.count()
+      }
+    }
     val base = decoded.writeStream
       .outputMode("append")
     checkpointLocation.foreach(base.option("checkpointLocation", _))
