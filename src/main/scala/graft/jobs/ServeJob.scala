@@ -73,6 +73,14 @@ object ServeJob {
     // with statistics, and the whole scoring DAG downstream plans small.
     val spark = events0.sparkSession
     import spark.implicits._
+    // the serve-lane query context comes from deployment-time broadcasts,
+    // so a latestK differing from the index's build depth would silently
+    // serve different contexts than the batch lane — fail loudly instead
+    serve.foreach(idx => require(idx.latestK == latestK,
+      s"serve index was built with latestK=${idx.latestK} but scoreBatch " +
+        s"was called with latestK=$latestK; rebuild the index or match the " +
+        "argument (the `collect` snapshot is likewise unused on this lane — " +
+        "its state lives in the index's broadcasts)"))
     val (events, queries, collected) = serve match {
       case Some(idx) =>
         // Micro-batch lane: ONE collect of the batch (bounded by the
@@ -171,7 +179,9 @@ object ServeJob {
             params: Recommender.Params = Recommender.Params(),
             trigger: Trigger = Trigger.AvailableNow(),
             checkpointLocation: Option[String] = None,
-            stageTimer: (String, Double) => Unit = (_, _) => ()): StreamingQuery = {
+            stageTimer: (String, Double) => Unit = (_, _) => (),
+            serveBudgetBytes: Long = graft.rank.Scoring.DefaultServeBudgetBytes)
+      : StreamingQuery = {
     val decoded = EventSource.decode(frames)
     // Build the SERVE INDEX once per deployment: every batch-invariant
     // asset — inverted (cluster, term) postings, userBooks, latest-k and
@@ -183,7 +193,26 @@ object ServeJob {
     // the index in place a micro-batch runs ZERO corpus-sized work:
     // scoring is one narrow executor job over the batch rows, and no
     // per-batch plan ever rescans the snapshot or the model tables.
-    val serveIdx = graft.rank.Scoring.buildServeAssets(fitted0, collect)
+    //
+    // GUARDED: the latest/own/docs maps scale with the active-user count
+    // and the catalog, not the fit — above `serveBudgetBytes` the collect
+    // would head toward a driver OOM, so the builder refuses and the
+    // deployment serves through the distributed exchange lane instead
+    // (spec-equal results, FusedScoringSpec; lane-switch pinned by
+    // ServeLaneGuardSpec). The exchange lane still amortizes the corpus
+    // side: its postings index is computed ONCE here and persisted for
+    // the stream's lifetime.
+    val serveIdx = graft.rank.Scoring.buildServeAssetsGuarded(
+      fitted0, collect, maxBytes = serveBudgetBytes)
+    val corpusPostings: Option[DataFrame] =
+      if (serveIdx.isDefined) None
+      else {
+        val p = graft.rank.Scoring.termPostings(fitted0.userTokens,
+            Some(fitted0.cv.vocabulary.toSet))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // materialize once, before the first batch
+        Some(p)
+      }
     // the hot list is collected by blend/fallback EVERY batch
     // (Blend.collectHotIds) — as a local relation that collect is a
     // driver-side LocalTableScan instead of a per-batch file-scan job
@@ -206,7 +235,7 @@ object ServeJob {
           .toDF("userId", "bookIds")
         val recs = scoreBatch(fake, fitted, collect,
           filterCollected = filterCollected, params = params,
-          serve = Some(serveIdx))
+          corpusPostings = corpusPostings, serve = serveIdx)
         recs.books.count(); recs.users.count()
       }
     }
@@ -218,7 +247,8 @@ object ServeJob {
         if (!batch.isEmpty) {
           val recs = scoreBatch(batch, fitted, collect,
             filterCollected = filterCollected, params = params,
-            serve = Some(serveIdx), stageTimer = stageTimer)
+            corpusPostings = corpusPostings, serve = serveIdx,
+            stageTimer = stageTimer)
           val tw0 = System.nanoTime()
           // ONE write action for both key families: the books and users
           // plans share the whole similarity subtree (queries → sims), and
@@ -238,7 +268,11 @@ object ServeJob {
       }
       .trigger(trigger)
       .start()
-    withIndexCleanup(query, () => { serveIdx.destroy(); () })
+    withIndexCleanup(query, () => {
+      serveIdx.foreach(_.destroy())
+      corpusPostings.foreach(_.unpersist())
+      ()
+    })
   }
 
   /** [[start]] with index-lifecycle hygiene: the stream-lifetime state

@@ -246,8 +246,13 @@ object Scoring {
       scored.flatMap { case (q, cand, _) =>
         cand.map { case (b, sc, r) => (q, b, sc, r) } }.toSeq)
       .toDF("query", "bookId", "score", "rank")
+    // exchange-lane parity: similarUsers aggregates over sims, so a query
+    // with ZERO neighbors (singleton cluster, no shared vocab terms) has
+    // no row at all — and Blend.withUserFallback serves it defaultUsers.
+    // Emitting a (query, []) row here would instead serve an empty list;
+    // omit neighbor-less queries so both lanes hit the same fallback.
     val users = spark.createDataset(
-        scored.map { case (q, _, u) => (q, u.toSeq) }.toSeq)
+        scored.collect { case (q, _, u) if u.nonEmpty => (q, u.toSeq) }.toSeq)
       .toDF("query", "users")
     (candidates, users)
   }
@@ -268,7 +273,12 @@ object Scoring {
       own: org.apache.spark.broadcast.Broadcast[Map[Long, Seq[Long]]],
       docs: org.apache.spark.broadcast.Broadcast[Map[Long, String]],
       cvIdx: org.apache.spark.broadcast.Broadcast[Map[String, Int]],
-      km: org.apache.spark.ml.clustering.KMeansModel) {
+      km: org.apache.spark.ml.clustering.KMeansModel,
+      /** the latest-k depth the `latest` map was built with — a serving
+        * caller passing a different depth would silently get different
+        * query contexts than the batch lane, so scoreBatch REQUIRES a
+        * match (ADVICE r8). */
+      latestK: Int = 3) {
     def destroy(): Unit = {
       vocabIdx.destroy(); postings.destroy(); books.destroy()
       latest.destroy(); own.destroy(); docs.destroy(); cvIdx.destroy()
@@ -306,7 +316,76 @@ object Scoring {
     val cvIdx = spark.sparkContext.broadcast(
       fitted.cv.vocabulary.zipWithIndex.toMap)
     ServeIndex(vocabIdx, buildServeIndex(postingsDf), books,
-      latest, own, docs, cvIdx, fitted.km)
+      latest, own, docs, cvIdx, fitted.km, latestK)
+  }
+
+  /** Default byte budget for the fused lane's deployment broadcasts
+    * (2 GiB — comfortably inside a driver/executor heap share while far
+    * above any fit-bounded model this engine targets). */
+  val DefaultServeBudgetBytes: Long = 2L << 30
+
+  // JVM-heap cost model for the collected broadcast maps (conservative:
+  // boxed values + HashMap entry overhead, measured orders not decimals)
+  private val BytesPerMapEntry = 64L   // HashMap.Entry + key box + refs
+  private val BytesPerSeqId    = 24L   // boxed Long element in a Seq
+  private val BytesPerPosting  = 80L   // Tuple3(Long, Double, Double) boxed
+  private val BytesPerChar     = 2L    // String payload
+
+  /** Conservative JVM-heap estimate (bytes) of everything
+    * [[buildServeAssets]] would collect and broadcast. The maps are NOT
+    * all model-sized: `latest`/`own` scale with the active-user count and
+    * `docs` with the catalog, so at 100× users an unconditional collect
+    * is a multi-GB broadcast and eventually a driver OOM. This estimate
+    * costs a few small aggregation jobs (no full shuffles: per-row array
+    * sizes summed, approx-distinct for user counts) and lets
+    * [[buildServeAssetsGuarded]] refuse the fused lane BEFORE any
+    * collect happens. */
+  def estimateServeAssetBytes(fitted: graft.jobs.RecommenderModel.Fitted,
+                              snapshot: DataFrame, latestK: Int = 3): Long = {
+    def stats(df: DataFrame, payload: Column): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(sum(payload), lit(0L)).as("p")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (nBooks, idsBooks) =
+      stats(fitted.userBooks, size(col("books")).cast("long"))
+    val (nDocs, charsDocs) =
+      stats(fitted.bookDocs, length(col("doc")).cast("long"))
+    // postings upper bound without the 3-shuffle termPostings job:
+    // distinct tokens per user, summed (vocab pruning only shrinks it)
+    val nPostings = fitted.userTokens
+      .agg(coalesce(sum(size(array_distinct(col("tokens"))).cast("long")),
+        lit(0L))).head().getLong(0)
+    // snapshot-proportional maps: rows bound the collected-set ids, an
+    // approx-distinct bounds the user-entry count
+    val snapStats = snapshot.where(col("isCollect") === 1)
+      .agg(count(lit(1)).as("rows"),
+        approx_count_distinct(col("userId")).as("users")).head()
+    val (snapRows, snapUsers) = (snapStats.getLong(0), snapStats.getLong(1))
+    val vocabBytes = fitted.cv.vocabulary.length.toLong *
+      (BytesPerMapEntry + 32L) * 2L // vocabIdx + cvIdx, ~32B avg term
+    vocabBytes +
+      nPostings * BytesPerPosting +
+      nBooks * BytesPerMapEntry + idsBooks * BytesPerSeqId +
+      snapUsers * BytesPerMapEntry * 2L +                // latest + own keys
+      snapUsers * math.min(latestK.toLong, 16L) * BytesPerSeqId + // latest ids
+      snapRows * BytesPerSeqId +                         // own ids (≤ rows)
+      nDocs * BytesPerMapEntry + charsDocs * BytesPerChar
+  }
+
+  /** [[buildServeAssets]] behind a byte budget: estimate the broadcast
+    * footprint FIRST and return None (→ the caller serves through the
+    * spec-equal distributed exchange lane) when it exceeds `maxBytes`.
+    * The fused lane is a latency optimization valid only while the
+    * deployment state is genuinely broadcast-sized — this is the guard
+    * that makes the lane selection automatic instead of manual. */
+  def buildServeAssetsGuarded(fitted: graft.jobs.RecommenderModel.Fitted,
+                              snapshot: DataFrame, latestK: Int = 3,
+                              maxBytes: Long = DefaultServeBudgetBytes)
+      : Option[ServeIndex] = {
+    val est = estimateServeAssetBytes(fitted, snapshot, latestK)
+    if (est > maxBytes) None
+    else Some(buildServeAssets(fitted, snapshot, latestK))
   }
 
   /** Local replication of the per-user query-document assembly + cluster

@@ -30,8 +30,14 @@ class FusedScoringSpec extends SparkSuite {
       minCollected = 3, minDf = 2.0, stopWords = Nil, k = 4, hotN = 10)
 
     // query users = a slice of the fitted user base, scored via their own
-    // model tokens (the DailyLog shape — enough to drive every stage)
+    // model tokens (the DailyLog shape — enough to drive every stage),
+    // PLUS a neighbor-less user: its token is outside the vocabulary, so
+    // the exchange lane produces zero sims (no similar-users row → the
+    // defaultUsers fallback) and the fused lane must do the same instead
+    // of serving an empty array
     val queries = fitted.userTokens.orderBy("userId").limit(40)
+      .unionByName(Seq((999999999L, 0, Seq("zzz_not_a_vocab_term")))
+        .toDF("userId", "cluster", "tokens"))
     val own = fitted.userBooks
     def run(fused: Boolean): (Seq[(Long, Seq[Long])], Seq[(Long, Seq[Long])]) = {
       val serve = if (fused)
@@ -48,5 +54,10 @@ class FusedScoringSpec extends SparkSuite {
     assert(booksF.nonEmpty && booksF.exists(_._2.nonEmpty))
     assert(booksF == booksE, "fused books differ from the exchange pipeline")
     assert(usersF == usersE, "fused similar-users differ from the exchange pipeline")
+    // the neighbor-less user must hit the defaultUsers fallback, not an
+    // empty list, on BOTH lanes
+    assert(usersF.find(_._1 == 999999999L)
+      .exists(_._2 == Recommender.Params().defaultUsers),
+      "neighbor-less user did not fall back to defaultUsers")
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.io.InMemoryKV
+import graft.jobs.{Recommender, RecommenderModel, ServeJob}
+import graft.rank.Scoring
+
+/** The fused serving lane's broadcasts are user-base/catalog-proportional,
+  * so [[Scoring.buildServeAssetsGuarded]] must refuse them above a byte
+  * budget and the deployment must fall back to the distributed exchange
+  * lane — with IDENTICAL served results (the two lanes are numerically
+  * equal; FusedScoringSpec pins the scoring, this pins the lane switch
+  * end-to-end through the streaming job). Also pins the ServeIndex
+  * latestK contract (ADVICE r8: scoreBatch used to silently ignore a
+  * mismatched latestK on the serve lane). */
+class ServeLaneGuardSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fit() = RecommenderModel.fit(
+    Fixtures.books(spark), Fixtures.tags(spark), Fixtures.bookTags(spark),
+    Fixtures.collects(spark),
+    minCollected = 2, minDf = 1.0, stopWords = Nil, k = 2, hotN = 3)
+
+  test("guard: under budget builds the index, over budget refuses") {
+    val fitted = fit()
+    val collect = Fixtures.collects(spark)
+    val est = Scoring.estimateServeAssetBytes(fitted, collect)
+    assert(est > 0L, "estimate must be positive for a non-empty model")
+    assert(Scoring.buildServeAssetsGuarded(fitted, collect).isDefined,
+      s"fixture model (est $est B) must fit the default budget")
+    assert(Scoring.buildServeAssetsGuarded(fitted, collect, maxBytes = 1L).isEmpty,
+      "a 1-byte budget must refuse the fused lane")
+  }
+
+  test("over-budget deployment serves through the exchange lane, " +
+      "KV output identical to the fused lane") {
+    val fitted = fit()
+    val collect = Fixtures.collects(spark)
+    implicit val sqlCtx = spark.sqlContext
+    def serve(budget: Long): Map[String, String] = {
+      InMemoryKV.clear()
+      val kv = new InMemoryKV
+      val stream = MemoryStream[String]
+      stream.addData(Fixtures.eventFrames: _*)
+      val q = ServeJob.start(stream.toDF(), fitted, collect, kv,
+        serveBudgetBytes = budget)
+      q.processAllAvailable()
+      q.stop()
+      val snap = InMemoryKV.snapshot
+      InMemoryKV.clear()
+      snap
+    }
+    val fused = serve(Scoring.DefaultServeBudgetBytes)
+    val exchange = serve(1L) // force the guard to refuse the broadcasts
+    assert(fused.nonEmpty && fused.keys.exists(_.startsWith("b_like:")))
+    assert(exchange == fused,
+      "exchange-lane fallback served different results than the fused lane")
+  }
+
+  test("scoreBatch rejects a latestK that differs from the index's build depth") {
+    val fitted = fit()
+    val collect = Fixtures.collects(spark)
+    val idx = Scoring.buildServeAssets(fitted, collect, latestK = 3)
+    val batch = Seq((101L, Option.empty[Seq[Long]])).toDF("userId", "bookIds")
+    val ex = intercept[IllegalArgumentException] {
+      ServeJob.scoreBatch(batch, fitted, collect, latestK = 5,
+        serve = Some(idx))
+    }
+    assert(ex.getMessage.contains("latestK"))
+    idx.destroy()
+  }
+}
