@@ -21,11 +21,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    breaking the referential-integrity contract. The full unsigned
   *    64-bit value pushes the 50% collision point past 5e9 addresses.
   *  - **Keyed derivation.** The surrogate is FNV-1a-64 over
-  *    `key || email`; without the key, surrogates cannot be re-derived
-  *    by dictionary-hashing candidate addresses. Callers supply a secret
-  *    per corpus; the gate fixture uses a known key so the DuckDB oracle
-  *    can replay every surrogate ([[graft.queries.Q.fnvSql]]) and
-  *    hash-match the rewritten text.
+  *    `key || email`. NOTE: keyed FNV is an obfuscation step, NOT a PRF —
+  *    FNV-1a is step-wise invertible mod 2^64, so one known
+  *    (email, surrogate) pair lets an attacker strip the email suffix and
+  *    recover the post-key hash state, after which candidate addresses
+  *    can be forward-hashed without the key (r8 advice). This variant
+  *    exists ONLY as the SQL-replayable gate fixture: the DuckDB oracle
+  *    replays every surrogate ([[graft.queries.Q.fnvSql]]) and
+  *    hash-matches the rewritten text, which requires an oracle-
+  *    expressible hash. The production privacy lane is
+  *    [[PseudonymizeEmailsHmac]], a real PRF.
   *
   * One native pass per row (regex walk + FNV per match). Scale: a pure
   * scan-speed projection — zero shuffle, no dictionary to build or
@@ -48,6 +53,77 @@ case class PseudonymizeEmails(child: Expression, key: String = "")
     val sb = new java.lang.StringBuilder(s.length)
     while (m.find()) {
       val h = Fnv.hash64(key + m.group())
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(
+          s"user_${java.lang.Long.toUnsignedString(h)}@redacted.example"))
+    }
+    m.appendTail(sb)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Production email pseudonymization: surrogate =
+  * `user_<unsigned64(HMAC-SHA256(key, email)[0..8])>@redacted.example`.
+  *
+  * Same contract as [[PseudonymizeEmails]] (deterministic, corpus-wide
+  * consistent, full 64-bit surrogate space) but derived with a real PRF:
+  * without the key, a known (email, surrogate) pair reveals nothing about
+  * any other address — HMAC-SHA256 is not invertible the way keyed FNV is
+  * (r8 advice). The key is REQUIRED non-empty: an unkeyed surrogate is
+  * trivially dictionary-invertible and this lane refuses to produce one.
+  *
+  * Not DuckDB-replayable (the oracle has no HMAC), so this lane is gated
+  * by specs (consistency, key separation, known-answer test vector), not
+  * by a hash-matched query; the FNV fixture keeps the query-level gate.
+  *
+  * Perf: one javax.crypto Mac per partition-thread (thread-local — Mac is
+  * not thread-safe), ~1 µs per match; still a zero-shuffle projection.
+  */
+case class PseudonymizeEmailsHmac(child: Expression, key: String)
+    extends UnaryExpression with CodegenFallback {
+  require(key.nonEmpty,
+    "pseudonymize_emails_hmac requires a non-empty key: an unkeyed " +
+      "surrogate is dictionary-invertible (use PseudonymizeEmails only " +
+      "for oracle fixtures)")
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pseudonymize_emails_hmac"
+
+  @transient private lazy val re =
+    java.util.regex.Pattern.compile(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+
+  // Mac instances are stateful and not thread-safe; one per executor thread.
+  @transient private lazy val macs =
+    new ThreadLocal[javax.crypto.Mac] {
+      override def initialValue(): javax.crypto.Mac = {
+        val m = javax.crypto.Mac.getInstance("HmacSHA256")
+        m.init(new javax.crypto.spec.SecretKeySpec(
+          key.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          "HmacSHA256"))
+        m
+      }
+    }
+
+  private def surrogate(email: String): Long = {
+    val mac = macs.get()
+    mac.reset()
+    val d = mac.doFinal(
+      email.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // big-endian first 8 bytes of the 32-byte tag
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val m = re.matcher(s)
+    val sb = new java.lang.StringBuilder(s.length)
+    while (m.find()) {
+      val h = surrogate(m.group())
       m.appendReplacement(sb,
         java.util.regex.Matcher.quoteReplacement(
           s"user_${java.lang.Long.toUnsignedString(h)}@redacted.example"))

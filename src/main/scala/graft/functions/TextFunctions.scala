@@ -246,12 +246,22 @@ object TextFunctions {
   /** Consistent email pseudonymization — same address ⇒ same surrogate
     * corpus-wide, so referential structure survives the privacy pass
     * ([[graft.expressions.PseudonymizeEmails]]; contrast [[redactPii]],
-    * which collapses every address to one token). `key` salts the
-    * derivation: supply a per-corpus secret so surrogates cannot be
-    * dictionary-inverted by hashing candidate addresses. */
+    * which collapses every address to one token). ORACLE FIXTURE lane:
+    * keyed FNV is DuckDB-replayable but invertible from one known pair —
+    * production pipelines use [[pseudonymizeEmailsSecure]]. */
   def pseudonymizeEmails(text: Column, key: String = ""): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     column(graft.expressions.PseudonymizeEmails(expression(text), key))
+  }
+
+  /** Production pseudonymization lane: HMAC-SHA256-derived surrogates
+    * (a real PRF — one known (email, surrogate) pair reveals nothing
+    * about other addresses), non-empty key required. Same consistency
+    * contract as [[pseudonymizeEmails]]; not oracle-replayable, gated by
+    * PseudonymizeSpec instead. */
+  def pseudonymizeEmailsSecure(text: Column, key: String): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expressions.PseudonymizeEmailsHmac(expression(text), key))
   }
 
   /** Pre-redaction PII hit counts (audit surface: find documents worth

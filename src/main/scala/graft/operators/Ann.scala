@@ -541,23 +541,29 @@ object Ann {
     * partitions. Layout:
     *
     *   dir/centroids.parquet — (cid, cvec), nCentroids rows
-    *   dir/postings.parquet  — (id, v) partitioned BY home cell, so a
-    *     probe of p cells is a partition-pruned scan of p/nCentroids of
-    *     the corpus bytes (the parquet-native analogue of FAISS's
-    *     inverted lists)
+    *   dir/postings.parquet  — (id, v) partitioned BY home cell THEN by
+    *     source shard, so a probe of p cells is a partition-pruned scan
+    *     of p/nCentroids of the corpus bytes (the parquet-native analogue
+    *     of FAISS's inverted lists), and incremental corpus growth
+    *     appends shard partitions ([[appendIvfShard]]) without rewriting
     *
     * At 100 TB this is the difference between re-assigning the corpus per
     * query batch (ivfTopK's self-join form, right for one-shot all-pairs
     * work) and an O(|batch| · probed-fraction) incremental read.
     *
-    * Build is GENERATIONAL (r7 advice): both components are written under
-    * a staging dir, then swapped into place, and a `manifest.json`
-    * recording (seed, nCentroids) is renamed in LAST — the commit marker.
-    * A failure or concurrent rebuild between the two component writes can
-    * therefore never be served: [[queryIvfIndex]] refuses an index whose
-    * manifest is missing or disagrees with the centroid table, instead of
-    * silently probing postings assigned against other-generation
-    * centroids. */
+    * Build is GENERATIONAL (r7/r8 advice): both components are written
+    * under a staging dir, then swapped into place, and a `manifest.json`
+    * recording (seed, nCentroids, buildId, committed shards) is written
+    * LAST — the commit marker. The buildId (a fresh UUID) is also written
+    * as a `_BUILD_ID` marker file INSIDE each component directory (Spark
+    * ignores underscore-prefixed files on read), so [[queryIvfIndex]] can
+    * verify all three agree without running a count job — interleaved
+    * concurrent rebuilds that happen to produce the same centroid COUNT
+    * can no longer yield an undetected mixed-generation index, and the
+    * per-query-batch `cents.count()` cost is gone. A failed swap rename
+    * aborts the build before the manifest commit (matching the Sink
+    * compaction pattern) instead of declaring success over a deleted
+    * live component. */
   def buildIvfIndex(data: DataFrame, idCol: String, vecCol: String,
                     dir: String, nCentroids: Int = 16,
                     seed: Long = 42L, distributedFit: Boolean = false): Unit = {
@@ -568,34 +574,147 @@ object Ann {
         "buildIvfIndex: input is empty — nothing to index"))
     val spark = data.sparkSession
     val staging = s"$dir/.staging"
+    val buildId = java.util.UUID.randomUUID().toString
     cents.write.mode("overwrite").parquet(s"$staging/centroids.parquet")
     // assignment reads the centroids BACK from the written file, so the
     // persisted index is self-consistent even if training were re-run
     val centsBack = spark.read.parquet(s"$staging/centroids.parquet")
     val nCents = centsBack.count()
+    // postings carry their source shard as a second partition level:
+    // the base build is shard 0, incremental appends add shard 1..N
+    // ([[appendIvfShard]]) without touching shard-0 files.
     assignCells(data, idCol, vecCol, centsBack, nCells = 1)
       .where(col("rn") === 1)
-      .select(col("id"), col("v"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+      .select(col("id"), col("v"), col("cell"), lit(0).as("shard"))
+      .write.mode("overwrite").partitionBy("cell", "shard")
       .parquet(s"$staging/postings.parquet")
-    // commit: swap staged components into place, manifest LAST
     val hpath = new org.apache.hadoop.fs.Path(dir)
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeSmallFile(fs, s"$staging/centroids.parquet/_BUILD_ID", buildId)
+    writeSmallFile(fs, s"$staging/postings.parquet/_BUILD_ID", buildId)
+    // commit: swap staged components into place, manifest LAST
     def swap(name: String): Unit = {
       val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
       if (fs.exists(live)) fs.delete(live, true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$name"), live)
+      require(
+        fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$name"), live),
+        s"buildIvfIndex: rename $staging/$name -> $live failed; " +
+          "aborting before manifest commit (torn build is detectable, " +
+          "a lying manifest is not)")
     }
     val manifest = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
     if (fs.exists(manifest)) fs.delete(manifest, false)  // invalidate first
     swap("centroids.parquet")
     swap("postings.parquet")
-    val out = fs.create(manifest, true)
-    out.write(
-      s"""{"seed":$seed,"nCentroids":$nCents,"requested":$nCentroids}"""
-        .getBytes("UTF-8"))
-    out.close()
+    writeSmallFile(fs, s"$dir/manifest.json",
+      s"""{"seed":$seed,"nCentroids":$nCents,"requested":$nCentroids,""" +
+        s""""buildId":"$buildId","shards":[0]}""")
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
+  /** Incrementally grow a [[buildIvfIndex]] index with a new document
+    * shard WITHOUT retraining: the new rows are assigned against the
+    * index's OWN persisted centroids and appended as posting partitions
+    * `cell=&#42;/shard=N`. This is the 100 TB operational shape — the corpus
+    * grows daily, and re-clustering + rewriting the full postings tree
+    * per day is O(corpus) where the day's delta is O(shard).
+    *
+    * Commit protocol: readers only scan shards listed in the manifest
+    * (`shard IN (committed…)` — a partition filter, so uncommitted files
+    * are never even read). The append writes its `shard=N` files first,
+    * then atomically rewrites the manifest with N added — a crash before
+    * the manifest commit leaves orphan files that are invisible to
+    * queries, and the next append run deletes them before rewriting
+    * (same-shard retry is therefore safe). Centroids are untouched, so
+    * the buildId generation markers remain valid across appends.
+    *
+    * Cost trade documented: appended shards are assigned to FROZEN
+    * centroids, so cell balance can drift as the corpus distribution
+    * shifts — full-probe results stay exact regardless (spec-pinned ≡
+    * a from-scratch rebuild), partial-probe recall degrades only as far
+    * as the drift. Rebuild when the manifest's shard count or observed
+    * cell skew crosses the operator's budget.
+    *
+    * Returns the committed shard id. */
+  def appendIvfShard(data: DataFrame, idCol: String, vecCol: String,
+                     dir: String): Int = {
+    val spark = data.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = readIvfManifest(fs, dir)
+    // generation check before writing anything
+    requireMarkersMatch(fs, dir, m.buildId)
+    val shardId = m.shards.max + 1
+    // clean any torn previous attempt at this shard id (uncommitted files)
+    val orphans = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/postings.parquet/cell=*/shard=$shardId"))
+    if (orphans != null) orphans.foreach(s => fs.delete(s.getPath, true))
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    assignCells(data, idCol, vecCol, cents, nCells = 1)
+      .where(col("rn") === 1)
+      .select(col("id"), col("v"), col("cell"), lit(shardId).as("shard"))
+      .write.mode("append").partitionBy("cell", "shard")
+      .parquet(s"$dir/postings.parquet")
+    writeSmallFile(fs, s"$dir/manifest.json",
+      s"""{"seed":${m.seed},"nCentroids":${m.nCentroids},""" +
+        s""""requested":${m.requested},"buildId":"${m.buildId}",""" +
+        s""""shards":[${(m.shards :+ shardId).mkString(",")}]}""")
+    shardId
+  }
+
+  private case class IvfManifest(seed: Long, nCentroids: Long,
+                                 requested: Long, buildId: String,
+                                 shards: Seq[Int])
+
+  private def readIvfManifest(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: String): IvfManifest = {
+    val manifest = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
+    require(fs.exists(manifest),
+      s"IVF index at $dir has no manifest.json — torn or pre-manifest " +
+        "build; rerun buildIvfIndex")
+    val mtext = {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    def num(k: String): Long = (s""""$k":(\\d+)""").r
+      .findFirstMatchIn(mtext).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"malformed IVF manifest in $dir (missing $k): $mtext"))
+    val buildId = """"buildId":"([^"]+)"""".r.findFirstMatchIn(mtext)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"IVF manifest in $dir predates buildId generations — rebuild: $mtext"))
+    val shards = """"shards":\[([0-9, ]*)\]""".r.findFirstMatchIn(mtext)
+      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+        .map(_.toInt).toSeq)
+      .getOrElse(throw new IllegalStateException(
+        s"IVF manifest in $dir has no shards list — rebuild: $mtext"))
+    require(shards.nonEmpty, s"IVF manifest in $dir commits zero shards")
+    IvfManifest(num("seed"), num("nCentroids"), num("requested"),
+      buildId, shards)
+  }
+
+  private def requireMarkersMatch(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: String, buildId: String): Unit =
+    Seq("centroids.parquet", "postings.parquet").foreach { comp =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$comp/_BUILD_ID")
+      require(fs.exists(p),
+        s"IVF index at $dir: $comp has no _BUILD_ID marker — torn or " +
+          "pre-generation build; rerun buildIvfIndex")
+      val got = {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+      require(got == buildId,
+        s"IVF index at $dir: $comp is from build $got but the manifest " +
+          s"declares $buildId — mixed-generation index; rebuild")
+    }
+
+  private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String, content: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
   /** Query a [[buildIvfIndex]] index: assign each query to its `nProbe`
@@ -609,27 +728,21 @@ object Ann {
   def queryIvfIndex(queries: DataFrame, idCol: String, vecCol: String,
                     dir: String, k: Int, nProbe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
+    // generation check: the manifest's buildId must match the _BUILD_ID
+    // marker inside BOTH component dirs — a torn build, or interleaved
+    // concurrent rebuilds (even with identical centroid counts), fail
+    // loudly instead of silently probing postings assigned against
+    // other-generation centroids. Three tiny file reads; no count job.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = readIvfManifest(fs, dir)
+    requireMarkersMatch(fs, dir, m.buildId)
     val cents = spark.read.parquet(s"$dir/centroids.parquet")
-    // generation check: a torn build (manifest missing, or centroid count
-    // disagreeing with the recorded build) must fail loudly, not degrade
-    val manifest = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
-    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(manifest),
-      s"queryIvfIndex: $dir has no manifest.json — torn or pre-manifest " +
-        "build; rerun buildIvfIndex")
-    val mtext = {
-      val in = fs.open(manifest)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    }
-    val declared = """"nCentroids":(\d+)""".r.findFirstMatchIn(mtext)
-      .map(_.group(1).toLong)
-      .getOrElse(throw new IllegalStateException(
-        s"queryIvfIndex: malformed manifest in $dir: $mtext"))
-    val actual = cents.count()
-    require(actual == declared,
-      s"queryIvfIndex: $dir manifest declares $declared centroids but " +
-        s"centroids.parquet has $actual — mixed-generation index; rebuild")
+    // only manifest-committed shards are scanned: a shard-append that
+    // crashed before its manifest commit left files no query reads
+    // (partition filter — pruned, not filtered row-by-row)
     val post = spark.read.parquet(s"$dir/postings.parquet")
+      .where(col("shard").isin(m.shards: _*))
     val qcells = assignCells(queries, idCol, vecCol, cents, nProbe)
       .select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
     val cand = qcells
