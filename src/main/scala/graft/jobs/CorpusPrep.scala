@@ -20,16 +20,28 @@ import graft.operators.{Dedup, Packing, Sampling}
   */
 object CorpusPrep {
 
+  /** `dedupBands`/`dedupRows` pass through to [[Dedup.dedupCorpus]]
+    * (raise to 24×4 for the exact-recall regime the d5b oracle argument
+    * needs). `splitBucket`/`packBucket` override the engine-hash bucket
+    * derivations with caller-supplied columns — the seam that makes the
+    * COMPOSED pipeline SQL-replayable (`e2e2b`: FNV buckets the oracle
+    * can recompute) without forking the pipeline code; None = the
+    * production xxhash64 lanes. `splitBucket` must land in [0, 10000)
+    * ([[Sampling.hashSplitBy]]'s domain). */
   final case class Config(
       minQuality: Double = 0.3,
       langs: Set[String] = Set.empty,      // empty = keep every language
       shingleN: Int = 3,
+      dedupBands: Int = 12,
+      dedupRows: Int = 8,
       dedupMinJaccard: Double = 0.8,
       splitSeed: Long = 42L,
       fractions: Seq[(String, Double)] =
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       packTokens: Long = 2048L,
-      packBuckets: Int = 32)
+      packBuckets: Int = 32,
+      splitBucket: Option[org.apache.spark.sql.Column] = None,
+      packBucket: Option[org.apache.spark.sql.Column] = None)
 
   /** [[prepare]]'s result plus its audit handles: read each Observation
     * AFTER an action has run the returned frame. `input` covers every raw
@@ -70,11 +82,16 @@ object CorpusPrep {
       graft.operators.Observe.corpusQuality(langFiltered, idCol, textCol,
         name = s"corpus_prep_kept_${java.util.UUID.randomUUID}")
     val deduped = Dedup.dedupCorpus(kept, idCol, textCol,
-      shingleN = cfg.shingleN, minJaccard = cfg.dedupMinJaccard)
-    val split = Sampling.hashSplit(deduped, idCol, cfg.splitSeed, cfg.fractions)
+      shingleN = cfg.shingleN, bands = cfg.dedupBands, rows = cfg.dedupRows,
+      minJaccard = cfg.dedupMinJaccard)
+    val split = cfg.splitBucket match {
+      case Some(b) => Sampling.hashSplitBy(deduped, b, cfg.fractions)
+      case None => Sampling.hashSplit(deduped, idCol, cfg.splitSeed, cfg.fractions)
+    }
     val counted = split
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
-      .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(cfg.packBuckets.toLong)))
+      .withColumn("bucket", cfg.packBucket.getOrElse(
+        pmod(xxhash64(col(idCol)), lit(cfg.packBuckets.toLong))))
     // pack within (split, bucket): packs never mix train/val/test rows,
     // and the cumsum window stays partition-parallel
     Prepared(

@@ -45,6 +45,22 @@ object Collaborative {
     Fitted(model)
   }
 
+  /** A [[Fitted]] from explicit factor matrices (id: int-castable,
+    * features: array<float> of length `rank`) — the offline-refit /
+    * online-serve split: a scheduled job fits and persists factors, the
+    * serving tier reconstructs the model without refitting. Also what
+    * makes the serving surface value-checkable: with pinned factors,
+    * `recommendForUsers` is a deterministic dot-product top-k that SQL
+    * can replay exactly (`ml2b_als_fixed_factors`). */
+  def fromFactors(rank: Int, userFactors: DataFrame,
+                  itemFactors: DataFrame): Fitted = {
+    def prep(df: DataFrame) = df.select(
+      col("id").cast("int").as("id"),
+      col("features").cast("array<float>").as("features"))
+    Fitted(org.apache.spark.ml.graftbridge.AlsBridge.model(
+      rank, prep(userFactors), prep(itemFactors)))
+  }
+
   /** Top-k item ids per user as (user, items array<long>). */
   def recommendForUsers(fitted: Fitted, users: DataFrame, k: Int): DataFrame =
     fitted.model.recommendForUserSubset(

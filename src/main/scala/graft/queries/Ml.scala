@@ -103,6 +103,61 @@ object Ml {
         .orderBy("user")
     },
 
+    // ml2's value-checked sibling (the ml1b/ml4b fixed-model playbook):
+    // the ALS SERVING surface — recommendForUserSubset's blocked factor
+    // cross-product top-k — run over PINNED rank-4 factor matrices built
+    // from the customer/part keys, so the oracle can replay every dot
+    // product. The factors are constructed for float-exactness AND
+    // tie-freedom: coarse components live on a 1/8 grid (products on
+    // 1/64), and the item's component 0 adds i/2^18 against a constant
+    // user component of 1.0 — every partial sum is (m·2^12 + i)/2^18 with
+    // |m·2^12 + i| < 2^20, exactly representable in float32, so MLlib's
+    // sdot equals DuckDB's double arithmetic bit-for-bit; coarse score
+    // gaps (≥ 1/64) dominate the id term (< 2^-10), so ranks are unique
+    // and the float/double orderings provably agree. What ml2 leaves
+    // rows-only is ONLY the fit's numerics; the serving path — the part
+    // that runs per-request at scale — is hash-matched here.
+    Q("ml2b_als_fixed_factors",
+      """WITH users AS (SELECT c_custkey AS u FROM customer WHERE c_custkey <= 100),
+        |items AS (SELECT p_partkey AS i FROM part WHERE p_partkey <= 200),
+        |js AS (SELECT * FROM (VALUES (1), (2), (3)) t(j)),
+        |scores AS (
+        |  SELECT u, i,
+        |    i / 262144.0 +
+        |    SUM((((u * 31 + j * 17) % 17) - 8) / 8.0
+        |        * (((i * 13 + j * 7) % 17) - 8) / 8.0) AS sc
+        |  FROM users CROSS JOIN items CROSS JOIN js
+        |  GROUP BY u, i),
+        |ranked AS (
+        |  SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY sc DESC, i) AS rnk
+        |  FROM scores)
+        |SELECT u AS user_id,
+        |  string_agg(CAST(i AS VARCHAR), ',' ORDER BY rnk) AS items
+        |FROM ranked WHERE rnk <= 5
+        |GROUP BY u
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      def comp(id: org.apache.spark.sql.Column, m: Int, jm: Int, j: Int) =
+        ((id * m + j * jm) % 17 - 8).cast("double") / 8.0
+      val userF = Tables.customer(s, d)
+        .where(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("id"),
+          array(lit(1.0) +: (1 to 3).map(j => comp(col("c_custkey"), 31, 17, j)): _*)
+            .as("features"))
+      val itemF = Tables.part(s, d)
+        .where(col("p_partkey") <= 200)
+        .select(col("p_partkey").as("id"),
+          array(col("p_partkey").cast("double") / 262144.0 +:
+            (1 to 3).map(j => comp(col("p_partkey"), 13, 7, j)): _*)
+            .as("features"))
+      val fitted = graft.model.Collaborative.fromFactors(4, userF, itemF)
+      graft.model.Collaborative.recommendForUsers(fitted,
+          userF.select(col("id").as("user")), k = 5)
+        .select(col("user").as("user_id"),
+          array_join(transform(col("items"), i => i.cast("string")), ",")
+            .as("items"))
+        .orderBy("user_id")
+    },
+
     // MMR diversification over ANN candidates: top-10 cosine neighbors per
     // query re-ranked for diversity (λ = 0.7), picking 5. The greedy is
     // per-query local over the bounded candidate list; scores are exact

@@ -89,19 +89,34 @@ object BenchServe {
     // p50 4.8 s at 51 ev/s); tune down for latency-critical deployments.
     val batchSize = sys.env.getOrElse("SPARK_GRAFT_SERVE_BATCH", "250").toInt
     val nBatches = 12
-    def batchJson(b: Int): Seq[String] =
-      (0 until batchSize).map { i =>
-        s"""{"userId": ${users((b * batchSize + i) % users.length)}}"""
+    var cursor = 0
+    def batchJson(n: Int): Seq[String] = {
+      val rows = (0 until n).map { i =>
+        s"""{"userId": ${users((cursor + i) % users.length)}}"""
       }
+      cursor += n
+      rows
+    }
+    def measure(n: Int, batches: Int): Seq[Double] =
+      (1 to batches).map { _ =>
+        val t0 = System.nanoTime()
+        stream.addData(batchJson(n))
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
     // warm-up batch: codegen + state init, excluded from the numbers
-    stream.addData(batchJson(0))
+    stream.addData(batchJson(batchSize))
     q.processAllAvailable()
-    val lat = (1 to nBatches).map { b =>
-      val t0 = System.nanoTime()
-      stream.addData(batchJson(b))
-      q.processAllAvailable()
-      (System.nanoTime() - t0) / 1e9
-    }.sorted
+    val lat = measure(batchSize, nBatches)
+    // Burst/trickle envelope: the reference's pub/sub loop (ULK:182-213)
+    // scores one event per Redis round-trip, so a 10x burst queues 10x
+    // the wall-clock. Micro-batching absorbs it: the per-batch cost is
+    // fixed-overhead + marginal-cost x events, so a 2,500-event burst
+    // should cost far less than 10x the 250-event batch, and a 10-event
+    // trickle should collapse toward the fixed overhead.
+    val burstN = batchSize * 10
+    val burst = measure(burstN, 4)
+    val trickle = measure(10, 8)
     // where the batch time goes (driver planning vs execution): the
     // streaming progress durations for the LAST few batches
     q.recentProgress.takeRight(3).foreach { p =>
@@ -116,6 +131,9 @@ object BenchServe {
         s""""events_per_s":${f"${nBatches * batchSize / total}%.0f"},""" +
         s""""p50_batch_s":${f"${lat(nBatches / 2 - 1)}%.3f"},""" +
         s""""p95_batch_s":${f"${lat(nBatches - 1)}%.3f"},""" +
+        s""""burst_events":$burstN,"burst_p95_s":${f"${burst.last}%.3f"},""" +
+        s""""burst_events_per_s":${f"${burstN * burst.length / burst.sum}%.0f"},""" +
+        s""""trickle_p95_s":${f"${trickle.last}%.3f"},""" +
         s""""served_keys":$served}"""
     val outPath = java.nio.file.Paths.get("target/bench_serve.json")
     java.nio.file.Files.createDirectories(outPath.getParent)

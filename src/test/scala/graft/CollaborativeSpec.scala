@@ -20,4 +20,19 @@ class CollaborativeSpec extends SparkSuite {
       .as[(Long, Seq[Long])].collect().toMap
     assert(recs == recs2)
   }
+
+  test("fromFactors reconstructs the serving surface from pinned factors") {
+    val interactions = Collaborative.interactionsFromCollect(Fixtures.collects(spark))
+    val fitted = Collaborative.fit(interactions, rank = 4, maxIter = 5)
+    val users = interactions.select("user").distinct()
+    val direct = Collaborative.recommendForUsers(fitted, users, k = 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    // the offline-refit / online-serve split: persist ONLY the factor
+    // tables, rebuild the model with no fit, serve identically
+    val rebuilt = Collaborative.fromFactors(4,
+      fitted.model.userFactors, fitted.model.itemFactors)
+    val replayed = Collaborative.recommendForUsers(rebuilt, users, k = 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(replayed == direct)
+  }
 }
