@@ -97,13 +97,16 @@ object BenchServe {
       cursor += n
       rows
     }
-    def measure(n: Int, batches: Int): Seq[Double] =
-      (1 to batches).map { _ =>
+    def measure(n: Int, batches: Int): Seq[Double] = {
+      val raw = (1 to batches).map { _ =>
         val t0 = System.nanoTime()
         stream.addData(batchJson(n))
         q.processAllAvailable()
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }
+      println(raw.map(t => f"$t%.2f").mkString(s"SERVE_RAW n=$n [", " ", "]"))
+      raw.sorted
+    }
     // warm-up batch: codegen + state init, excluded from the numbers
     stream.addData(batchJson(batchSize))
     q.processAllAvailable()
