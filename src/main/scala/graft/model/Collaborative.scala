@@ -54,9 +54,27 @@ object Collaborative {
     * can replay exactly (`ml2b_als_fixed_factors`). */
   def fromFactors(rank: Int, userFactors: DataFrame,
                   itemFactors: DataFrame): Fitted = {
+    // loud plan-embedded validation (no extra job, raises at scan time):
+    // a silently Int-wrapped id would MERGE two users' factors and a
+    // wrong-length features array would misalign the blocked GEMM — both
+    // serve wrong recommendations with no error. fit() DROPS out-of-range
+    // interaction rows (lossy training signal is acceptable); a model
+    // LOAD path must instead fail loudly — dropping a factor row here
+    // silently changes what an existing user is served.
     def prep(df: DataFrame) = df.select(
-      col("id").cast("int").as("id"),
-      col("features").cast("array<float>").as("features"))
+      when(col("id").cast("long")
+          .between(Int.MinValue.toLong, Int.MaxValue.toLong),
+        col("id").cast("int"))
+        .otherwise(raise_error(concat(
+          lit("fromFactors: factor id overflows Int: "),
+          col("id").cast("string"))))
+        .as("id"),
+      when(size(col("features")) === rank,
+        col("features").cast("array<float>"))
+        .otherwise(raise_error(concat(
+          lit(s"fromFactors: features length != rank $rank for id "),
+          col("id").cast("string"))))
+        .as("features"))
     Fitted(org.apache.spark.ml.graftbridge.AlsBridge.model(
       rank, prep(userFactors), prep(itemFactors)))
   }

@@ -606,9 +606,15 @@ object Ann {
     if (fs.exists(manifest)) fs.delete(manifest, false)  // invalidate first
     swap("centroids.parquet")
     swap("postings.parquet")
-    writeSmallFile(fs, s"$dir/manifest.json",
+    // manifest via tmp + rename: a crash mid-write can leave NO manifest
+    // (detectable: "rerun buildIvfIndex") but never a half-written one
+    writeSmallFile(fs, s"$staging/manifest.json",
       s"""{"seed":$seed,"nCentroids":$nCents,"requested":$nCentroids,""" +
         s""""buildId":"$buildId","shards":[0]}""")
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$staging/manifest.json"), manifest),
+      s"buildIvfIndex: manifest rename into $dir failed — index is " +
+        "uncommitted; rerun buildIvfIndex")
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
@@ -619,14 +625,24 @@ object Ann {
     * grows daily, and re-clustering + rewriting the full postings tree
     * per day is O(corpus) where the day's delta is O(shard).
     *
-    * Commit protocol: readers only scan shards listed in the manifest
-    * (`shard IN (committed…)` — a partition filter, so uncommitted files
-    * are never even read). The append writes its `shard=N` files first,
-    * then atomically rewrites the manifest with N added — a crash before
-    * the manifest commit leaves orphan files that are invisible to
-    * queries, and the next append run deletes them before rewriting
-    * (same-shard retry is therefore safe). Centroids are untouched, so
-    * the buildId generation markers remain valid across appends.
+    * Commit protocol: readers scan only COMMITTED shards — the manifest's
+    * base list plus per-shard `_SHARD_COMMIT_N` marker files (content =
+    * the index buildId) inside the postings dir — as a partition filter,
+    * so uncommitted files are never even read. An append (1) CLAIMS its
+    * shard id by exclusive-create of a `_SHARD_CLAIM_N` marker (atomic on
+    * HDFS/object-store commit semantics; a claim that already exists
+    * bumps to the next id, so two concurrent appends write DISTINCT
+    * partition directories instead of interleaving one), (2) writes its
+    * `shard=N` posting files, (3) commits by exclusive-create of the
+    * `_SHARD_COMMIT_N` marker. The manifest is NEVER rewritten after the
+    * build — there is no truncate-in-place window in which a crash could
+    * destroy the only record of previously committed shards. A crash
+    * between claim and commit leaves an id permanently skipped and its
+    * orphan files invisible (delete the claim marker to reclaim the id
+    * after confirming no appender is live). Centroids are untouched, so
+    * the buildId generation markers remain valid across appends; a full
+    * rebuild replaces the postings dir wholesale, taking every
+    * claim/commit marker of the old generation with it.
     *
     * Cost trade documented: appended shards are assigned to FROZEN
     * centroids, so cell balance can drift as the corpus distribution
@@ -644,8 +660,18 @@ object Ann {
     val m = readIvfManifest(fs, dir)
     // generation check before writing anything
     requireMarkersMatch(fs, dir, m.buildId)
-    val shardId = m.shards.max + 1
-    // clean any torn previous attempt at this shard id (uncommitted files)
+    val committed = committedShards(fs, dir, m)
+    // claim the shard id: exclusive create makes concurrent appenders
+    // land on distinct ids (each then writes its own partition dirs)
+    var shardId = committed.max + 1
+    while (!tryExclusiveCreate(fs,
+        s"$dir/postings.parquet/_SHARD_CLAIM_$shardId", m.buildId)) {
+      shardId += 1
+      require(shardId - committed.max < (1 << 16),
+        s"appendIvfShard: ${1 << 16} consecutive claimed-but-uncommitted " +
+          s"shard ids at $dir — clear dead _SHARD_CLAIM_ markers")
+    }
+    // clean any torn pre-claim-era attempt at this shard id
     val orphans = fs.globStatus(new org.apache.hadoop.fs.Path(
       s"$dir/postings.parquet/cell=*/shard=$shardId"))
     if (orphans != null) orphans.foreach(s => fs.delete(s.getPath, true))
@@ -655,12 +681,49 @@ object Ann {
       .select(col("id"), col("v"), col("cell"), lit(shardId).as("shard"))
       .write.mode("append").partitionBy("cell", "shard")
       .parquet(s"$dir/postings.parquet")
-    writeSmallFile(fs, s"$dir/manifest.json",
-      s"""{"seed":${m.seed},"nCentroids":${m.nCentroids},""" +
-        s""""requested":${m.requested},"buildId":"${m.buildId}",""" +
-        s""""shards":[${(m.shards :+ shardId).mkString(",")}]}""")
+    // commit marker LAST; the manifest is never rewritten
+    require(tryExclusiveCreate(fs,
+      s"$dir/postings.parquet/_SHARD_COMMIT_$shardId", m.buildId),
+      s"appendIvfShard: commit marker for shard $shardId already exists " +
+        s"at $dir — claim fencing was bypassed; rebuild the index")
     shardId
   }
+
+  /** Manifest base shards plus marker-committed appended shards (markers
+    * from another buildId generation are stale leftovers and ignored). */
+  private def committedShards(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: String, m: IvfManifest): Seq[Int] = {
+    val st = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/postings.parquet"))
+    val marked = if (st == null) Seq.empty[Int] else st.toSeq.flatMap { s =>
+      val name = s.getPath.getName
+      if (!name.startsWith("_SHARD_COMMIT_")) None
+      else {
+        val id = name.stripPrefix("_SHARD_COMMIT_").toInt
+        val content = {
+          val in = fs.open(s.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        }
+        if (content == m.buildId) Some(id) else None
+      }
+    }
+    (m.shards ++ marked).distinct
+  }
+
+  /** Atomic create-if-absent (the HDFS create(overwrite=false) contract);
+    * false iff the path already exists. */
+  private def tryExclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String, content: String): Boolean =
+    try {
+      val out = fs.create(new org.apache.hadoop.fs.Path(path), false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("exists") => false
+    }
 
   private case class IvfManifest(seed: Long, nCentroids: Long,
                                  requested: Long, buildId: String,
@@ -676,7 +739,7 @@ object Ann {
       val in = fs.open(manifest)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
-    def num(k: String): Long = (s""""$k":(\\d+)""").r
+    def num(k: String): Long = (s""""$k":(-?\\d+)""").r
       .findFirstMatchIn(mtext).map(_.group(1).toLong)
       .getOrElse(throw new IllegalStateException(
         s"malformed IVF manifest in $dir (missing $k): $mtext"))
@@ -738,11 +801,12 @@ object Ann {
     val m = readIvfManifest(fs, dir)
     requireMarkersMatch(fs, dir, m.buildId)
     val cents = spark.read.parquet(s"$dir/centroids.parquet")
-    // only manifest-committed shards are scanned: a shard-append that
-    // crashed before its manifest commit left files no query reads
-    // (partition filter — pruned, not filtered row-by-row)
+    // only committed shards are scanned — the manifest's base list plus
+    // current-generation _SHARD_COMMIT_ markers ([[appendIvfShard]]); an
+    // append that crashed before its commit marker left files no query
+    // reads (partition filter — pruned, not filtered row-by-row)
     val post = spark.read.parquet(s"$dir/postings.parquet")
-      .where(col("shard").isin(m.shards: _*))
+      .where(col("shard").isin(committedShards(fs, dir, m): _*))
     val qcells = assignCells(queries, idCol, vecCol, cents, nProbe)
       .select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
     val cand = qcells

@@ -368,7 +368,10 @@ object Scoring {
       nPostings * BytesPerPosting +
       nBooks * BytesPerMapEntry + idsBooks * BytesPerSeqId +
       snapUsers * BytesPerMapEntry * 2L +                // latest + own keys
-      snapUsers * math.min(latestK.toLong, 16L) * BytesPerSeqId + // latest ids
+      // latest ids: ≤ latestK per user AND ≤ one per snapshot row — the
+      // UPPER bound must not cap latestK (an optimistic estimate is how
+      // an OOM guard fails to guard)
+      math.min(snapUsers * latestK.toLong, snapRows) * BytesPerSeqId +
       snapRows * BytesPerSeqId +                         // own ids (≤ rows)
       nDocs * BytesPerMapEntry + charsDocs * BytesPerChar
   }

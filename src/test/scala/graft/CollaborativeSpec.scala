@@ -35,4 +35,29 @@ class CollaborativeSpec extends SparkSuite {
       .as[(Long, Seq[Long])].collect().toMap
     assert(replayed == direct)
   }
+
+  test("fromFactors fails loudly on Int-overflow ids and wrong-rank features") {
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val good = Seq((1L, Seq(0.1f, 0.2f, 0.3f, 0.4f)))
+      .toDF("id", "features")
+    // an id past Int.MaxValue would silently WRAP under a bare cast,
+    // merging two users' factors — the load path must raise instead
+    val overflow = Seq((4294967297L, Seq(0.1f, 0.2f, 0.3f, 0.4f)))
+      .toDF("id", "features")
+    val e1 = intercept[Throwable] {
+      Collaborative.fromFactors(4, overflow, good)
+        .model.userFactors.collect()
+    }
+    assert(messages(e1).contains("overflows Int"), messages(e1))
+    // a wrong-length features array would misalign the blocked dot
+    // products for every row after it — raise, don't serve garbage
+    val shortFeat = Seq((2L, Seq(0.1f, 0.2f, 0.3f))).toDF("id", "features")
+    val e2 = intercept[Throwable] {
+      Collaborative.fromFactors(4, good, shortFeat)
+        .model.itemFactors.collect()
+    }
+    assert(messages(e2).contains("features length != rank"), messages(e2))
+  }
 }

@@ -138,6 +138,43 @@ class Round9Spec extends SparkSuite {
       "post-append full probe must equal brute force over the grown corpus")
   }
 
+  test("appendIvfShard: a live claim fences the shard id; commits are markers, not manifest rewrites") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfclaim").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.where(col("vec_id") < 400)
+    // negative seed: the manifest number parser must round-trip it
+    graft.operators.Ann.buildIvfIndex(base, "vec_id", "embedding", dir,
+      nCentroids = 4, seed = -7L)
+    // a concurrent appender claimed shard 1 and is still writing: this
+    // append must land on shard 2, never interleave files into shard=1
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/postings.parquet/_SHARD_CLAIM_1"),
+      "in-flight".getBytes("UTF-8"))
+    val delta = emb.where(col("vec_id") >= 400 && col("vec_id") < 420)
+    val sid = graft.operators.Ann.appendIvfShard(delta, "vec_id", "embedding", dir)
+    assert(sid == 2, s"claimed shard id must be fenced past: got $sid")
+    // the commit is a marker file; the manifest is NEVER rewritten after
+    // the build (a truncate-in-place crash there would brick every
+    // previously committed shard)
+    val mtext = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/manifest.json")), "UTF-8")
+    assert(mtext.contains("\"shards\":[0]"),
+      s"append must not rewrite the manifest: $mtext")
+    assert(mtext.contains("\"seed\":-7"), s"negative seed must persist: $mtext")
+    assert(new java.io.File(s"$dir/postings.parquet/_SHARD_COMMIT_2").exists(),
+      "commit marker for the appended shard must exist")
+    // marker-committed shards are served; the claimed-uncommitted one is not
+    val queries = emb.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows(graft.operators.Ann.queryIvfIndex(
+      queries, "vec_id", "embedding", dir, k = 3, nProbe = 4))
+    assert(got == rows(graft.operators.Ann.bruteForceTopK(
+      queries, base.unionByName(delta), "vec_id", "embedding", k = 3)),
+      "full probe must serve base + marker-committed shard, exactly")
+  }
+
   test("IVF generation markers: a mixed-generation component fails loudly even with equal centroid counts") {
     val dir = java.nio.file.Files.createTempDirectory("ivfgen").toString
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

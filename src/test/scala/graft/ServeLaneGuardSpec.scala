@@ -33,6 +33,20 @@ class ServeLaneGuardSpec extends SparkSuite {
       "a 1-byte budget must refuse the fused lane")
   }
 
+  test("estimate scales with latestK — an OOM guard must not cap its own upper bound") {
+    val fitted = fit()
+    // 5 users x 100 collect rows each: enough snapshot depth that the
+    // per-user latest list actually holds latestK ids at latestK = 64
+    val wide = (0 until 500).map { i =>
+      (101L + i % 5, 1L + i / 5, 1, f"2024-01-${1 + i % 28}%02d")
+    }.toDF("userId", "bookId", "isCollect", "time")
+    val at3 = Scoring.estimateServeAssetBytes(fitted, wide, latestK = 3)
+    val at64 = Scoring.estimateServeAssetBytes(fitted, wide, latestK = 64)
+    assert(at64 > at3,
+      s"estimate must grow with latestK (3 -> $at3 B, 64 -> $at64 B); " +
+        "a capped term underestimates the broadcast the guard exists to refuse")
+  }
+
   test("over-budget deployment serves through the exchange lane, " +
       "KV output identical to the fused lane") {
     val fitted = fit()
