@@ -626,23 +626,37 @@ object Ann {
     * per day is O(corpus) where the day's delta is O(shard).
     *
     * Commit protocol: readers scan only COMMITTED shards — the manifest's
-    * base list plus per-shard `_SHARD_COMMIT_N` marker files (content =
-    * the index buildId) inside the postings dir — as a partition filter,
-    * so uncommitted files are never even read. An append (1) CLAIMS its
-    * shard id by exclusive-create of a `_SHARD_CLAIM_N` marker (atomic on
-    * HDFS/object-store commit semantics; a claim that already exists
-    * bumps to the next id, so two concurrent appends write DISTINCT
-    * partition directories instead of interleaving one), (2) writes its
-    * `shard=N` posting files, (3) commits by exclusive-create of the
-    * `_SHARD_COMMIT_N` marker. The manifest is NEVER rewritten after the
-    * build — there is no truncate-in-place window in which a crash could
-    * destroy the only record of previously committed shards. A crash
-    * between claim and commit leaves an id permanently skipped and its
-    * orphan files invisible (delete the claim marker to reclaim the id
-    * after confirming no appender is live). Centroids are untouched, so
-    * the buildId generation markers remain valid across appends; a full
-    * rebuild replaces the postings dir wholesale, taking every
-    * claim/commit marker of the old generation with it.
+    * base list plus `_SHARD_COMMIT_&lt;buildId&gt;_N` marker files inside the
+    * postings dir (generation + id live in the NAME, so the committed set
+    * is ONE listStatus with zero content reads) — as a partition filter,
+    * so uncommitted files are never even read. An append
+    *
+    *  1. CLAIMS its shard id by exclusive-create of a
+    *     `_SHARD_CLAIM_&lt;buildId&gt;_N` marker — a claim that already exists
+    *     bumps to the next id, so concurrent appends land on distinct ids;
+    *  2. writes its `shard=N` partitions under a PRIVATE staging dir —
+    *     never directly into the live root, whose shared `_temporary`
+    *     committer dir is exactly where two concurrent Spark write jobs
+    *     destroy each other's task attempts;
+    *  3. RENAMES the staged `cell=&#42;/shard=N` leaf dirs into the live tree
+    *     (collision-free: the claimed id makes them unique);
+    *  4. commits by exclusive-create of the `_SHARD_COMMIT_&lt;buildId&gt;_N`
+    *     marker.
+    *
+    * The manifest is NEVER rewritten after the build — there is no
+    * truncate-in-place window in which a crash could destroy the only
+    * record of previously committed shards. An in-process failure releases
+    * its claim and deletes its partial files (same-id retry stays safe);
+    * only a hard crash (process death) leaves a claim behind, skipping
+    * that id and leaving orphans that are invisible to queries (delete the
+    * claim marker to reclaim both after confirming no appender is live).
+    * Exclusive create is atomic on HDFS; on S3-style object stores it is
+    * HEAD-then-PUT unless conditional writes are enabled (Hadoop ≥ 3.4.1
+    * `fs.s3a.create.conditional.enabled`) — without that, run appends
+    * single-writer per index. Centroids are untouched, so the buildId
+    * generation markers remain valid across appends; a full rebuild
+    * replaces the postings dir wholesale, taking every claim/commit
+    * marker of the old generation with it.
     *
     * Cost trade documented: appended shards are assigned to FROZEN
     * centroids, so cell balance can drift as the corpus distribution
@@ -662,62 +676,99 @@ object Ann {
     requireMarkersMatch(fs, dir, m.buildId)
     val committed = committedShards(fs, dir, m)
     // claim the shard id: exclusive create makes concurrent appenders
-    // land on distinct ids (each then writes its own partition dirs)
+    // land on distinct ids (each then stages + renames its own dirs)
     var shardId = committed.max + 1
-    while (!tryExclusiveCreate(fs,
-        s"$dir/postings.parquet/_SHARD_CLAIM_$shardId", m.buildId)) {
+    while (!tryExclusiveCreate(fs, claimMarker(dir, m.buildId, shardId))) {
       shardId += 1
       require(shardId - committed.max < (1 << 16),
         s"appendIvfShard: ${1 << 16} consecutive claimed-but-uncommitted " +
           s"shard ids at $dir — clear dead _SHARD_CLAIM_ markers")
     }
-    // clean any torn pre-claim-era attempt at this shard id
-    val orphans = fs.globStatus(new org.apache.hadoop.fs.Path(
-      s"$dir/postings.parquet/cell=*/shard=$shardId"))
-    if (orphans != null) orphans.foreach(s => fs.delete(s.getPath, true))
-    val cents = spark.read.parquet(s"$dir/centroids.parquet")
-    assignCells(data, idCol, vecCol, cents, nCells = 1)
-      .where(col("rn") === 1)
-      .select(col("id"), col("v"), col("cell"), lit(shardId).as("shard"))
-      .write.mode("append").partitionBy("cell", "shard")
-      .parquet(s"$dir/postings.parquet")
-    // commit marker LAST; the manifest is never rewritten
-    require(tryExclusiveCreate(fs,
-      s"$dir/postings.parquet/_SHARD_COMMIT_$shardId", m.buildId),
-      s"appendIvfShard: commit marker for shard $shardId already exists " +
-        s"at $dir — claim fencing was bypassed; rebuild the index")
-    shardId
+    val staging = s"$dir/.append-shard-$shardId"
+    try {
+      // clean any torn pre-claim-protocol attempt at this shard id (the
+      // claim guarantees no live writer owns these files)
+      def liveParts = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/postings.parquet/cell=*/shard=$shardId"))
+      Option(liveParts).foreach(_.foreach(s => fs.delete(s.getPath, true)))
+      val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      // write into a PRIVATE staging dir: two Spark jobs writing under the
+      // same live root share its _temporary committer dir, and the first
+      // job's commit-time cleanup deletes the second's in-flight tasks
+      assignCells(data, idCol, vecCol, cents, nCells = 1)
+        .where(col("rn") === 1)
+        .select(col("id"), col("v"), col("cell"), lit(shardId).as("shard"))
+        .write.mode("overwrite").partitionBy("cell", "shard")
+        .parquet(s"$staging/postings.parquet")
+      // move the staged shard=N leaf dirs into the live tree — the
+      // claimed id makes every destination unique, so no rename collides
+      val staged = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$staging/postings.parquet/cell=*/shard=$shardId")))
+        .map(_.toSeq).getOrElse(Seq.empty)
+      staged.foreach { st =>
+        val destCell = new org.apache.hadoop.fs.Path(
+          s"$dir/postings.parquet/${st.getPath.getParent.getName}")
+        if (!fs.exists(destCell)) fs.mkdirs(destCell)
+        val dest = new org.apache.hadoop.fs.Path(destCell, st.getPath.getName)
+        require(fs.rename(st.getPath, dest),
+          s"appendIvfShard: rename ${st.getPath} -> $dest failed; " +
+            "aborting before the commit marker (torn append is invisible, " +
+            "a committed half-append is not)")
+      }
+      // commit marker LAST; the manifest is never rewritten
+      require(tryExclusiveCreate(fs, commitMarker(dir, m.buildId, shardId)),
+        s"appendIvfShard: commit marker for shard $shardId already exists " +
+          s"at $dir — claim fencing was bypassed; rebuild the index")
+      shardId
+    } catch {
+      case e: Throwable =>
+        // in-process failure: this appender is provably not live, so the
+        // id can be released for a clean same-id retry — delete partial
+        // live files (uncommitted, hence invisible) and the claim
+        try {
+          Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+              s"$dir/postings.parquet/cell=*/shard=$shardId")))
+            .foreach(_.foreach(s => fs.delete(s.getPath, true)))
+          fs.delete(claimMarker(dir, m.buildId, shardId), false)
+        } catch { case _: java.io.IOException => () } // keep the real error
+        throw e
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
   }
 
-  /** Manifest base shards plus marker-committed appended shards (markers
-    * from another buildId generation are stale leftovers and ignored). */
+  private def claimMarker(dir: String, buildId: String, id: Int) =
+    new org.apache.hadoop.fs.Path(
+      s"$dir/postings.parquet/_SHARD_CLAIM_${buildId}_$id")
+  private def commitMarker(dir: String, buildId: String, id: Int) =
+    new org.apache.hadoop.fs.Path(
+      s"$dir/postings.parquet/_SHARD_COMMIT_${buildId}_$id")
+
+  /** Manifest base shards plus marker-committed appended shards. The
+    * generation and id are in the marker NAME, so this is one listStatus
+    * and no file reads (a year of daily appends on an object store would
+    * otherwise pay ~365 serial round trips per query batch); stale
+    * markers from other generations and stray non-protocol names simply
+    * don't match the anchored pattern. */
   private def committedShards(fs: org.apache.hadoop.fs.FileSystem,
                               dir: String, m: IvfManifest): Seq[Int] = {
+    val re = ("^_SHARD_COMMIT_" +
+      java.util.regex.Pattern.quote(m.buildId) + "_(\\d+)$").r
     val st = fs.listStatus(
       new org.apache.hadoop.fs.Path(s"$dir/postings.parquet"))
-    val marked = if (st == null) Seq.empty[Int] else st.toSeq.flatMap { s =>
-      val name = s.getPath.getName
-      if (!name.startsWith("_SHARD_COMMIT_")) None
-      else {
-        val id = name.stripPrefix("_SHARD_COMMIT_").toInt
-        val content = {
-          val in = fs.open(s.getPath)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        }
-        if (content == m.buildId) Some(id) else None
-      }
-    }
+    val marked = if (st == null) Seq.empty[Int] else st.toSeq.flatMap(s =>
+      re.findFirstMatchIn(s.getPath.getName).map(_.group(1).toInt))
     (m.shards ++ marked).distinct
   }
 
-  /** Atomic create-if-absent (the HDFS create(overwrite=false) contract);
-    * false iff the path already exists. */
+  /** Create-if-absent; false iff the path already exists. Atomic on HDFS
+    * (namenode-arbitrated); S3-style stores check-then-put unless
+    * conditional creates are enabled — see [[appendIvfShard]]'s
+    * single-writer guidance. */
   private def tryExclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
-                                 path: String, content: String): Boolean =
+                                 path: org.apache.hadoop.fs.Path): Boolean =
     try {
-      val out = fs.create(new org.apache.hadoop.fs.Path(path), false)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
+      fs.create(path, false).close()
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
@@ -735,10 +786,7 @@ object Ann {
     require(fs.exists(manifest),
       s"IVF index at $dir has no manifest.json — torn or pre-manifest " +
         "build; rerun buildIvfIndex")
-    val mtext = {
-      val in = fs.open(manifest)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    }
+    val mtext = readSmallFile(fs, manifest)
     def num(k: String): Long = (s""""$k":(-?\\d+)""").r
       .findFirstMatchIn(mtext).map(_.group(1).toLong)
       .getOrElse(throw new IllegalStateException(
@@ -764,11 +812,7 @@ object Ann {
       require(fs.exists(p),
         s"IVF index at $dir: $comp has no _BUILD_ID marker — torn or " +
           "pre-generation build; rerun buildIvfIndex")
-      val got = {
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      }
+      val got = readSmallFile(fs, p).trim
       require(got == buildId,
         s"IVF index at $dir: $comp is from build $got but the manifest " +
           s"declares $buildId — mixed-generation index; rebuild")
@@ -778,6 +822,13 @@ object Ann {
                              path: String, content: String): Unit = {
     val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                            path: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(path)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
 
   /** Query a [[buildIvfIndex]] index: assign each query to its `nProbe`

@@ -145,11 +145,20 @@ class Round9Spec extends SparkSuite {
     // negative seed: the manifest number parser must round-trip it
     graft.operators.Ann.buildIvfIndex(base, "vec_id", "embedding", dir,
       nCentroids = 4, seed = -7L)
+    val mtext0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/manifest.json")), "UTF-8")
+    val buildId = """"buildId":"([^"]+)"""".r.findFirstMatchIn(mtext0)
+      .get.group(1)
     // a concurrent appender claimed shard 1 and is still writing: this
     // append must land on shard 2, never interleave files into shard=1
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/postings.parquet/_SHARD_CLAIM_1"),
-      "in-flight".getBytes("UTF-8"))
+      java.nio.file.Paths.get(
+        s"$dir/postings.parquet/_SHARD_CLAIM_${buildId}_1"),
+      Array.empty[Byte])
+    // stray near-protocol names must be ignored, not crash the parse
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/postings.parquet/_SHARD_COMMIT_9.bak"),
+      Array.empty[Byte])
     val delta = emb.where(col("vec_id") >= 400 && col("vec_id") < 420)
     val sid = graft.operators.Ann.appendIvfShard(delta, "vec_id", "embedding", dir)
     assert(sid == 2, s"claimed shard id must be fenced past: got $sid")
@@ -161,8 +170,11 @@ class Round9Spec extends SparkSuite {
     assert(mtext.contains("\"shards\":[0]"),
       s"append must not rewrite the manifest: $mtext")
     assert(mtext.contains("\"seed\":-7"), s"negative seed must persist: $mtext")
-    assert(new java.io.File(s"$dir/postings.parquet/_SHARD_COMMIT_2").exists(),
+    assert(new java.io.File(
+        s"$dir/postings.parquet/_SHARD_COMMIT_${buildId}_2").exists(),
       "commit marker for the appended shard must exist")
+    assert(!new java.io.File(s"$dir/.append-shard-2").exists(),
+      "private staging dir must be cleaned up after the append")
     // marker-committed shards are served; the claimed-uncommitted one is not
     val queries = emb.where(col("vec_id") < 5)
     def rows(df: org.apache.spark.sql.DataFrame) =

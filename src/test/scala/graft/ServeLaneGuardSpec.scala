@@ -40,10 +40,12 @@ class ServeLaneGuardSpec extends SparkSuite {
     val wide = (0 until 500).map { i =>
       (101L + i % 5, 1L + i / 5, 1, f"2024-01-${1 + i % 28}%02d")
     }.toDF("userId", "bookId", "isCollect", "time")
-    val at3 = Scoring.estimateServeAssetBytes(fitted, wide, latestK = 3)
+    // BOTH points sit above the old min(latestK, 16) cap, so the capped
+    // formula would make them equal — this fails against the exact bug
+    val at32 = Scoring.estimateServeAssetBytes(fitted, wide, latestK = 32)
     val at64 = Scoring.estimateServeAssetBytes(fitted, wide, latestK = 64)
-    assert(at64 > at3,
-      s"estimate must grow with latestK (3 -> $at3 B, 64 -> $at64 B); " +
+    assert(at64 > at32,
+      s"estimate must grow with latestK (32 -> $at32 B, 64 -> $at64 B); " +
         "a capped term underestimates the broadcast the guard exists to refuse")
   }
 
