@@ -58,10 +58,7 @@ object Scoring {
             col("tokens").cast("array<string>"))
           .as[(Long, Int, Seq[String])].collect()
           .flatMap { case (uid, cl, toks) =>
-            val tf = scala.collection.mutable.HashMap.empty[Int, Double]
-            toks.foreach(t => vocabIdx.get(t).foreach(i =>
-              tf(i) = tf.getOrElse(i, 0.0) + 1.0))
-            val norm = math.sqrt(tf.valuesIterator.map(x => x * x).sum)
+            val (tf, norm) = localTf(toks, vocabIdx)
             tf.iterator.map { case (i, f) => (cl, i, uid, f, norm) }
           }.toSeq
         spark.createDataset(rows)
@@ -74,7 +71,25 @@ object Scoring {
     // it ONCE (the reference's "per-cluster similarity index", its 66 s
     // build stage) and passes it here per micro-batch — see
     // [[graft.jobs.ServeJob.start]]
-    val c = corpusPostings.getOrElse(termPostings(corpus, vocab))
+    val cRaw = corpusPostings.getOrElse(termPostings(corpus, vocab))
+    // the term-index bijection only holds if BOTH sides were indexed with
+    // the SAME vocabulary — a refreshed model joined against a stale
+    // persisted postings index would silently misalign every term after
+    // the first differing entry. The fingerprint stamped by termPostings
+    // makes that loud: a per-row codegen'd int comparison, no extra job.
+    require(vocab.isDefined || !cRaw.columns.contains(VocabFpCol),
+      "clusterCosine: corpusPostings are term-indexed (built with a " +
+        "vocab) but no vocab was passed for the query side — the join " +
+        "would compare int indices against raw term strings")
+    val cChecked =
+      if (vocab.isDefined && cRaw.columns.contains(VocabFpCol))
+        cRaw.where(when(col(VocabFpCol) === lit(vocabFingerprint(vocab.get)),
+          lit(true)).otherwise(raise_error(lit(
+          "clusterCosine: corpusPostings were built with a DIFFERENT " +
+            "vocabulary than the one passed — term indices would silently " +
+            "misalign; rebuild the postings with the current vocab"))))
+      else cRaw
+    val c = cChecked
       .select(col("cluster"), col("term"),
         col("userId").as("neighbor"), col("tf").as("tfc"), col("norm").as("nc"))
     q.join(c, Seq("cluster", "term"))
@@ -112,7 +127,31 @@ object Scoring {
       .agg(count(lit(1)).cast("double").as("tf"))
     val norms = tf.groupBy("userId")
       .agg(sqrt(sum(col("tf") * col("tf"))).as("norm"))
-    tf.join(norms, "userId")
+    val joined = tf.join(norms, "userId")
+    // indexed postings carry their vocabulary's fingerprint so a consumer
+    // can verify both join sides were indexed by the SAME vocab
+    vocab.fold(joined)(v =>
+      joined.withColumn(VocabFpCol, lit(vocabFingerprint(v))))
+  }
+
+  /** Column stamped onto vocab-indexed postings by [[termPostings]]. */
+  val VocabFpCol = "__vocab_fp"
+
+  private def vocabFingerprint(v: Set[String]): Int =
+    scala.util.hashing.MurmurHash3.orderedHash(v.toSeq.sorted)
+
+  /** tf accumulation in vocab-index space + L2 norm — the SINGLE local
+    * implementation every localized lane shares (the fused/exchange
+    * parity surface; a per-lane copy is how the lanes silently drift).
+    * Null token arrays behave exactly like the exchange lane's
+    * `explode`: no terms, so the row falls through to its fallback
+    * instead of throwing. */
+  private[rank] def localTf(toks: Seq[String], idx: Map[String, Int])
+      : (scala.collection.mutable.HashMap[Int, Double], Double) = {
+    val tf = scala.collection.mutable.HashMap.empty[Int, Double]
+    if (toks != null) toks.foreach(t => idx.get(t).foreach(i =>
+      tf(i) = tf.getOrElse(i, 0.0) + 1.0))
+    (tf, math.sqrt(tf.valuesIterator.map(x => x * x).sum))
   }
 
   /** W3: keep each query's top `fraction` of neighbors (floor semantics,
@@ -146,8 +185,8 @@ object Scoring {
   /** Deployment-lifetime broadcast SERVE INDEX: the corpus postings
     * inverted to (cluster, term) → [(neighbor, tf, norm)] — the engine
     * form of the reference's in-memory per-cluster similarity index.
-    * Model-sized (bounded by the fit, like [[collectBookMap]]), built
-    * once per deployment from the postings frame [[termPostings]]
+    * Model-sized (bounded by the fit, like [[ServeIndex]]'s book map),
+    * built once per deployment from the postings frame [[termPostings]]
     * produces with a vocab (int term indices). With it,
     * [[fusedServeScore]] scores a micro-batch with ZERO distributed
     * shuffles: per-batch cost stops including the O(index) postings
@@ -172,7 +211,8 @@ object Scoring {
     * this ≈ the per-row work). One narrow map over the (localized,
     * batch-bounded) queries: per query, tf/norm locally, walk the probed
     * posting lists out of the broadcast, accumulate neighbor dots, then
-    * the same local finish as [[fusedCandidatesUsers]]. Numerically
+    * the same local finish as the exchange pipeline's [[topNeighbors]] →
+    * [[discountedBookVotes]] → [[topCandidates]] chain. Numerically
     * IDENTICAL to the exchange path: tf·tf products are integer-valued
     * doubles (exact sums in any order), norms and sims divide the same
     * exact sums, ranking uses the same Catalyst-parity rounding —
@@ -191,10 +231,18 @@ object Scoring {
     val bookMap = serve.books
     val spark = queries.sparkSession
     import spark.implicits._
+    // the fused lane's contract is micro-batch (trigger-bounded) input;
+    // enforce it like Blend.collectHotIds does instead of letting a
+    // batch-scale caller OOM the driver through an unbounded collect
     val qrows = queries
       .select(col("userId").cast("long"), col("cluster").cast("int"),
         col("tokens").cast("array<string>"))
+      .limit(MaxServeBatchRows + 1)
       .as[(Long, Int, Seq[String])].collect()
+    require(qrows.length <= MaxServeBatchRows,
+      s"fusedServeScore got more than $MaxServeBatchRows query rows — " +
+        "this is the micro-batch serving lane; score batch-scale inputs " +
+        "through the distributed exchange lane (clusterCosine)")
     val nTasks = math.max(1, math.min(32, qrows.length))
     val scored = spark.createDataset(qrows.toSeq)
       .repartition(nTasks)
@@ -203,10 +251,7 @@ object Scoring {
           java.math.BigDecimal.valueOf(x)
             .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
         it.map { case (uid, cl, toks) =>
-          val tf = scala.collection.mutable.HashMap.empty[Int, Double]
-          toks.foreach(t => vocabIdx.value.get(t).foreach(i =>
-            tf(i) = tf.getOrElse(i, 0.0) + 1.0))
-          val nq = math.sqrt(tf.valuesIterator.map(x => x * x).sum)
+          val (tf, nq) = localTf(toks, vocabIdx.value)
           val dots = scala.collection.mutable.HashMap.empty[Long, Double]
           val norms = scala.collection.mutable.HashMap.empty[Long, Double]
           tf.foreach { case (t, f) =>
@@ -324,6 +369,20 @@ object Scoring {
     * above any fit-bounded model this engine targets). */
   val DefaultServeBudgetBytes: Long = 2L << 30
 
+  /** Micro-batch row bound for [[fusedServeScore]]'s driver collect —
+    * generous for any trigger-bounded stream batch, a loud stop for a
+    * batch-scale caller that should be on the exchange lane. */
+  val MaxServeBatchRows: Int = 1 << 20
+
+  /** The BUILD transiently holds more than the steady-state broadcasts
+    * the estimate models: buildServeIndex collects an Array of
+    * unspecialized Tuple5 rows (~2× the steady posting bytes), then
+    * groups into a second structure while the first is still referenced,
+    * plus the serialized broadcast copy — peak ≈ 3× steady. The guard
+    * compares against the budget with this factor applied so "estimate
+    * passed" means the BUILD fits, not just the result. */
+  val TransientBuildFactor: Long = 3L
+
   // JVM-heap cost model for the collected broadcast maps (conservative:
   // boxed values + HashMap entry overhead, measured orders not decimals)
   private val BytesPerMapEntry = 64L   // HashMap.Entry + key box + refs
@@ -361,7 +420,11 @@ object Scoring {
     val snapStats = snapshot.where(col("isCollect") === 1)
       .agg(count(lit(1)).as("rows"),
         approx_count_distinct(col("userId")).as("users")).head()
-    val (snapRows, snapUsers) = (snapStats.getLong(0), snapStats.getLong(1))
+    val snapRows = snapStats.getLong(0)
+    // approx_count_distinct has ~5% rsd, and an UNDERcount here makes the
+    // OOM guard optimistic — inflate by 20% (≈4σ), capped by the exact
+    // row count (distinct users can never exceed rows)
+    val snapUsers = math.min(snapStats.getLong(1) * 6L / 5L, snapRows)
     val vocabBytes = fitted.cv.vocabulary.length.toLong *
       (BytesPerMapEntry + 32L) * 2L // vocabIdx + cvIdx, ~32B avg term
     vocabBytes +
@@ -378,7 +441,9 @@ object Scoring {
 
   /** [[buildServeAssets]] behind a byte budget: estimate the broadcast
     * footprint FIRST and return None (→ the caller serves through the
-    * spec-equal distributed exchange lane) when it exceeds `maxBytes`.
+    * spec-equal distributed exchange lane) when the estimate times
+    * [[TransientBuildFactor]] exceeds `maxBytes` — the guard must refuse
+    * builds whose transient peak would OOM, not just oversized results.
     * The fused lane is a latency optimization valid only while the
     * deployment state is genuinely broadcast-sized — this is the guard
     * that makes the lane selection automatic instead of manual. */
@@ -387,7 +452,7 @@ object Scoring {
                               maxBytes: Long = DefaultServeBudgetBytes)
       : Option[ServeIndex] = {
     val est = estimateServeAssetBytes(fitted, snapshot, latestK)
-    if (est > maxBytes) None
+    if (est > maxBytes / TransientBuildFactor) None
     else Some(buildServeAssets(fitted, snapshot, latestK))
   }
 
@@ -409,7 +474,7 @@ object Scoring {
       .replaceAll("\\s+", " ").trim
     val tokens: Seq[String] =
       scala.collection.immutable.ArraySeq.unsafeWrapArray(
-        doc.trim.split("\\s+"))
+        doc.split("\\s+"))
     val counts = scala.collection.mutable.HashMap.empty[Int, Double]
     tokens.foreach(t => serve.cvIdx.value.get(t).foreach(i =>
       counts(i) = counts.getOrElse(i, 0.0) + 1.0))

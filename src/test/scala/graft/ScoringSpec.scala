@@ -44,6 +44,44 @@ class ScoringSpec extends SparkSuite {
     }
   }
 
+  test("a postings index built with a DIFFERENT vocab fails loudly, not silently misaligned") {
+    val queries = Seq((1L, 0, Seq("a", "b"))).toDF("userId", "cluster", "tokens")
+    val corpus = Seq((10L, 0, Seq("a", "b"))).toDF("userId", "cluster", "tokens")
+    // same SIZE, different terms: the per-term int indices collide
+    // position-for-position, so only a fingerprint can catch it
+    val stale = Scoring.termPostings(corpus, Some(Set("a", "c")))
+    val e = intercept[Throwable] {
+      Scoring.clusterCosine(queries, corpus, Some(Set("a", "b")),
+        corpusPostings = Some(stale)).collect()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("DIFFERENT vocabulary"), msgs(e))
+    // and an indexed postings frame without a query-side vocab is refused
+    // up front (ints would join against raw strings)
+    val e2 = intercept[IllegalArgumentException] {
+      Scoring.clusterCosine(queries, corpus, None, corpusPostings = Some(stale))
+    }
+    assert(e2.getMessage.contains("term-indexed"), e2.getMessage)
+  }
+
+  test("null token arrays fall through to the no-sims fallback on the local lane, like explode") {
+    val queries = Seq((1L, 0, Seq("a", "b")), (2L, 0, null.asInstanceOf[Seq[String]]))
+      .toDF("userId", "cluster", "tokens")
+    val corpus = Seq((10L, 0, Seq("a", "b"))).toDF("userId", "cluster", "tokens")
+    val vocab = Some(Set("a", "b"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val exchange = asMap(Scoring.clusterCosine(queries, corpus, vocab))
+    val local = asMap(Scoring.clusterCosine(queries, corpus, vocab,
+      corpusPostings = Some(Scoring.termPostings(corpus, vocab)),
+      broadcastQueries = true))
+    assert(local == exchange, "lane parity must hold on null-token rows")
+    assert(!local.keySet.exists(_._1 == 2L),
+      "the null-token user must have no sims (falls to the hot fallback)")
+  }
+
   test("vocab pruning drops out-of-vocabulary terms from scoring") {
     val queries = Seq((1L, 0, Seq("a", "z"))).toDF("userId", "cluster", "tokens")
     val corpus = Seq((10L, 0, Seq("a", "z"))).toDF("userId", "cluster", "tokens")
