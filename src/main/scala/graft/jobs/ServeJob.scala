@@ -91,20 +91,36 @@ object ServeJob {
         // (FusedScoringSpec + the golden specs pin it). No per-batch
         // plan touches the snapshot or the model tables; the local
         // relations carry statistics, so every later join broadcasts.
+        // array_compact: a null ELEMENT inside bookIds would make the
+        // Seq[Long] encoder throw and crash-loop the stream from the
+        // checkpoint, where the batch lane's explode→inner-join quietly
+        // drops it — compacting first gives both lanes the drop semantics
         val evRows = timed("localize_batch")(
           events0.select(col("userId").cast("long"),
-              col("bookIds").cast("array<long>"))
+              array_compact(col("bookIds").cast("array<long>")).as("bookIds"))
             .as[(Long, Option[Seq[Long]])].collect())
         val ev = spark.createDataset(evRows.map(_._1).toSeq).toDF("userId")
-        val qRows = evRows.flatMap { case (uid, payload) =>
-          // non-null payload WINS even when empty (coalesce semantics of
-          // the batch lane: an empty payload filters out, it does not
-          // fall through to the latest-k context)
-          val books = payload.getOrElse(
-            idx.latest.value.get(uid).getOrElse(Seq.empty))
-          if (books.isEmpty) None
-          else graft.rank.Scoring.localAssign(idx, uid, books)
-        }
+        val qRows = evRows
+          .map { case (uid, payload) =>
+            // non-null payload WINS even when empty (coalesce semantics of
+            // the batch lane: an empty payload filters out, it does not
+            // fall through to the latest-k context)
+            (uid, payload.getOrElse(
+              idx.latest.value.get(uid).getOrElse(Seq.empty)))
+          }
+          .groupBy(_._1).iterator
+          .flatMap { case (uid, evs) =>
+            // batch-lane parity for SAME-USER duplicates in one trigger:
+            // the exchange lane resolves books per event row, drops empty
+            // rows, then userDocs merges ALL of the user's surviving rows
+            // into one query doc (duplicates kept — a book in two events
+            // doubles its tf); concatenate the per-event resolutions the
+            // same way before the one localAssign
+            val books = evs.iterator.map(_._2).filter(_.nonEmpty)
+              .flatten.toSeq
+            if (books.isEmpty) None
+            else graft.rank.Scoring.localAssign(idx, uid, books)
+          }.toArray
         val q = spark.createDataset(qRows.toSeq)
           .toDF("userId", "cluster", "tokens")
         val ownRows = evRows.map(_._1).distinct
@@ -149,14 +165,30 @@ object ServeJob {
     Recommender.Recs(books, users)
   }
 
-  /** Collect a batch-bounded frame and re-create it as a local relation:
-    * one execution of its lineage, full size statistics for the planner.
-    * ONLY for frames bounded by the micro-batch size. */
-  private def localize(df: DataFrame): DataFrame = {
+  /** Collect a bounded frame and re-create it as a local relation: one
+    * execution of its lineage, full size statistics for the planner. The
+    * bound is ENFORCED, not assumed (the Blend.collectHotIds pattern) —
+    * an unbounded input fails fast instead of OOMing the driver. */
+  private def localize(df: DataFrame, maxRows: Int): DataFrame = {
     val spark = df.sparkSession
-    spark.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"localize: frame exceeded $maxRows rows — not deployment-bounded; " +
+        "serve from the distributed frame instead")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
+
+  /** The per-batch KV output plan — ONE frame for both key families so
+    * the shared similarity subtree executes once (ReusedExchange); also
+    * the exact plan the warmup compiles, so first real events pay no
+    * codegen. */
+  private def kvFrame(recs: Recommender.Recs): DataFrame =
+    recs.books.select(
+      TextFunctions.kvKey("b_like", col("query")).as("key"),
+      TextFunctions.joinIds(col("books")).as("value"))
+    .unionAll(recs.users.select(
+      TextFunctions.kvKey("u_similar", col("query")).as("key"),
+      TextFunctions.joinIds(col("users")).as("value")))
 
   /** Wire a raw frame stream (value: String) through decode → score →
     * KV write. Returns the started query.
@@ -213,66 +245,76 @@ object ServeJob {
         p.count() // materialize once, before the first batch
         Some(p)
       }
-    // the hot list is collected by blend/fallback EVERY batch
-    // (Blend.collectHotIds) — as a local relation that collect is a
-    // driver-side LocalTableScan instead of a per-batch file-scan job
-    val fitted = fitted0.copy(hot = localize(fitted0.hot))
-    // WARMUP: score one synthetic event through the full fused path
-    // before attaching the stream. The first batch otherwise pays every
-    // one-off deployment cost — codegen compilation of the scoring
-    // plans, broadcast deserialization on each executor thread, JIT —
-    // which lands on real events' latency (measured: first batch ~3-5×
-    // the steady p50). The synthetic user id is negative (outside the
-    // event-source domain, which enforces userId > 0), its payload is
-    // the head of the hot list, and nothing is written to the KV sink.
-    locally {
-      val spark = frames.sparkSession
-      import spark.implicits._
-      val payload = fitted.hot.select(col("bookId").cast("long"))
-        .limit(3).as[Long].collect().toSeq
-      if (payload.nonEmpty) {
-        val fake = spark.createDataset(Seq((-1L, payload)))
-          .toDF("userId", "bookIds")
-        val recs = scoreBatch(fake, fitted, collect,
-          filterCollected = filterCollected, params = params,
-          corpusPostings = corpusPostings, serve = serveIdx)
-        recs.books.count(); recs.users.count()
-      }
-    }
-    val base = decoded.writeStream
-      .outputMode("append")
-    checkpointLocation.foreach(base.option("checkpointLocation", _))
-    val query = base
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val recs = scoreBatch(batch, fitted, collect,
-            filterCollected = filterCollected, params = params,
-            corpusPostings = corpusPostings, serve = serveIdx,
-            stageTimer = stageTimer)
-          val tw0 = System.nanoTime()
-          // ONE write action for both key families: the books and users
-          // plans share the whole similarity subtree (queries → sims), and
-          // two separate actions would execute it twice per batch — cross-
-          // action plans cannot reuse exchanges. Unioned into a single
-          // plan, the shared shuffles dedup via ReusedExchange.
-          KVWriter.write(
-            recs.books.select(
-              TextFunctions.kvKey("b_like", col("query")).as("key"),
-              TextFunctions.joinIds(col("books")).as("value"))
-            .unionAll(recs.users.select(
-              TextFunctions.kvKey("u_similar", col("query")).as("key"),
-              TextFunctions.joinIds(col("users")).as("value"))), kv)
-          stageTimer("kv_write", (System.nanoTime() - tw0) / 1e9)
-        }
-        ()
-      }
-      .trigger(trigger)
-      .start()
-    withIndexCleanup(query, () => {
+    val release = () => {
       serveIdx.foreach(_.destroy())
       corpusPostings.foreach(_.unpersist())
       ()
-    })
+    }
+    // everything from here to start() can throw (warmup scoring, a bad
+    // checkpoint location) — without the catch, a failed deployment
+    // leaks the just-built stream-lifetime state
+    val query = try {
+      // the hot list is collected by blend/fallback EVERY batch
+      // (Blend.collectHotIds) — as a local relation that collect is a
+      // driver-side LocalTableScan instead of a per-batch file-scan job;
+      // bounded by the SAME limit Blend enforces per batch
+      val fitted = fitted0.copy(
+        hot = localize(fitted0.hot, graft.rank.Blend.MaxHotCollect))
+      // WARMUP: score one synthetic event through the full fused path
+      // before attaching the stream. The first batch otherwise pays every
+      // one-off deployment cost — codegen compilation of the scoring
+      // plans, broadcast deserialization on each executor thread, JIT —
+      // which lands on real events' latency (measured: first batch ~3-5×
+      // the steady p50). The synthetic user id is negative (outside the
+      // event-source domain, which enforces userId > 0), its payload is
+      // the head of the hot list, and nothing is written to the KV sink.
+      // One action over the SAME kvFrame plan the live batches execute —
+      // two separate counts would run the shared scoring subtree twice
+      // and warm a plan shape production never runs.
+      locally {
+        val spark = frames.sparkSession
+        import spark.implicits._
+        val payload = fitted.hot.select(col("bookId").cast("long"))
+          .limit(3).as[Long].collect().toSeq
+        if (payload.nonEmpty) {
+          val fake = spark.createDataset(Seq((-1L, payload)))
+            .toDF("userId", "bookIds")
+          kvFrame(scoreBatch(fake, fitted, collect,
+            filterCollected = filterCollected, params = params,
+            corpusPostings = corpusPostings, serve = serveIdx)).count()
+        }
+      }
+      val base = decoded.writeStream
+        .outputMode("append")
+      checkpointLocation.foreach(base.option("checkpointLocation", _))
+      base
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the serve lane's own localize IS its cheapest empty probe; an
+          // isEmpty pre-check would execute the decode lineage an extra
+          // time on every non-empty batch. The exchange lane keeps the
+          // probe: its distributed chain is the expensive part to skip.
+          if (serveIdx.isDefined || !batch.isEmpty) {
+            val recs = scoreBatch(batch, fitted, collect,
+              filterCollected = filterCollected, params = params,
+              corpusPostings = corpusPostings, serve = serveIdx,
+              stageTimer = stageTimer)
+            val tw0 = System.nanoTime()
+            // ONE write action for both key families: the books and users
+            // plans share the whole similarity subtree (queries → sims),
+            // and two separate actions would execute it twice per batch —
+            // cross-action plans cannot reuse exchanges. Unioned into a
+            // single plan, the shared shuffles dedup via ReusedExchange.
+            KVWriter.write(kvFrame(recs), kv)
+            stageTimer("kv_write", (System.nanoTime() - tw0) / 1e9)
+          }
+          ()
+        }
+        .trigger(trigger)
+        .start()
+    } catch {
+      case e: Throwable => release(); throw e
+    }
+    withIndexCleanup(query, release)
   }
 
   /** [[start]] with index-lifecycle hygiene: the stream-lifetime state
@@ -282,9 +324,16 @@ object ServeJob {
     * deploy/stop cycles — restart tests, model refreshes — do not
     * accumulate stream-lifetime caches. */
   private def withIndexCleanup(q: StreamingQuery,
-                               release: () => Unit): StreamingQuery = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    spark.streams.addListener(
+                               release0: () => Unit): StreamingQuery = {
+    // idempotent: the listener and the already-terminated check below can
+    // both fire, and callers may have released on an exception path
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit =
+      if (released.compareAndSet(false, true)) release0()
+    // the query's OWN session, not SparkSession.active — a start() issued
+    // against a non-active session would otherwise never see the event
+    val spark = q.sparkSession
+    val listener =
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -296,7 +345,14 @@ object ServeJob {
             release()
             spark.streams.removeListener(this)
           }
-      })
+      }
+    spark.streams.addListener(listener)
+    // listener events are not replayed: an AvailableNow query that drained
+    // and terminated BEFORE the registration above would never fire it
+    if (!q.isActive) {
+      release()
+      spark.streams.removeListener(listener)
+    }
     q
   }
 }

@@ -74,6 +74,41 @@ class ServeLaneGuardSpec extends SparkSuite {
       "exchange-lane fallback served different results than the fused lane")
   }
 
+  test("lane parity holds on poison payloads: null bookIds elements and same-user duplicates") {
+    val fitted = fit()
+    val collect = Fixtures.collects(spark)
+    implicit val sqlCtx = spark.sqlContext
+    // one event with a null ELEMENT in bookIds (the exchange lane's
+    // explode→inner-join drops it; the fused lane used to throw in the
+    // encoder and crash-loop the stream), plus the SAME user twice in one
+    // trigger (the exchange lane merges the user's event rows into one
+    // query doc; the fused lane must concatenate identically)
+    val frames = Seq(
+      """{"userId": 101, "bookIds": [1, null, 2]}""",
+      """{"userId": 102}""",
+      """{"userId": 102, "bookIds": [3]}""")
+    def serve(budget: Long): Map[String, String] = {
+      InMemoryKV.clear()
+      val kv = new InMemoryKV
+      val stream = MemoryStream[String]
+      stream.addData(frames: _*)
+      val q = ServeJob.start(stream.toDF(), fitted, collect, kv,
+        serveBudgetBytes = budget)
+      q.processAllAvailable()
+      q.stop()
+      val snap = InMemoryKV.snapshot
+      InMemoryKV.clear()
+      snap
+    }
+    val fused = serve(Scoring.DefaultServeBudgetBytes)
+    val exchange = serve(1L)
+    assert(fused.keys.exists(_ == "b_like:101"),
+      "the null-element payload must be served (null dropped), not crash the batch")
+    assert(fused.keys.exists(_ == "b_like:102"))
+    assert(exchange == fused,
+      "poison/duplicate events must serve identical results on both lanes")
+  }
+
   test("scoreBatch rejects a latestK that differs from the index's build depth") {
     val fitted = fit()
     val collect = Fixtures.collects(spark)
