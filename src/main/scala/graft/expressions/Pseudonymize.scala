@@ -43,6 +43,14 @@ case class PseudonymizeEmails(child: Expression, key: String = "")
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pseudonymize_emails"
 
+  // The key must never surface in explain() output, the Spark UI SQL tab,
+  // or event logs — Expression's default toString/flatArguments prints
+  // every productIterator arg in cleartext (r9 advice). Redact everywhere
+  // a plan string can reach.
+  override def flatArguments: Iterator[Any] = Iterator(child, "[redacted]")
+  override def toString: String = s"$prettyName($child, [redacted])"
+  override def sql: String = s"$prettyName(${child.sql}, '[redacted]')"
+
   @transient private lazy val re =
     java.util.regex.Pattern.compile(
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
@@ -92,6 +100,14 @@ case class PseudonymizeEmailsHmac(child: Expression, key: String)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pseudonymize_emails_hmac"
+
+  // The HMAC key is a SECRET: Expression's default toString/flatArguments
+  // prints all productIterator args, so without these overrides the key
+  // appears in cleartext in explain(), the Spark UI SQL tab, and event
+  // logs — which would undermine the PRF's whole point (r9 advice).
+  override def flatArguments: Iterator[Any] = Iterator(child, "[redacted]")
+  override def toString: String = s"$prettyName($child, [redacted])"
+  override def sql: String = s"$prettyName(${child.sql}, '[redacted]')"
 
   @transient private lazy val re =
     java.util.regex.Pattern.compile(

@@ -724,12 +724,21 @@ object Ann {
       case e: Throwable =>
         // in-process failure: this appender is provably not live, so the
         // id can be released for a clean same-id retry — delete partial
-        // live files (uncommitted, hence invisible) and the claim
+        // live files (uncommitted, hence invisible) and the claim.
+        // EXCEPT when the commit marker for this shard exists (the
+        // fencing-bypass require above, or a failure after the marker
+        // write): the marker declares shard N committed and queries may
+        // already be serving those rows, so deleting them here would
+        // silently destroy served data before the caller sees the error —
+        // leave the live files AND the claim intact for inspection/rebuild
+        // (r9 advice).
         try {
-          Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-              s"$dir/postings.parquet/cell=*/shard=$shardId")))
-            .foreach(_.foreach(s => fs.delete(s.getPath, true)))
-          fs.delete(claimMarker(dir, m.buildId, shardId), false)
+          if (!fs.exists(commitMarker(dir, m.buildId, shardId))) {
+            Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+                s"$dir/postings.parquet/cell=*/shard=$shardId")))
+              .foreach(_.foreach(s => fs.delete(s.getPath, true)))
+            fs.delete(claimMarker(dir, m.buildId, shardId), false)
+          }
         } catch { case _: java.io.IOException => () } // keep the real error
         throw e
     } finally {
@@ -764,7 +773,15 @@ object Ann {
   /** Create-if-absent; false iff the path already exists. Atomic on HDFS
     * (namenode-arbitrated); S3-style stores check-then-put unless
     * conditional creates are enabled — see [[appendIvfShard]]'s
-    * single-writer guidance. */
+    * single-writer guidance.
+    *
+    * "Already exists" is classified by exception TYPE, not message text
+    * (r9 advice): a transient IOException whose message merely contains
+    * "exists" must NOT be read as "claimed" (that silently skips a free
+    * shard id), and an HDFS lease conflict arrives as a RemoteException
+    * wrapping AlreadyBeingCreatedException whose message need not contain
+    * the word at all. Every other IOException propagates as the error it
+    * is (network, permission, quota). */
   private def tryExclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
                                  path: org.apache.hadoop.fs.Path): Boolean =
     try {
@@ -772,8 +789,13 @@ object Ann {
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case e: java.io.IOException
-          if e.getMessage != null && e.getMessage.contains("exists") => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: org.apache.hadoop.ipc.RemoteException
+          // hadoop-client-api shades hdfs-protocol classes out of reach;
+          // RemoteException carries the server-side class by NAME
+          if e.getClassName != null && (
+            e.getClassName.endsWith(".AlreadyBeingCreatedException") ||
+            e.getClassName.endsWith(".FileAlreadyExistsException")) => false
     }
 
   private case class IvfManifest(seed: Long, nCentroids: Long,

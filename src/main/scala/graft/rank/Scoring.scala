@@ -81,6 +81,16 @@ object Scoring {
       "clusterCosine: corpusPostings are term-indexed (built with a " +
         "vocab) but no vocab was passed for the query side — the join " +
         "would compare int indices against raw term strings")
+    // ... and the mirror image (r9 advice): a vocab on the query side with
+    // externally supplied STRING-term postings (built with vocab=None, so
+    // no fingerprint column) would join int indices against raw strings,
+    // match nothing, and silently push every user to the fallback.
+    require(vocab.isEmpty || corpusPostings.isEmpty ||
+        cRaw.columns.contains(VocabFpCol),
+      "clusterCosine: a vocab was passed but the supplied corpusPostings " +
+        "carry no vocabulary fingerprint (they were built with " +
+        "vocab=None, i.e. string terms) — the int-indexed query side " +
+        "would match nothing; rebuild the postings with the current vocab")
     val cChecked =
       if (vocab.isDefined && cRaw.columns.contains(VocabFpCol))
         cRaw.where(when(col(VocabFpCol) === lit(vocabFingerprint(vocab.get)),
