@@ -66,6 +66,23 @@ object CorpusPrep {
     * `prepare` returns; re-running the returned frame re-observes. */
   def prepareAudited(docs: DataFrame, idCol: String, textCol: String,
                      cfg: Config = Config()): Prepared = {
+    // partitions ∝ data (SCALING.md §50×: fixed 32 partitions is what
+    // turned sort spill on at ≥50×). Row count over the RAW input — a
+    // column-pruned scan, cheap for the parquet-backed frames this entry
+    // point takes; floor = the session setting, so small-scale gate plans
+    // are untouched. The raised value covers everything this call
+    // materializes (dedupCorpus's pair pipeline + cluster resolution);
+    // the returned lazy tail plans at the caller's restored setting.
+    val spark = docs.sparkSession
+    val nParts = graft.operators.Tuning.partitionsForRows(docs.count(),
+      spark.sessionState.conf.numShufflePartitions)
+    graft.operators.Tuning.withShufflePartitions(spark, nParts) {
+      prepareAuditedBody(docs, idCol, textCol, cfg)
+    }
+  }
+
+  private def prepareAuditedBody(docs: DataFrame, idCol: String,
+                                 textCol: String, cfg: Config): Prepared = {
     val (observed, inputObs) =
       graft.operators.Observe.corpusQuality(docs, idCol, textCol,
         name = s"corpus_prep_input_${java.util.UUID.randomUUID}")
@@ -155,6 +172,15 @@ object CorpusPrep {
       val t0 = System.nanoTime(); val r = f
       stageTimer(name, (System.nanoTime() - t0) / 1e9); r
     }
+    // partitions ∝ data for the WHOLE composed pipeline — the suffix
+    // doubling loop and the splice checkpoint are the most spill-prone
+    // prefix, so the raise must precede detect_regions, not just the
+    // inner prepare() call (which re-derives the same floor-clamped value
+    // from its own count and no-ops inside this scope).
+    val spark0 = docs.sparkSession
+    val nParts = graft.operators.Tuning.partitionsForRows(docs.count(),
+      spark0.sessionState.conf.numShufflePartitions)
+    graft.operators.Tuning.withShufflePartitions(spark0, nParts) {
     val (splicedLazy, regionsRelease) = timed("detect_regions")(
       splicedCorpus(docs, idCol, textCol, regionMinLength))
     // MATERIALIZATION BARRIER: the spliced corpus is re-read by every
@@ -201,5 +227,6 @@ object CorpusPrep {
         decontaminated.join(selected.select(col(idCol)), Seq(idCol))
       case _ => decontaminated
     }
+    } // withShufflePartitions
   }
 }

@@ -54,6 +54,67 @@ class Round10Spec extends SparkSuite {
     assert(ok.count() > 0)
   }
 
+  test("Tuning: partitions-for-data is floor-clamped, monotone, and capped") {
+    import graft.operators.Tuning
+    // floor: small inputs keep the session setting — the sf0.01 gate-plan
+    // invariant (every gate query plans exactly as before the knob)
+    assert(Tuning.partitionsForRows(500, 32) == 32)
+    assert(Tuning.partitionsForRows(65536, 32) == 32)   // 65536/2048 = 32
+    // engagement: SCALING §50× calibration point — 250k docs → ~123
+    assert(Tuning.partitionsForRows(250000, 32) == 123)
+    assert(Tuning.partitionsForRows(500000, 32) == 245)
+    // cap
+    assert(Tuning.partitionsForRows(Long.MaxValue / 4, 32) == Tuning.MaxPartitions)
+    // bytes estimator: unknown/absurd stats keep the floor
+    assert(Tuning.partitionsForBytes(BigInt(-1), 32) == 32)
+    assert(Tuning.partitionsForBytes(BigInt(Long.MaxValue) * 100, 32) == 32)
+    assert(Tuning.partitionsForBytes(BigInt(2L << 30), 32) == 256)  // 2GiB*8/64MiB
+  }
+
+  test("Tuning.withShufflePartitions raises, restores, and never lowers") {
+    import graft.operators.Tuning
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    Tuning.withShufflePartitions(spark, before.toInt + 10) {
+      assert(spark.conf.get("spark.sql.shuffle.partitions") ==
+        (before.toInt + 10).toString)
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "caller's setting must be restored")
+    // restore survives a failure inside the scope
+    intercept[RuntimeException] {
+      Tuning.withShufflePartitions(spark, before.toInt + 10) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    // never lowers
+    Tuning.withShufflePartitions(spark, 1) {
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    }
+  }
+
+  test("CorpusPrep auto-shuffle: floor at gate scale, engaged when rows demand it") {
+    import graft.operators.Tuning
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    // gate scale: the knob must NOT engage (sf0.01 plans unchanged)
+    graft.jobs.CorpusPrep.prepare(docs, "doc_id", "text").count()
+    assert(Tuning.lastChosen == before.toInt,
+      s"knob engaged at gate scale: chose ${Tuning.lastChosen}")
+    // forced engagement via the ops override: tiny rows-per-partition
+    // makes this corpus "large" without needing a 50x fixture in a spec
+    System.setProperty("graft.tuning.rowsPerPartition", "8")
+    try {
+      val expect = Tuning.partitionsForRows(docs.count(), before.toInt)
+      assert(expect > before.toInt, "override failed to force engagement")
+      graft.jobs.CorpusPrep.prepare(docs, "doc_id", "text").count()
+      assert(Tuning.lastChosen == expect,
+        s"expected $expect, chose ${Tuning.lastChosen}")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+        "session setting must be restored after prepare")
+    } finally System.clearProperty("graft.tuning.rowsPerPartition")
+  }
+
   test("appendIvfShard: commit-marker collision leaves marker-committed files intact") {
     val dir = java.nio.file.Files.createTempDirectory("ivfcollide").toString
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
