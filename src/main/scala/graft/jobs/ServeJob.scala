@@ -213,7 +213,76 @@ object ServeJob {
             checkpointLocation: Option[String] = None,
             stageTimer: (String, Double) => Unit = (_, _) => (),
             serveBudgetBytes: Long = graft.rank.Scoring.DefaultServeBudgetBytes)
-      : StreamingQuery = {
+      : StreamingQuery =
+    startSwappable(frames, fitted0, collect, kv, filterCollected, params,
+      trigger, checkpointLocation, stageTimer, serveBudgetBytes)._1
+
+  /** One model GENERATION's stream-lifetime state: the (hot-localized)
+    * fitted model plus whichever serving lane the byte-budget guard chose
+    * for it, and the hook that releases that lane's broadcasts/persists. */
+  private final case class Generation(
+      fitted: RecommenderModel.Fitted,
+      collect: DataFrame,
+      serve: Option[graft.rank.Scoring.ServeIndex],
+      corpusPostings: Option[DataFrame],
+      release: () => Unit)
+
+  /** Handle for hot model refresh (the ST4 extension): [[swap]] installs a
+    * freshly fitted model + serving index into a RUNNING stream atomically
+    * BETWEEN micro-batches. The expensive work — distributed asset build,
+    * broadcast creation, warmup compile — happens before the batch gate is
+    * taken, so the stream pauses only for a pointer swap; the outgoing
+    * generation is released AFTER the gate guarantees no in-flight batch
+    * still reads its broadcasts. Every event therefore scores against
+    * exactly one coherent (model, index) pair — the vocabulary-fingerprint
+    * guard stays as the loud backstop, but the swap makes the misaligned
+    * state unrepresentable in this API (the index is always built from the
+    * fitted model it is installed with). */
+  final class ModelHandle private[ServeJob] (
+      ref: java.util.concurrent.atomic.AtomicReference[Generation],
+      gate: java.util.concurrent.locks.ReentrantLock,
+      build: (RecommenderModel.Fitted, DataFrame) => Generation,
+      warmup: Generation => Unit) {
+    private[ServeJob] val closed =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    private val gen = new java.util.concurrent.atomic.AtomicLong(1L)
+
+    /** Installed-generation counter: 1 = the deployment's initial model,
+      * +1 per successful [[swap]]. */
+    def generation: Long = gen.get()
+
+    def swap(newFitted: RecommenderModel.Fitted,
+             newCollect: DataFrame): Unit = {
+      require(!closed.get(),
+        "ModelHandle.swap: the stream has terminated — deploy a new job " +
+          "instead of swapping into a dead one")
+      // heavy: distributed builds + broadcasts + codegen, all off the
+      // hot path — serving continues on the old generation throughout
+      val g = build(newFitted, newCollect)
+      try warmup(g)
+      catch { case e: Throwable => g.release(); throw e }
+      gate.lock()                      // waits for the in-flight batch
+      val old = try {
+        if (closed.get()) { g.release(); throw new IllegalStateException(
+          "ModelHandle.swap: stream terminated while building the new " +
+            "generation — the build was released; deploy a new job") }
+        val o = ref.get(); ref.set(g); gen.incrementAndGet(); o
+      } finally gate.unlock()
+      old.release()                    // no batch can still be reading it
+    }
+  }
+
+  /** [[start]] plus the hot-refresh [[ModelHandle]]. The returned query is
+    * identical to [[start]]'s when the handle is never used. */
+  def startSwappable(frames: DataFrame, fitted0: RecommenderModel.Fitted,
+            collect: DataFrame, kv: KVSink,
+            filterCollected: Boolean = true,
+            params: Recommender.Params = Recommender.Params(),
+            trigger: Trigger = Trigger.AvailableNow(),
+            checkpointLocation: Option[String] = None,
+            stageTimer: (String, Double) => Unit = (_, _) => (),
+            serveBudgetBytes: Long = graft.rank.Scoring.DefaultServeBudgetBytes)
+      : (StreamingQuery, ModelHandle) = {
     val decoded = EventSource.decode(frames)
     // Build the SERVE INDEX once per deployment: every batch-invariant
     // asset — inverted (cluster, term) postings, userBooks, latest-k and
@@ -234,79 +303,112 @@ object ServeJob {
     // ServeLaneGuardSpec). The exchange lane still amortizes the corpus
     // side: its postings index is computed ONCE here and persisted for
     // the stream's lifetime.
-    val serveIdx = graft.rank.Scoring.buildServeAssetsGuarded(
-      fitted0, collect, maxBytes = serveBudgetBytes)
-    val corpusPostings: Option[DataFrame] =
-      if (serveIdx.isDefined) None
-      else {
-        val p = graft.rank.Scoring.termPostings(fitted0.userTokens,
-            Some(fitted0.cv.vocabulary.toSet))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count() // materialize once, before the first batch
-        Some(p)
+    def buildGeneration(f0: RecommenderModel.Fitted,
+                        coll: DataFrame): Generation = {
+      val serveIdx = graft.rank.Scoring.buildServeAssetsGuarded(
+        f0, coll, maxBytes = serveBudgetBytes)
+      val corpusPostings: Option[DataFrame] =
+        if (serveIdx.isDefined) None
+        else {
+          val p = graft.rank.Scoring.termPostings(f0.userTokens,
+              Some(f0.cv.vocabulary.toSet))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          p.count() // materialize once, before the first batch
+          Some(p)
+        }
+      // the hot list is collected by blend/fallback EVERY batch
+      // (Blend.collectHotIds) — as a local relation that collect is a
+      // driver-side LocalTableScan instead of a per-batch file-scan job;
+      // bounded by the SAME limit Blend enforces per batch
+      val fitted = f0.copy(
+        hot = localize(f0.hot, graft.rank.Blend.MaxHotCollect))
+      // idempotent: the termination listener and a racing swap's
+      // error path may both reach a generation's release
+      val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+      Generation(fitted, coll, serveIdx, corpusPostings, () => {
+        if (released.compareAndSet(false, true)) {
+          serveIdx.foreach(_.destroy())
+          corpusPostings.foreach(_.unpersist())
+        }
+        ()
+      })
+    }
+    // WARMUP: score one synthetic event through the full fused path
+    // before a generation serves real events. The first batch otherwise
+    // pays every one-off cost — codegen compilation of the scoring
+    // plans, broadcast deserialization on each executor thread, JIT —
+    // which lands on real events' latency (measured: first batch ~3-5×
+    // the steady p50); after a hot swap the same costs would land on the
+    // first post-swap batch. The synthetic user id is negative (outside
+    // the event-source domain, which enforces userId > 0), its payload is
+    // the head of the hot list, and nothing is written to the KV sink.
+    // One action over the SAME kvFrame plan the live batches execute —
+    // two separate counts would run the shared scoring subtree twice
+    // and warm a plan shape production never runs.
+    def warmup(g: Generation): Unit = {
+      val spark = frames.sparkSession
+      import spark.implicits._
+      val payload = g.fitted.hot.select(col("bookId").cast("long"))
+        .limit(3).as[Long].collect().toSeq
+      if (payload.nonEmpty) {
+        val fake = spark.createDataset(Seq((-1L, payload)))
+          .toDF("userId", "bookIds")
+        kvFrame(scoreBatch(fake, g.fitted, g.collect,
+          filterCollected = filterCollected, params = params,
+          corpusPostings = g.corpusPostings, serve = g.serve)).count()
+        ()
       }
+    }
+    val g0 = buildGeneration(fitted0, collect)
+    val ref = new java.util.concurrent.atomic.AtomicReference(g0)
+    // the batch/swap gate: a micro-batch holds it for the batch duration,
+    // a swap takes it only for the pointer exchange — so a swap lands
+    // exactly between batches and never under a batch that is reading the
+    // outgoing generation's broadcasts
+    val gate = new java.util.concurrent.locks.ReentrantLock
+    val handle = new ModelHandle(ref, gate, buildGeneration, warmup)
+    // under the gate: without it, termination could interleave with a
+    // swap's pointer exchange — releasing the generation the swap is
+    // about to replace while leaking the one it installs
     val release = () => {
-      serveIdx.foreach(_.destroy())
-      corpusPostings.foreach(_.unpersist())
-      ()
+      gate.lock()
+      try { handle.closed.set(true); ref.get().release() }
+      finally gate.unlock()
     }
     // everything from here to start() can throw (warmup scoring, a bad
     // checkpoint location) — without the catch, a failed deployment
     // leaks the just-built stream-lifetime state
     val query = try {
-      // the hot list is collected by blend/fallback EVERY batch
-      // (Blend.collectHotIds) — as a local relation that collect is a
-      // driver-side LocalTableScan instead of a per-batch file-scan job;
-      // bounded by the SAME limit Blend enforces per batch
-      val fitted = fitted0.copy(
-        hot = localize(fitted0.hot, graft.rank.Blend.MaxHotCollect))
-      // WARMUP: score one synthetic event through the full fused path
-      // before attaching the stream. The first batch otherwise pays every
-      // one-off deployment cost — codegen compilation of the scoring
-      // plans, broadcast deserialization on each executor thread, JIT —
-      // which lands on real events' latency (measured: first batch ~3-5×
-      // the steady p50). The synthetic user id is negative (outside the
-      // event-source domain, which enforces userId > 0), its payload is
-      // the head of the hot list, and nothing is written to the KV sink.
-      // One action over the SAME kvFrame plan the live batches execute —
-      // two separate counts would run the shared scoring subtree twice
-      // and warm a plan shape production never runs.
-      locally {
-        val spark = frames.sparkSession
-        import spark.implicits._
-        val payload = fitted.hot.select(col("bookId").cast("long"))
-          .limit(3).as[Long].collect().toSeq
-        if (payload.nonEmpty) {
-          val fake = spark.createDataset(Seq((-1L, payload)))
-            .toDF("userId", "bookIds")
-          kvFrame(scoreBatch(fake, fitted, collect,
-            filterCollected = filterCollected, params = params,
-            corpusPostings = corpusPostings, serve = serveIdx)).count()
-        }
-      }
+      warmup(g0)
       val base = decoded.writeStream
         .outputMode("append")
       checkpointLocation.foreach(base.option("checkpointLocation", _))
       base
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // the serve lane's own localize IS its cheapest empty probe; an
-          // isEmpty pre-check would execute the decode lineage an extra
-          // time on every non-empty batch. The exchange lane keeps the
-          // probe: its distributed chain is the expensive part to skip.
-          if (serveIdx.isDefined || !batch.isEmpty) {
-            val recs = scoreBatch(batch, fitted, collect,
-              filterCollected = filterCollected, params = params,
-              corpusPostings = corpusPostings, serve = serveIdx,
-              stageTimer = stageTimer)
-            val tw0 = System.nanoTime()
-            // ONE write action for both key families: the books and users
-            // plans share the whole similarity subtree (queries → sims),
-            // and two separate actions would execute it twice per batch —
-            // cross-action plans cannot reuse exchanges. Unioned into a
-            // single plan, the shared shuffles dedup via ReusedExchange.
-            KVWriter.write(kvFrame(recs), kv)
-            stageTimer("kv_write", (System.nanoTime() - tw0) / 1e9)
-          }
+          gate.lock()
+          try {
+            val g = ref.get()
+            // the serve lane's own localize IS its cheapest empty probe;
+            // an isEmpty pre-check would execute the decode lineage an
+            // extra time on every non-empty batch. The exchange lane
+            // keeps the probe: its distributed chain is the expensive
+            // part to skip.
+            if (g.serve.isDefined || !batch.isEmpty) {
+              val recs = scoreBatch(batch, g.fitted, g.collect,
+                filterCollected = filterCollected, params = params,
+                corpusPostings = g.corpusPostings, serve = g.serve,
+                stageTimer = stageTimer)
+              val tw0 = System.nanoTime()
+              // ONE write action for both key families: the books and
+              // users plans share the whole similarity subtree (queries →
+              // sims), and two separate actions would execute it twice
+              // per batch — cross-action plans cannot reuse exchanges.
+              // Unioned into a single plan, the shared shuffles dedup via
+              // ReusedExchange.
+              KVWriter.write(kvFrame(recs), kv)
+              stageTimer("kv_write", (System.nanoTime() - tw0) / 1e9)
+            }
+          } finally gate.unlock()
           ()
         }
         .trigger(trigger)
@@ -314,7 +416,7 @@ object ServeJob {
     } catch {
       case e: Throwable => release(); throw e
     }
-    withIndexCleanup(query, release)
+    (withIndexCleanup(query, release), handle)
   }
 
   /** [[start]] with index-lifecycle hygiene: the stream-lifetime state

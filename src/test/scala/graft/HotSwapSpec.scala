@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.io.InMemoryKV
+import graft.jobs.{Recommender, RecommenderModel, ServeJob}
+
+/** Hot model refresh (round-10 item: the ST4 extension). A long-lived
+  * serving deployment refits offline and swaps the fitted model + serving
+  * index into the RUNNING stream between micro-batches — no restart, no
+  * misaligned batch (every event scores against exactly one coherent
+  * (model, index) generation), no dropped events across the boundary. */
+class HotSwapSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fit(collects: org.apache.spark.sql.DataFrame) =
+    RecommenderModel.fit(
+      Fixtures.books(spark), Fixtures.tags(spark), Fixtures.bookTags(spark),
+      collects, minCollected = 2, minDf = 1.0, stopWords = Nil,
+      k = 2, hotN = 3)
+
+  /** Generation-2 world: user 101's collections change completely (6,8
+    * instead of 1,3,5,7), which changes their latest-k query context, the
+    * collected-filter set, AND the global hot list. */
+  private def collects2 = {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    Seq(
+      (101L, 6L, 1, ts("2017-04-01 10:00:00")),
+      (101L, 8L, 1, ts("2017-04-01 11:00:00")),
+      (102L, 3L, 1, ts("2017-03-02 10:00:00")),
+      (102L, 4L, 1, ts("2017-03-02 11:00:00")),
+      (102L, 8L, 1, ts("2017-03-02 12:00:00")),
+      (103L, 5L, 1, ts("2017-03-01 09:00:00")),
+      (103L, 6L, 1, ts("2017-03-01 09:30:00")),
+      (103L, 7L, 1, ts("2017-03-01 09:45:00")),
+      (104L, 6L, 1, ts("2017-03-03 08:00:00")),
+      (104L, 8L, 1, ts("2017-03-03 08:10:00")),
+      (104L, 7L, 1, ts("2017-03-03 08:20:00"))
+    ).toDF("userId", "bookId", "isCollect", "time")
+  }
+
+  /** The batch-lane oracle for what generation `fitted` should answer for
+    * `userId` — computed OUTSIDE the stream, through the same scoreBatch. */
+  private def expectedBooks(fitted: RecommenderModel.Fitted,
+                            collect: org.apache.spark.sql.DataFrame,
+                            userId: Long): String = {
+    val ev = Seq((userId, null.asInstanceOf[Seq[Long]]))
+      .toDF("userId", "bookIds")
+    val recs = ServeJob.scoreBatch(ev, fitted, collect)
+    recs.books.where(col("query") === userId)
+      .select(graft.functions.TextFunctions.joinIds(col("books")))
+      .head().getString(0)
+  }
+
+  private def runSwapTest(serveBudgetBytes: Long, laneName: String): Unit = {
+    InMemoryKV.clear()
+    val kv = new InMemoryKV
+    val coll1 = Fixtures.collects(spark)
+    val coll2 = collects2
+    val f1 = fit(coll1)
+    val f2 = fit(coll2)
+    val exp1 = expectedBooks(f1, coll1, 101L)
+    val exp2 = expectedBooks(f2, coll2, 101L)
+    assert(exp1 != exp2,
+      "fixture must give generation-distinguishable answers for user 101")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    // ProcessingTime keeps the query ALIVE between batches — the swap has
+    // to land in a running stream, not across a restart
+    val (q, handle) = ServeJob.startSwappable(stream.toDF(), f1, coll1, kv,
+      trigger = Trigger.ProcessingTime(0L),
+      serveBudgetBytes = serveBudgetBytes)
+    try {
+      assert(handle.generation == 1L)
+      stream.addData("""{"userId": 101}""")
+      q.processAllAvailable()
+      assert(InMemoryKV.snapshot("b_like:101") == exp1,
+        s"[$laneName] generation 1 must serve the generation-1 answer")
+
+      // offline refit done → swap into the running stream
+      handle.swap(f2, coll2)
+      assert(handle.generation == 2L)
+
+      InMemoryKV.clear()
+      stream.addData("""{"userId": 101}""")
+      q.processAllAvailable()
+      assert(InMemoryKV.snapshot("b_like:101") == exp2,
+        s"[$laneName] first post-swap batch must serve the new generation")
+
+      // no dropped events across the boundary: a second user in the same
+      // post-swap stream still gets an answer (fallback or scored)
+      stream.addData("""{"userId": 777}""")
+      q.processAllAvailable()
+      assert(InMemoryKV.snapshot.contains("b_like:777"),
+        s"[$laneName] events after the swap must all be answered")
+    } finally q.stop()
+    // swap into a terminated stream is refused loudly
+    val e = intercept[IllegalArgumentException] { handle.swap(f1, coll1) }
+    assert(e.getMessage.contains("terminated"))
+  }
+
+  test("hot swap on the fused broadcast lane: next batch serves the new generation") {
+    runSwapTest(graft.rank.Scoring.DefaultServeBudgetBytes, "fused")
+  }
+
+  test("hot swap on the exchange lane: postings swap with the model") {
+    // byte budget of 1 forces the guard to refuse the broadcast lane, so
+    // the deployment serves through the distributed exchange lane and the
+    // swap must replace the persisted postings index too
+    runSwapTest(1L, "exchange")
+  }
+}
