@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Round-10 item: the incremental-IVF operational loop CLOSED UNDER A
+  * STREAM — foreachBatch ingestion appends a day's shard, and serving
+  * queries against the same index directory pick up each new generation
+  * across the boundary, exact at full probe. */
+class IvfStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streamed shard appends: queries observe each generation, exact at full probe") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.where(col("vec_id") < 300)
+    graft.operators.Ann.buildIvfIndex(base, "vec_id", "embedding", dir,
+      nCentroids = 8, seed = 42L)
+    val queries = emb.where(col("vec_id") < 10)
+
+    def served() = graft.operators.Ann.queryIvfIndex(
+        queries, "vec_id", "embedding", dir, k = 5, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("c"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    def brute(corpus: org.apache.spark.sql.DataFrame) =
+      graft.operators.Ann.bruteForceTopK(
+        queries, corpus, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("c"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+
+    val delta1 = emb.where(col("vec_id") >= 300 && col("vec_id") < 450)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val delta2 = emb.where(col("vec_id") >= 450)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val shards = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    // ProcessingTime keeps the ingest ALIVE between days — the serving
+    // queries below run against a live, growing index
+    val q = graft.jobs.IndexIngestJob.start(
+      stream.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir,
+      trigger = Trigger.ProcessingTime(0L),
+      onShard = (b, s) => shards.synchronized { shards += ((b, s)); () })
+    try {
+      // generation 0: base only
+      assert(served() == brute(base), "pre-append serving must equal base")
+      // day 1 arrives
+      stream.addData(delta1: _*)
+      q.processAllAvailable()
+      assert(shards.synchronized(shards.map(_._2).toSet) == Set(1),
+        s"day-1 batch must commit shard 1: $shards")
+      val day1Corpus = emb.where(col("vec_id") < 450)
+      assert(served() == brute(day1Corpus),
+        "query after day-1 append must observe the new generation exactly")
+      // day 2 arrives while the same stream is still up
+      stream.addData(delta2: _*)
+      q.processAllAvailable()
+      assert(shards.synchronized(shards.map(_._2).toSet) == Set(1, 2),
+        s"day-2 batch must commit shard 2: $shards")
+      assert(served() == brute(emb),
+        "query after day-2 append must observe the full corpus exactly")
+    } finally q.stop()
+  }
+
+  test("empty micro-batches do not burn shard ids") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream2").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    graft.operators.Ann.buildIvfIndex(
+      emb.where(col("vec_id") < 100), "vec_id", "embedding", dir,
+      nCentroids = 4, seed = 42L)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val shards = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = graft.jobs.IndexIngestJob.start(
+      stream.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir,
+      trigger = Trigger.ProcessingTime(0L),
+      onShard = (_, s) => shards.synchronized { shards += s; () })
+    try {
+      q.processAllAvailable()   // no data yet — nothing should commit
+      assert(shards.synchronized(shards.isEmpty))
+      val delta = emb.where(col("vec_id") >= 100 && col("vec_id") < 120)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      stream.addData(delta: _*)
+      q.processAllAvailable()
+      assert(shards.synchronized(shards.toSeq) == Seq(1),
+        "first non-empty batch takes shard 1 — idle triggers burned none")
+    } finally q.stop()
+  }
+}
