@@ -79,6 +79,66 @@ object Collaborative {
       rank, prep(userFactors), prep(itemFactors)))
   }
 
+  /** The ALS normal-equations HALF-STEP with fixed item factors — the
+    * fold-in operator an offline-refit/online-serve deployment needs: a
+    * user who appeared AFTER the last full fit (or whose history changed)
+    * gets factors from the closed-form solve
+    *
+    *   x_u = (Yᵤᵀ·Yᵤ + λ·I)⁻¹ · Yᵤᵀ·r_u
+    *
+    * against the CURRENT item factors, without refitting O(corpus). This
+    * is exactly MLlib's own final explicit-feedback update (ALS alternates
+    * and ends on the user side, Cholesky-solving the same system), which
+    * is what makes the engine's fit value-checkable: solveUserFactors over
+    * a converged model's item factors reproduces that model's user factors
+    * to float rounding (CollaborativeSpec), and the rank-2 form replays in
+    * closed-form SQL (`ml2c_als_half_step`).
+    *
+    * Fully distributed and codegen-friendly: the rank²+rank sums are plain
+    * unrolled aggregate columns (no HOFs, no UDF — one shuffle on user),
+    * and the per-user solve is the native [[graft.expressions.SolveSpd]]
+    * kernel. Item factors broadcast (rank·|items| doubles — model-sized);
+    * at a web-scale item catalog drop the hint and let the join shuffle.
+    *
+    * `regByRatingCount`: λ scaled by the user's rating count (the ALS-WR
+    * weighted-λ rule, which IS MLlib's explicit-feedback convention —
+    * verified empirically in CollaborativeSpec: with it the half-step
+    * matches model.userFactors, without it the factors come out ~λ·(n−1)
+    * too large) vs plain λ. Default matches MLlib. */
+  def solveUserFactors(interactions: DataFrame, itemFactors: DataFrame,
+                       rank: Int, regParam: Double,
+                       regByRatingCount: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    require(rank >= 1, "rank must be >= 1")
+    val y = itemFactors.select(col("id").cast("long").as("item"),
+      col("features").cast("array<double>").as("y"))
+    val joined = interactions
+      .select(col("user").cast("long").as("user"),
+        col("item").cast("long").as("item"),
+        col("rating").cast("double").as("r"))
+      .join(broadcast(y), Seq("item"))
+    def f(c: Int) = element_at(col("y"), c + 1)
+    // upper triangle only; mirrored below (A is symmetric by construction)
+    val ataCols = for (i <- 0 until rank; j <- i until rank)
+      yield sum(f(i) * f(j)).as(s"a_${i}_$j")
+    val atbCols = (0 until rank).map(i => sum(col("r") * f(i)).as(s"b_$i"))
+    val aggCols = (ataCols ++ atbCols) :+ count(lit(1)).as("n")
+    val agg = joined.groupBy("user").agg(aggCols.head, aggCols.tail: _*)
+    val lam =
+      if (regByRatingCount) col("n").cast("double") * lit(regParam)
+      else lit(regParam)
+    def aAt(i: Int, j: Int) = {
+      val base = if (i <= j) col(s"a_${i}_$j") else col(s"a_${j}_$i")
+      if (i == j) base + lam else base
+    }
+    val aArr = array((for (i <- 0 until rank; j <- 0 until rank)
+      yield aAt(i, j)): _*)
+    val bArr = array((0 until rank).map(i => col(s"b_$i")): _*)
+    agg.select(col("user").as("id"),
+      column(graft.expressions.SolveSpd(
+        expression(aArr), expression(bArr))).as("features"))
+  }
+
   /** Top-k item ids per user as (user, items array<long>). */
   def recommendForUsers(fitted: Fitted, users: DataFrame, k: Int): DataFrame =
     fitted.model.recommendForUserSubset(

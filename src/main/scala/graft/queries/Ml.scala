@@ -158,6 +158,59 @@ object Ml {
         .orderBy("user_id")
     },
 
+    // The ALS FIT-STEP value check ml2 could not give (round-10 item 7):
+    // one normal-equations half-step — fixed item factors → closed-form
+    // user factors, Collaborative.solveUserFactors, the fold-in operator
+    // of the offline-refit/online-serve split. Rank 2 so the oracle can
+    // replay the SolveSpd Cholesky literally (l00 → l10 → l11 → forward →
+    // back substitution, each CTE one kernel statement in the SAME
+    // floating-point operation order). Item factors live on a 1/8 grid
+    // (products 1/64, ratings integer counts), so every accumulated sum
+    // is an exact dyadic rational identical in both engines regardless of
+    // summation order, and the solve — the same IEEE expression over the
+    // same exact inputs — matches bit-for-bit before rounding. λ = 0.5
+    // with MLlib's explicit-feedback λ·n scaling (the convention
+    // CollaborativeSpec pins against model.userFactors). The rank-4 form
+    // is spec-gated: MLlib agreement + independent residual check.
+    Q("ml2c_als_half_step",
+      """WITH inter AS (
+        |  SELECT o_custkey AS u, l_partkey AS i, CAST(count(*) AS DOUBLE) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey <= 100 AND l_partkey <= 200
+        |  GROUP BY 1, 2),
+        |f AS (SELECT u, i, r, 1.0 AS y0,
+        |    CAST(((i * 13 + 7) % 17) - 8 AS DOUBLE) / 8.0 AS y1 FROM inter),
+        |s AS (SELECT u, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(y0 * y0) AS a00, sum(y0 * y1) AS a01, sum(y1 * y1) AS a11,
+        |    sum(r * y0) AS b0, sum(r * y1) AS b1
+        |  FROM f GROUP BY u),
+        |c1 AS (SELECT *, sqrt(a00 + n * 0.5) AS l00 FROM s),
+        |c2 AS (SELECT *, a01 / l00 AS l10 FROM c1),
+        |c3 AS (SELECT *, sqrt((a11 + n * 0.5) - l10 * l10) AS l11 FROM c2),
+        |c4 AS (SELECT *, b0 / l00 AS fy0 FROM c3),
+        |c5 AS (SELECT *, (b1 - l10 * fy0) / l11 AS fy1 FROM c4),
+        |c6 AS (SELECT *, fy1 / l11 AS x1 FROM c5),
+        |c7 AS (SELECT *, (fy0 - l10 * x1) / l00 AS x0 FROM c6)
+        |SELECT u AS user_id, round(x0, 6) AS f0, round(x1, 6) AS f1
+        |FROM c7 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val inter = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_custkey") <= 100 && col("l_partkey") <= 200)
+        .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+        .agg(count(lit(1)).cast("double").as("rating"))
+      val itemF = Tables.part(s, d).where(col("p_partkey") <= 200)
+        .select(col("p_partkey").as("id"),
+          array(lit(1.0),
+            ((col("p_partkey") * 13 + 7) % 17 - 8).cast("double") / 8.0)
+            .as("features"))
+      graft.model.Collaborative.solveUserFactors(inter, itemF,
+          rank = 2, regParam = 0.5)
+        .select(col("id").as("user_id"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"))
+        .orderBy("user_id")
+    },
+
     // MMR diversification over ANN candidates: top-10 cosine neighbors per
     // query re-ranked for diversity (λ = 0.7), picking 5. The greedy is
     // per-query local over the bounded candidate list; scores are exact
