@@ -57,6 +57,126 @@ object Text {
        |    FROM bpe) WHERE fin)""".stripMargin
   }
 
+  /** e2e2b parameterized by its fixture bound: the gate registers the
+    * 397-doc form (bound=400, every doc sf0.01 and sf0.001 share); the
+    * off-toy-scale adjudication (tools/E2e2bScale, round 10) runs the
+    * SAME builder at bound=4000 against sf0.1 to show the deterministic
+    * exact-mode lanes are not tuned to the small fixture. */
+  private[graft] def e2e2b(bound: Int): Q =
+    Q("e2e2b_full_prep_exact",
+      s"""WITH RECURSIVE
+        |corp AS (SELECT doc_id, text, lang FROM documents
+        |         WHERE doc_id >= 3 AND doc_id < $bound),
+        |p AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(length(text) - 64 + 2, 1)),
+        |      i -> {'off': i, 'g': substr(text, i, 64)})) AS u
+        |  FROM corp),
+        |q0 AS (SELECT doc_id, u.off AS off, u.g AS g FROM p),
+        |cg AS (SELECT g FROM q0 GROUP BY g HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, off FROM q0 JOIN cg USING (g)),
+        |isl AS (SELECT doc_id, off,
+        |    off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS grp
+        |  FROM m),
+        |r2 AS (SELECT doc_id, min(off) - 1 AS start,
+        |    max(off) - min(off) + 64 AS region_len
+        |  FROM isl GROUP BY doc_id, grp),
+        |segm AS (SELECT doc_id,
+        |    coalesce(lag(start + region_len) OVER w, 0) AS a,
+        |    start - coalesce(lag(start + region_len) OVER w, 0) AS n
+        |  FROM r2 WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
+        |tl AS (SELECT doc_id, max(start + region_len) AS a,
+        |    CAST(NULL AS BIGINT) AS n FROM r2 GROUP BY doc_id),
+        |ss AS (SELECT * FROM segm UNION ALL SELECT * FROM tl),
+        |parts AS (SELECT c.doc_id, ss.a,
+        |    substr(c.text, CAST(ss.a + 1 AS INT),
+        |      CAST(coalesce(ss.n, length(c.text)) AS INT)) AS part
+        |  FROM corp c JOIN ss ON c.doc_id = ss.doc_id),
+        |spliced0 AS (SELECT doc_id, string_agg(part, '' ORDER BY a) AS t
+        |             FROM parts GROUP BY doc_id),
+        |clean AS (SELECT c.doc_id, coalesce(s.t, c.text) AS text, c.lang
+        |          FROM corp c LEFT JOIN spliced0 s USING (doc_id)),
+        |qual AS (SELECT doc_id, text, lang,
+        |    ((CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.0 END)
+        |     + alpha_ratio + least(stop_ratio * 4, 1.0)) / 3.0 AS quality
+        |  FROM (SELECT doc_id, text, lang,
+        |      CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+        |        / greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0) AS mean_len,
+        |      CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |        / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio,
+        |      CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        |          x -> x IN ('the','a','an','of','to','in','and','is','on','for',
+        |                     'with','that','as','it','at','by'))) AS DOUBLE)
+        |        / greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0) AS stop_ratio
+        |    FROM clean)),
+        |kept AS (SELECT * FROM qual WHERE quality >= 0.3),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 2, 1) + 1),
+        |      i -> t[i:i+2])) AS sh
+        |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+        |        FROM kept)),
+        |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |      FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |cc AS (
+        |  SELECT a AS id, a AS reach FROM edges
+        |  UNION
+        |  SELECT cc.id, edges.b AS reach FROM cc JOIN edges ON cc.reach = edges.a),
+        |losers AS (SELECT id FROM cc GROUP BY id HAVING min(reach) <> id),
+        |surv AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT id FROM losers)),
+        |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |      range(1, greatest(length(t) - 19, 1) + 1), i -> t[i:i+19]))) AS g
+        |  FROM (SELECT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+        |        FROM documents WHERE doc_id < 3)),
+        |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, greatest(length(t) - 19, 1) + 1), i -> t[i:i+19]))) AS g
+        |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+        |        FROM surv)),
+        |contam AS (SELECT doc_id FROM csh JOIN bsh USING (g)
+        |           GROUP BY doc_id HAVING count(*) >= 3),
+        |spl AS (SELECT doc_id, quality, lang, text,
+        |    ${Q.fnvSql("CAST(doc_id AS VARCHAR)")} AS h1,
+        |    ${Q.fnvSql("CAST(doc_id AS VARCHAR) || '|pack'")} AS h2
+        |  FROM surv),
+        |spl2 AS (SELECT doc_id, quality, lang, text,
+        |    CASE WHEN ((h1 % 10000) + 10000) % 10000 < 9000 THEN 'train'
+        |         WHEN ((h1 % 10000) + 10000) % 10000 < 9500 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+        |    ((h2 % 4) + 4) % 4 AS bucket
+        |  FROM spl),
+        |packed AS (SELECT *,
+        |    sum(n_tokens) OVER (PARTITION BY split, bucket ORDER BY doc_id) AS cum
+        |  FROM spl2)
+        |SELECT doc_id, round(quality, 6) AS quality, lang, split, n_tokens,
+        |  CAST(bucket AS BIGINT) AS bucket,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+        |  md5(text) AS content_md5
+        |FROM packed
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      def fnv(c: org.apache.spark.sql.Column) =
+        column(graft.expressions.Fnv1a64(expression(c)))
+      val docs = Tables.documents(s, d).where(col("doc_id") < bound)
+      val cfg = graft.jobs.CorpusPrep.Config(
+        dedupBands = 24, dedupRows = 4,
+        packTokens = 512L,
+        splitBucket = Some(pmod(fnv(col("doc_id").cast("string")), lit(10000L))),
+        packBucket = Some(pmod(
+          fnv(concat(col("doc_id").cast("string"), lit("|pack"))), lit(4L))))
+      graft.jobs.CorpusPrep.prepareFull(
+          docs.where(col("doc_id") >= 3), "doc_id", "text", cfg,
+          regionMinLength = 64,
+          benchmark = Some(docs.where(col("doc_id") < 3).select(col("text"))))
+        .select(col("doc_id"), round(col("quality"), 6).as("quality"),
+          col("lang"), col("split"), col("n_tokens"),
+          col("bucket").cast("long").as("bucket"), col("pack_id"),
+          md5(col("text").cast("binary")).as("content_md5"))
+        .orderBy("doc_id")
+    }
+
   val queries: Seq[Q] = Seq(
 
     // F1/F2/F3/F8 + token stats: tokenization and counting (reference doc
@@ -1246,119 +1366,7 @@ object Text {
     // assignment — so the COMPOSITION (stage order, which text each
     // stage sees, who filters whom) is hash-matched, not just each
     // stage in isolation.
-    Q("e2e2b_full_prep_exact",
-      s"""WITH RECURSIVE
-        |corp AS (SELECT doc_id, text, lang FROM documents
-        |         WHERE doc_id >= 3 AND doc_id < 400),
-        |p AS (SELECT doc_id,
-        |    unnest(list_transform(range(1, greatest(length(text) - 64 + 2, 1)),
-        |      i -> {'off': i, 'g': substr(text, i, 64)})) AS u
-        |  FROM corp),
-        |q0 AS (SELECT doc_id, u.off AS off, u.g AS g FROM p),
-        |cg AS (SELECT g FROM q0 GROUP BY g HAVING count(*) >= 2),
-        |m AS (SELECT doc_id, off FROM q0 JOIN cg USING (g)),
-        |isl AS (SELECT doc_id, off,
-        |    off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS grp
-        |  FROM m),
-        |r2 AS (SELECT doc_id, min(off) - 1 AS start,
-        |    max(off) - min(off) + 64 AS region_len
-        |  FROM isl GROUP BY doc_id, grp),
-        |segm AS (SELECT doc_id,
-        |    coalesce(lag(start + region_len) OVER w, 0) AS a,
-        |    start - coalesce(lag(start + region_len) OVER w, 0) AS n
-        |  FROM r2 WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
-        |tl AS (SELECT doc_id, max(start + region_len) AS a,
-        |    CAST(NULL AS BIGINT) AS n FROM r2 GROUP BY doc_id),
-        |ss AS (SELECT * FROM segm UNION ALL SELECT * FROM tl),
-        |parts AS (SELECT c.doc_id, ss.a,
-        |    substr(c.text, CAST(ss.a + 1 AS INT),
-        |      CAST(coalesce(ss.n, length(c.text)) AS INT)) AS part
-        |  FROM corp c JOIN ss ON c.doc_id = ss.doc_id),
-        |spliced0 AS (SELECT doc_id, string_agg(part, '' ORDER BY a) AS t
-        |             FROM parts GROUP BY doc_id),
-        |clean AS (SELECT c.doc_id, coalesce(s.t, c.text) AS text, c.lang
-        |          FROM corp c LEFT JOIN spliced0 s USING (doc_id)),
-        |qual AS (SELECT doc_id, text, lang,
-        |    ((CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.0 END)
-        |     + alpha_ratio + least(stop_ratio * 4, 1.0)) / 3.0 AS quality
-        |  FROM (SELECT doc_id, text, lang,
-        |      CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-        |        / greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0) AS mean_len,
-        |      CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
-        |        / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio,
-        |      CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-        |          x -> x IN ('the','a','an','of','to','in','and','is','on','for',
-        |                     'with','that','as','it','at','by'))) AS DOUBLE)
-        |        / greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0) AS stop_ratio
-        |    FROM clean)),
-        |kept AS (SELECT * FROM qual WHERE quality >= 0.3),
-        |sh AS (SELECT doc_id,
-        |    list_distinct(list_transform(range(1, greatest(length(t) - 2, 1) + 1),
-        |      i -> t[i:i+2])) AS sh
-        |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
-        |        FROM kept)),
-        |e AS (SELECT a.doc_id AS a, b.doc_id AS b
-        |      FROM sh a, sh b WHERE a.doc_id < b.doc_id
-        |        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
-        |edges AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
-        |cc AS (
-        |  SELECT a AS id, a AS reach FROM edges
-        |  UNION
-        |  SELECT cc.id, edges.b AS reach FROM cc JOIN edges ON cc.reach = edges.a),
-        |losers AS (SELECT id FROM cc GROUP BY id HAVING min(reach) <> id),
-        |surv AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT id FROM losers)),
-        |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
-        |      range(1, greatest(length(t) - 19, 1) + 1), i -> t[i:i+19]))) AS g
-        |  FROM (SELECT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
-        |        FROM documents WHERE doc_id < 3)),
-        |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |      range(1, greatest(length(t) - 19, 1) + 1), i -> t[i:i+19]))) AS g
-        |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
-        |        FROM surv)),
-        |contam AS (SELECT doc_id FROM csh JOIN bsh USING (g)
-        |           GROUP BY doc_id HAVING count(*) >= 3),
-        |spl AS (SELECT doc_id, quality, lang, text,
-        |    ${Q.fnvSql("CAST(doc_id AS VARCHAR)")} AS h1,
-        |    ${Q.fnvSql("CAST(doc_id AS VARCHAR) || '|pack'")} AS h2
-        |  FROM surv),
-        |spl2 AS (SELECT doc_id, quality, lang, text,
-        |    CASE WHEN ((h1 % 10000) + 10000) % 10000 < 9000 THEN 'train'
-        |         WHEN ((h1 % 10000) + 10000) % 10000 < 9500 THEN 'val'
-        |         ELSE 'test' END AS split,
-        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-        |    ((h2 % 4) + 4) % 4 AS bucket
-        |  FROM spl),
-        |packed AS (SELECT *,
-        |    sum(n_tokens) OVER (PARTITION BY split, bucket ORDER BY doc_id) AS cum
-        |  FROM spl2)
-        |SELECT doc_id, round(quality, 6) AS quality, lang, split, n_tokens,
-        |  CAST(bucket AS BIGINT) AS bucket,
-        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
-        |  md5(text) AS content_md5
-        |FROM packed
-        |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
-        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-      def fnv(c: org.apache.spark.sql.Column) =
-        column(graft.expressions.Fnv1a64(expression(c)))
-      val docs = Tables.documents(s, d).where(col("doc_id") < 400)
-      val cfg = graft.jobs.CorpusPrep.Config(
-        dedupBands = 24, dedupRows = 4,
-        packTokens = 512L,
-        splitBucket = Some(pmod(fnv(col("doc_id").cast("string")), lit(10000L))),
-        packBucket = Some(pmod(
-          fnv(concat(col("doc_id").cast("string"), lit("|pack"))), lit(4L))))
-      graft.jobs.CorpusPrep.prepareFull(
-          docs.where(col("doc_id") >= 3), "doc_id", "text", cfg,
-          regionMinLength = 64,
-          benchmark = Some(docs.where(col("doc_id") < 3).select(col("text"))))
-        .select(col("doc_id"), round(col("quality"), 6).as("quality"),
-          col("lang"), col("split"), col("n_tokens"),
-          col("bucket").cast("long").as("bucket"), col("pack_id"),
-          md5(col("text").cast("binary")).as("content_md5"))
-        .orderBy("doc_id")
-    },
+    e2e2b(400),
 
     // The composed corpus-preparation pipeline (quality → lang → dedup →
     // split → pack) in one call — engine hashing in dedup/split makes it
