@@ -97,12 +97,41 @@ object BenchServe {
       cursor += n
       rows
     }
+    // Per-batch attribution for the floating outlier batch (r9 NOTES):
+    // task/exec-GC deltas via listener, driver GC + JIT deltas via MX
+    // beans. Discriminates executor work (task time up), executor GC,
+    // driver full-GC pause, and JIT/codegen compilation (wall up with
+    // everything else flat = driver-side stall outside the JVM's view).
+    val batchTaskMs = new java.util.concurrent.atomic.AtomicLong
+    val batchGcMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            batchTaskMs.addAndGet(m.executorRunTime)
+            batchGcMs.addAndGet(m.jvmGCTime)
+          }
+        }
+      })
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def driverGcMs: Long = {
+      var s = 0L; gcBeans.forEach(b => s += math.max(b.getCollectionTime, 0)); s
+    }
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
     def measure(n: Int, batches: Int): Seq[Double] = {
       val raw = (1 to batches).map { _ =>
+        batchTaskMs.set(0); batchGcMs.set(0)
+        val gc0 = driverGcMs; val jit0 = jitBean.getTotalCompilationTime
         val t0 = System.nanoTime()
         stream.addData(batchJson(n))
         q.processAllAvailable()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"SERVE_BATCH n=$n wall=$wall%.2f task=${batchTaskMs.get / 1e3}%.1f " +
+          f"execGc=${batchGcMs.get / 1e3}%.1f drvGc=${(driverGcMs - gc0) / 1e3}%.1f " +
+          f"jit=${(jitBean.getTotalCompilationTime - jit0) / 1e3}%.1f s")
+        wall
       }
       println(raw.map(t => f"$t%.2f").mkString(s"SERVE_RAW n=$n [", " ", "]"))
       raw.sorted
