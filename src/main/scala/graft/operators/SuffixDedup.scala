@@ -60,6 +60,22 @@ object SuffixDedup {
                               minLength: Int): Dedup.Staged = {
     require(minLength >= 2 && Integer.bitCount(minLength) == 1,
       s"minLength must be a power of two >= 2 (got $minLength)")
+    // partitions ∝ CHARACTERS, not rows: every round of this pass
+    // shuffles a row per text position, so rows and plan bytes both
+    // understate the working set by the mean doc length — at 50× the
+    // fixed-32-partitions sort spill was ~101 GB/run (SCALING.md §50×).
+    // One cheap single-column agg; floor-clamped so gate plans at small
+    // scale are untouched. Every heavy action (the per-round reencode
+    // checkpoints) runs inside this scope; the returned regions frame is
+    // a skinny tail over the final checkpoint.
+    Tuning.withAutoShuffleChars(docs, textCol) {
+    duplicatedRegionsBody(docs, idCol, textCol, minLength)
+    }
+  }
+
+  private def duplicatedRegionsBody(docs: DataFrame, idCol: String,
+                                    textCol: String,
+                                    minLength: Int): Dedup.Staged = {
     // Seed at w0 = min(8, minLength) chars per window, not 1: an 8-char
     // window string is about the size of the 8-byte rank that replaces it,
     // so the seed round's shuffle costs the same as a doubling round while
@@ -97,7 +113,15 @@ object SuffixDedup {
         (col("__off") - k).as("__off"), col("__r").as("__r2"))
       // inner join: a position whose off+k partner was pruned (or never
       // fit inside the text) has a non-duplicated 2k-window by the
-      // invariant above — drop it here rather than carrying a sentinel
+      // invariant above — drop it here rather than carrying a sentinel.
+      // Deliberately SORT-MERGE, unlike reencode's join: here BOTH sides
+      // are position-sized, and ShuffledHashJoin's UnsafeHashedRelation
+      // build CANNOT spill — forcing it here OOM'd ("not enough memory
+      // to build hash map") at the 50× rehearsal even with the chars
+      // knob's ~2.5M-row partitions, because 32 concurrent ~3×-overhead
+      // hash maps outgrow the execution pool the round checkpoints
+      // already squeeze. SMJ's sort spills gracefully; it IS the right
+      // plan when neither side is the small one.
       val paired = ids.join(shifted, Seq("__doc", "__off"))
         .select(col("__doc"), col("__off"), col("__r"), col("__r2"))
       val (next, nextRelease) = checkpointed(
@@ -184,7 +208,17 @@ object SuffixDedup {
     val idsForKeys =
       (if (minCount > 1L) groups.where(col("__gc") >= minCount) else groups)
         .select(col("__k")).withColumn(outCol, monotonically_increasing_id())
-    keyed.join(idsForKeys, Seq("__k")).drop("__k")
+    // SHUFFLE_HASH, not the default sort-merge: the probe side is the
+    // full position set (a row per corpus CHARACTER — the pass's largest
+    // object), and SMJ sorts it once per round; those sorts were ~half
+    // the 50× pass's task time and ALL of its ~100 GB spill (SCALING.md
+    // §round-10 suffix). The build side is the distinct duplicated
+    // windows — already aggregated, far smaller, and hash-partitioned
+    // identically — so hashing it and STREAMING the positions side does
+    // the same join with zero sort. Row order downstream is irrelevant:
+    // every consumer re-shuffles (next round's agg) or re-sorts (the
+    // run-window), and the ids are minted per key either way.
+    keyed.join(idsForKeys.hint("shuffle_hash"), Seq("__k")).drop("__k")
   }
 
   /** Eagerly localCheckpoint `df` (truncates the analyzed plan — see the

@@ -106,6 +106,62 @@ object Tuning {
       partitionsForBytes(planBytes(df), floor, expansion))(f)
   }
 
+  /** Characters per reduce partition for POSITION-exploding text passes
+    * (the suffix pass shuffles ~1 row ≈ 24 bytes per character every
+    * round): 2.5M chars ≈ a 60 MB per-partition sort input. Overridable
+    * via -Dgraft.tuning.charsPerPartition. */
+  def charsPerPartition: Long =
+    sys.props.get("graft.tuning.charsPerPartition").map(_.toLong)
+      .getOrElse(2500000L)
+
+  /** AQE advisory partition size used while a chars-sized scope is
+    * engaged. AQE coalescing only MERGES reduce partitions (by
+    * COMPRESSED map-output bytes) — it never splits past the initial
+    * count — so a raised partition count can be silently merged back
+    * into spilling sorts whenever per-partition compressed bytes land
+    * under the 64 MB default advisory. Lowering the advisory inside the
+    * engaged scope makes the raise stick. Measured honestly (SCALING.md
+    * §round-10 suffix): at the 50× suffix pass the per-partition
+    * compressed sizes were already above 64 MB, so this lever changed
+    * nothing there (spill ~53 GB with or without it) — it guards the
+    * smaller-corpus regime where coalescing WOULD undo the raise. The
+    * big suffix win came from removing the sort itself (SHUFFLE_HASH
+    * reencode join, SuffixDedup.scala). */
+  def engagedAdvisoryBytes: Long =
+    sys.props.get("graft.tuning.advisoryBytes").map(_.toLong)
+      .getOrElse(16L << 20)
+
+  /** [[withShufflePartitions]] sized from the corpus's total character
+    * count — the right volume driver for passes whose shuffles carry a
+    * row per text POSITION (rows and plan bytes both understate those by
+    * the mean document length). Costs one single-column aggregate over
+    * `docs`; callers pass raw or cheaply-computed inputs. When the knob
+    * engages (above the floor) it also lowers the AQE advisory partition
+    * size for the scope — see [[engagedAdvisoryBytes]] for why raising
+    * partitions alone is not enough for sort-heavy position shuffles. */
+  def withAutoShuffleChars[T](docs: DataFrame, textCol: String)
+                             (f: => T): T = {
+    val spark = docs.sparkSession
+    val floor = spark.sessionState.conf.numShufflePartitions
+    val totalChars = Option(
+      docs.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col(textCol)))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val n = clamp(ceilDiv(totalChars, charsPerPartition), floor)
+    if (n <= floor) withShufflePartitions(spark, n)(f)
+    else {
+      val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, engagedAdvisoryBytes.toString)
+      try withShufflePartitions(spark, n)(f)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
   private def clamp(n: Long, floor: Int): Int =

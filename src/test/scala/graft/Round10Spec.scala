@@ -115,6 +115,33 @@ class Round10Spec extends SparkSuite {
     } finally System.clearProperty("graft.tuning.rowsPerPartition")
   }
 
+  test("SuffixDedup auto-shuffle: chars estimator floors at gate scale, engages when forced") {
+    import graft.operators.{SuffixDedup, Tuning}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def regions(): Long = {
+      val s = SuffixDedup.duplicatedRegionsStaged(docs, "doc_id", "text", 64)
+      val n = s.df.count(); s.release(); n
+    }
+    // gate scale: total chars are far under one charsPerPartition unit,
+    // so the knob must not engage and the d14 gate plans stay unchanged
+    val nFloor = regions()
+    assert(Tuning.lastChosen == before.toInt,
+      s"chars knob engaged at gate scale: chose ${Tuning.lastChosen}")
+    // forced engagement via the ops override — and the RESULT is
+    // partition-count-invariant (same regions either way)
+    System.setProperty("graft.tuning.charsPerPartition", "1000")
+    try {
+      val nRaised = regions()
+      assert(Tuning.lastChosen > before.toInt,
+        "override failed to force the chars knob")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+        "session setting must be restored")
+      assert(nRaised == nFloor,
+        s"region count changed with partitions: $nFloor vs $nRaised")
+    } finally System.clearProperty("graft.tuning.charsPerPartition")
+  }
+
   test("appendIvfShard: commit-marker collision leaves marker-committed files intact") {
     val dir = java.nio.file.Files.createTempDirectory("ivfcollide").toString
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
