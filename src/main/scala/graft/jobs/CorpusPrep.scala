@@ -126,10 +126,11 @@ object CorpusPrep {
     * consumer). Package-visible so CorpusPrepSpec can pin the plan shape
     * (no LocalRelation of regions anywhere in the splice). */
   private[graft] def splicedCorpus(docs: DataFrame, idCol: String,
-                                   textCol: String, regionMinLength: Int)
+                                   textCol: String, regionMinLength: Int,
+                                   totalCharsHint: Option[Long] = None)
       : (DataFrame, () => Unit) = {
     val regions = graft.operators.SuffixDedup.duplicatedRegionsStaged(
-      docs, idCol, textCol, regionMinLength)
+      docs, idCol, textCol, regionMinLength, totalCharsHint)
     (graft.operators.SuffixDedup.removeRegions(
       docs, regions.df, idCol, textCol), regions.release)
   }
@@ -176,13 +177,21 @@ object CorpusPrep {
     // doubling loop and the splice checkpoint are the most spill-prone
     // prefix, so the raise must precede detect_regions, not just the
     // inner prepare() call (which re-derives the same floor-clamped value
-    // from its own count and no-ops inside this scope).
+    // from its own count and no-ops inside this scope). ONE startup agg
+    // derives both estimators — rows for this scope, total characters for
+    // the suffix stage's own (higher) chars-based raise — instead of two
+    // separate passes over the raw corpus.
     val spark0 = docs.sparkSession
-    val nParts = graft.operators.Tuning.partitionsForRows(docs.count(),
+    val statsRow = docs.agg(
+      count(lit(1)), sum(length(col(textCol)))).head()
+    val (nRows, totalChars) =
+      (statsRow.getLong(0), if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1))
+    val nParts = graft.operators.Tuning.partitionsForRows(nRows,
       spark0.sessionState.conf.numShufflePartitions)
     graft.operators.Tuning.withShufflePartitions(spark0, nParts) {
     val (splicedLazy, regionsRelease) = timed("detect_regions")(
-      splicedCorpus(docs, idCol, textCol, regionMinLength))
+      splicedCorpus(docs, idCol, textCol, regionMinLength,
+        totalCharsHint = Some(totalChars)))
     // MATERIALIZATION BARRIER: the spliced corpus is re-read by every
     // internal action downstream (dedupCorpus's pair pipeline + cluster
     // resolution, the decontamination scan, both DSIR consumers) — without

@@ -245,6 +245,13 @@ object ServeJob {
       warmup: Generation => Unit) {
     private[ServeJob] val closed =
       new java.util.concurrent.atomic.AtomicBoolean(false)
+    // `closed` is set by the async termination listener, so a swap()
+    // issued right after query.stop() can race the listener bus, pass
+    // the require, and waste a full generation build on a dead stream.
+    // The attached query's isActive is synchronous with stop() — check
+    // both. (The under-gate closed re-check stays as the backstop for a
+    // stop that lands DURING the build.)
+    @volatile private[ServeJob] var attached: StreamingQuery = _
     private val gen = new java.util.concurrent.atomic.AtomicLong(1L)
 
     /** Installed-generation counter: 1 = the deployment's initial model,
@@ -253,7 +260,8 @@ object ServeJob {
 
     def swap(newFitted: RecommenderModel.Fitted,
              newCollect: DataFrame): Unit = {
-      require(!closed.get(),
+      require(!closed.get() &&
+          (attached == null || attached.isActive),
         "ModelHandle.swap: the stream has terminated — deploy a new job " +
           "instead of swapping into a dead one")
       // heavy: distributed builds + broadcasts + codegen, all off the
@@ -307,15 +315,32 @@ object ServeJob {
                         coll: DataFrame): Generation = {
       val serveIdx = graft.rank.Scoring.buildServeAssetsGuarded(
         f0, coll, maxBytes = serveBudgetBytes)
-      val corpusPostings: Option[DataFrame] =
-        if (serveIdx.isDefined) None
-        else {
-          val p = graft.rank.Scoring.termPostings(f0.userTokens,
-              Some(f0.cv.vocabulary.toSet))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          p.count() // materialize once, before the first batch
-          Some(p)
-        }
+      // everything between the first persisted/broadcast asset and the
+      // Generation (whose release hook owns them) can throw — localize's
+      // bounded collect, the postings count — and before the hook exists
+      // NOBODY else can release: clean up here or leak for the session
+      var corpusPostings: Option[DataFrame] = None
+      try {
+        corpusPostings =
+          if (serveIdx.isDefined) None
+          else {
+            val p = graft.rank.Scoring.termPostings(f0.userTokens,
+                Some(f0.cv.vocabulary.toSet))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            p.count() // materialize once, before the first batch
+            Some(p)
+          }
+        buildGenerationTail(f0, coll, serveIdx, corpusPostings)
+      } catch {
+        case e: Throwable =>
+          corpusPostings.foreach(_.unpersist())
+          serveIdx.foreach(_.destroy())
+          throw e
+      }
+    }
+    def buildGenerationTail(f0: RecommenderModel.Fitted, coll: DataFrame,
+                            serveIdx: Option[graft.rank.Scoring.ServeIndex],
+                            corpusPostings: Option[DataFrame]): Generation = {
       // the hot list is collected by blend/fallback EVERY batch
       // (Blend.collectHotIds) — as a local relation that collect is a
       // driver-side LocalTableScan instead of a per-batch file-scan job;
@@ -416,7 +441,9 @@ object ServeJob {
     } catch {
       case e: Throwable => release(); throw e
     }
-    (withIndexCleanup(query, release), handle)
+    val wrapped = withIndexCleanup(query, release)
+    handle.attached = wrapped
+    (wrapped, handle)
   }
 
   /** [[start]] with index-lifecycle hygiene: the stream-lifetime state

@@ -110,8 +110,17 @@ object Collaborative {
                        regByRatingCount: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     require(rank >= 1, "rank must be >= 1")
+    // same loud in-plan guard as fromFactors: a factor array whose length
+    // disagrees with `rank` (say, factors from a rank-8 refit solved at
+    // rank 4) would otherwise silently truncate — or null-pad through
+    // element_at — into wrong-but-plausible user factors
     val y = itemFactors.select(col("id").cast("long").as("item"),
-      col("features").cast("array<double>").as("y"))
+      when(size(col("features")) === rank,
+        col("features").cast("array<double>"))
+        .otherwise(raise_error(concat(
+          lit(s"solveUserFactors: features length != rank $rank for id "),
+          col("id").cast("string"))))
+        .as("y"))
     val joined = interactions
       .select(col("user").cast("long").as("user"),
         col("item").cast("long").as("item"),

@@ -56,19 +56,21 @@ object SuffixDedup {
     * frame reads the final round's checkpointed ids — call `release()`
     * after the last downstream action. */
   def duplicatedRegionsStaged(docs: DataFrame, idCol: String,
-                              textCol: String,
-                              minLength: Int): Dedup.Staged = {
+                              textCol: String, minLength: Int,
+                              totalCharsHint: Option[Long] = None)
+      : Dedup.Staged = {
     require(minLength >= 2 && Integer.bitCount(minLength) == 1,
       s"minLength must be a power of two >= 2 (got $minLength)")
     // partitions ∝ CHARACTERS, not rows: every round of this pass
     // shuffles a row per text position, so rows and plan bytes both
     // understate the working set by the mean doc length — at 50× the
     // fixed-32-partitions sort spill was ~101 GB/run (SCALING.md §50×).
-    // One cheap single-column agg; floor-clamped so gate plans at small
-    // scale are untouched. Every heavy action (the per-round reencode
-    // checkpoints) runs inside this scope; the returned regions frame is
-    // a skinny tail over the final checkpoint.
-    Tuning.withAutoShuffleChars(docs, textCol) {
+    // One cheap single-column agg (skipped when the caller already knows
+    // the total, e.g. CorpusPrep's combined startup agg); floor-clamped
+    // so gate plans at small scale are untouched. Every heavy action
+    // (the per-round reencode checkpoints) runs inside this scope; the
+    // returned regions frame is a skinny tail over the final checkpoint.
+    Tuning.withAutoShuffleChars(docs, textCol, totalCharsHint) {
     duplicatedRegionsBody(docs, idCol, textCol, minLength)
     }
   }

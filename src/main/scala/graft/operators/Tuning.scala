@@ -139,15 +139,16 @@ object Tuning {
     * engages (above the floor) it also lowers the AQE advisory partition
     * size for the scope — see [[engagedAdvisoryBytes]] for why raising
     * partitions alone is not enough for sort-heavy position shuffles. */
-  def withAutoShuffleChars[T](docs: DataFrame, textCol: String)
+  def withAutoShuffleChars[T](docs: DataFrame, textCol: String,
+                              totalCharsHint: Option[Long] = None)
                              (f: => T): T = {
     val spark = docs.sparkSession
     val floor = spark.sessionState.conf.numShufflePartitions
-    val totalChars = Option(
+    val totalChars = totalCharsHint.getOrElse(Option(
       docs.agg(org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.length(
           org.apache.spark.sql.functions.col(textCol)))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+      .map(_.asInstanceOf[Long]).getOrElse(0L))
     val n = clamp(ceilDiv(totalChars, charsPerPartition), floor)
     if (n <= floor) withShufflePartitions(spark, n)(f)
     else {

@@ -52,12 +52,19 @@ object AppendServeScale {
     // exposed at plan time
     val stopServe = new AtomicBoolean(false)
     val queryLog = new ConcurrentLinkedQueue[(Double, Long)]()
+    // generation observed = committed shard count at plan time (the
+    // marker files — inside postings.parquet/ — are the commit
+    // protocol's unit of visibility)
+    def committedShards(): Long =
+      Option(new java.io.File(s"$dir/postings.parquet").list()).map(
+        _.count(_.startsWith("_SHARD_COMMIT_")).toLong).getOrElse(0L)
     def oneQuery(): Double = {
+      val gen = committedShards()
       val q0 = System.nanoTime()
       graft.operators.Ann.queryIvfIndex(
         queries, "vec_id", "embedding", dir, k = 10, nProbe = 4).count()
       val w = (System.nanoTime() - q0) / 1e9
-      queryLog.add((w, 0L))
+      queryLog.add((w, gen))
       w
     }
     oneQuery() // warm (codegen + first manifest read)
@@ -93,15 +100,23 @@ object AppendServeScale {
       (System.nanoTime() - tBatch) / 1e9
     }
     stopServe.set(true); serveThread.join(60000); q.stop()
-    val walls = queryLog.toArray(Array.empty[(Double, Long)]).map(_._1).sorted
+    val logged = queryLog.toArray(Array.empty[(Double, Long)])
+    val walls = logged.map(_._1).sorted
 
     val after = (1 to 3).map(_ => oneQuery())
+    // a very fast append phase can outrun the serve loop's first query —
+    // report that honestly instead of crashing on an empty percentile
+    val duringStats =
+      if (walls.isEmpty) "query_during=NONE-COMPLETED "
+      else f"query_during_p50=${walls(walls.length / 2)}%.2f " +
+        f"p95=${walls(math.min(walls.length - 1, (walls.length * 19) / 20))}%.2f s " +
+        f"(n=${walls.length}, generations ${logged.map(_._2).min}-${logged.map(_._2).max}) "
     println(f"APPEND_SERVE batches=$nBatches rows/batch=$batchRows " +
       f"append_med=${during.sorted.apply(during.length / 2)}%.1f s " +
       f"query_before=${before.min}%.2f-${before.max}%.2f s " +
-      f"query_during_p50=${walls(walls.length / 2)}%.2f " +
-      f"p95=${walls(math.min(walls.length - 1, (walls.length * 19) / 20))}%.2f s " +
-      f"(n=${walls.length}) query_after=${after.min}%.2f-${after.max}%.2f s")
+      duringStats +
+      f"query_after=${after.min}%.2f-${after.max}%.2f s " +
+      s"final_gen=${committedShards()}")
     spark.stop()
   }
 }

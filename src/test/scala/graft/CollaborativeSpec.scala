@@ -127,4 +127,20 @@ class CollaborativeSpec extends SparkSuite {
       }
     }
   }
+
+  test("solveUserFactors fails loudly on rank-mismatched item factors") {
+    // rank-2 factors solved "at rank 4" would silently truncate/null-pad
+    // through element_at into plausible-but-wrong user factors — the
+    // in-plan guard must raise instead (same contract as fromFactors)
+    val items = Seq((1L, Seq(1.0f, 0.5f))).toDF("id", "features")
+    val inter = Seq((10L, 1L, 2.0)).toDF("user", "item", "rating")
+    val e = intercept[Exception] {
+      Collaborative.solveUserFactors(inter, items, rank = 4, regParam = 0.5)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("features length != rank 4")),
+      s"expected the loud rank guard, got: ${messages(e).mkString(" | ")}")
+  }
 }
