@@ -105,6 +105,30 @@ class HotSwapSpec extends SparkSuite {
     runSwapTest(graft.rank.Scoring.DefaultServeBudgetBytes, "fused")
   }
 
+  test("a generation build that fails partway releases its persisted assets") {
+    // exchange lane (budget 1 refuses the broadcasts): termPostings is
+    // persisted and counted, THEN localize(hot) throws its bounded-collect
+    // require — before the Generation's release hook exists. The failed
+    // deployment must clean up after itself, not pin the postings for the
+    // session (the round-10 review finding).
+    val coll = Fixtures.collects(spark)
+    val f1 = fit(coll)
+    val bigHot = f1.hot.crossJoin(spark.range(5000).select(lit(1).as("__x")))
+      .select(f1.hot.columns.map(col): _*)
+    assert(bigHot.count() > graft.rank.Blend.MaxHotCollect)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val e = intercept[IllegalArgumentException] {
+      ServeJob.startSwappable(stream.toDF(), f1.copy(hot = bigHot), coll,
+        new InMemoryKV, serveBudgetBytes = 1L)
+    }
+    assert(e.getMessage.contains("not deployment-bounded"))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty,
+      s"failed generation build leaked persisted RDDs: $leaked")
+  }
+
   test("hot swap on the exchange lane: postings swap with the model") {
     // byte budget of 1 forces the guard to refuse the broadcast lane, so
     // the deployment serves through the distributed exchange lane and the
