@@ -389,8 +389,12 @@ object ServeJob {
     // the batch/swap gate: a micro-batch holds it for the batch duration,
     // a swap takes it only for the pointer exchange — so a swap lands
     // exactly between batches and never under a batch that is reading the
-    // outgoing generation's broadcasts
-    val gate = new java.util.concurrent.locks.ReentrantLock
+    // outgoing generation's broadcasts. FAIR: under a continuously busy
+    // stream (back-to-back batches) a non-fair lock lets the batch thread
+    // barge and reacquire immediately, starving a waiting swap()
+    // indefinitely — fairness grants the swap the very next inter-batch
+    // boundary, which is the whole point of the gate (r10 advice).
+    val gate = new java.util.concurrent.locks.ReentrantLock(true)
     val handle = new ModelHandle(ref, gate, buildGeneration, warmup)
     // under the gate: without it, termination could interleave with a
     // swap's pointer exchange — releasing the generation the swap is

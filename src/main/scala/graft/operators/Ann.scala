@@ -429,10 +429,10 @@ object Ann {
     val bench = assignCells(
       benchmark.select(monotonically_increasing_id().as("__bid"),
         col(benchVecCol).as("__bv")),
-      "__bid", "__bv", cents, nCells = 1)
+      "__bid", "__bv", cents, nCells = 1, statsMult = centers.length)
       .select(col("cell"), col("v").as("__bv"))
     val probes = assignCells(corpus.select(col(idCol), col(vecCol)),
-      idCol, vecCol, cents, nCells = nProbe)
+      idCol, vecCol, cents, nCells = nProbe, statsMult = centers.length)
     probes.join(bench, Seq("cell"))
       .where(cosine(col("v"), col("__bv")) >= minCosine)
       .select(col("id").as(idCol)).distinct()
@@ -582,8 +582,12 @@ object Ann {
     val nCents = centsBack.count()
     // postings carry their source shard as a second partition level:
     // the base build is shard 0, incremental appends add shard 1..N
-    // ([[appendIvfShard]]) without touching shard-0 files.
-    assignCells(data, idCol, vecCol, centsBack, nCells = 1)
+    // ([[appendIvfShard]]) without touching shard-0 files. The assignment
+    // window's shuffle is ∝ vectors × centroids — sized from input stats
+    // (r11: the posting build was the last heavy entry point running at
+    // the fixed session setting).
+    assignCells(data, idCol, vecCol, centsBack, nCells = 1,
+        statsMult = math.max(1, math.min(nCents, Int.MaxValue.toLong).toInt))
       .where(col("rn") === 1)
       .select(col("id"), col("v"), col("cell"), lit(0).as("shard"))
       .write.mode("overwrite").partitionBy("cell", "shard")
@@ -687,7 +691,17 @@ object Ann {
     val staging = s"$dir/.append-shard-$shardId"
     try {
       // clean any torn pre-claim-protocol attempt at this shard id (the
-      // claim guarantees no live writer owns these files)
+      // claim guarantees no live writer owns these files) — but NEVER
+      // when the commit marker for this id exists: a marker planted
+      // between the committedShards() listing and the claim create (the
+      // same fencing-bypass race the failure path guards against) means
+      // these files are committed and possibly being served, so deleting
+      // them here would destroy served data before the post-write commit
+      // require ever fires. Fail loudly instead (r10 advice).
+      require(!fs.exists(commitMarker(dir, m.buildId, shardId)),
+        s"appendIvfShard: commit marker for claimed shard $shardId " +
+          s"appeared at $dir after the committed-shard listing — claim " +
+          "fencing was bypassed; rebuild the index")
       def liveParts = fs.globStatus(new org.apache.hadoop.fs.Path(
         s"$dir/postings.parquet/cell=*/shard=$shardId"))
       Option(liveParts).foreach(_.foreach(s => fs.delete(s.getPath, true)))
@@ -695,7 +709,9 @@ object Ann {
       // write into a PRIVATE staging dir: two Spark jobs writing under the
       // same live root share its _temporary committer dir, and the first
       // job's commit-time cleanup deletes the second's in-flight tasks
-      assignCells(data, idCol, vecCol, cents, nCells = 1)
+      assignCells(data, idCol, vecCol, cents, nCells = 1,
+          statsMult = math.max(1,
+            math.min(m.nCentroids, Int.MaxValue.toLong).toInt))
         .where(col("rn") === 1)
         .select(col("id"), col("v"), col("cell"), lit(shardId).as("shard"))
         .write.mode("overwrite").partitionBy("cell", "shard")
@@ -796,7 +812,24 @@ object Ann {
           if e.getClassName != null && (
             e.getClassName.endsWith(".AlreadyBeingCreatedException") ||
             e.getClassName.endsWith(".FileAlreadyExistsException")) => false
+      case e: java.io.IOException
+          // the HDFS client UNWRAPS RemoteException for the create path
+          // (DFSOutputStream.newStreamForCreate's unwrap list includes
+          // AlreadyBeingCreatedException/FileAlreadyExistsException), so
+          // on a real cluster the lease conflict arrives as the concrete
+          // — possibly shaded — IOException subclass, not the wrapper.
+          // Classify by simple class name on the exception and its cause
+          // chain; still type-anchored (never message text) (r10 advice).
+          if exceptionChainHasAlreadyExists(e) => false
     }
+
+  private def exceptionChainHasAlreadyExists(e: Throwable): Boolean = {
+    val names = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .take(8).map(_.getClass.getName).toSeq
+    names.exists(n =>
+      n.endsWith(".AlreadyBeingCreatedException") ||
+      n.endsWith(".FileAlreadyExistsException"))
+  }
 
   private case class IvfManifest(seed: Long, nCentroids: Long,
                                  requested: Long, buildId: String,
@@ -895,10 +928,26 @@ object Ann {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** `statsMult`: when > 1, size the window's hash(id) exchange for the
+    * CROSS-JOINED volume — rows × centroids, which plan statistics (taken
+    * before the join) understate by the centroid count. The sizing is an
+    * explicit `repartition(n, id)` so it is pinned IN the plan: it
+    * survives callers that execute the returned frame lazily at their own
+    * session setting ([[ivfThresholdHits]] via Decontaminate), and the
+    * window reuses the partitioning (same key → no second exchange; AQE
+    * never coalesces a user-specified count). Floor = the session setting,
+    * so at gate scale the estimate stays under it and the plan is
+    * byte-identical to the unsized form (r10 Tuning contract). */
   private def assignCells(data: DataFrame, idCol: String, vecCol: String,
-                          cents: DataFrame, nCells: Int): DataFrame = {
-    val scored = data.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(cents))
+                          cents: DataFrame, nCells: Int,
+                          statsMult: Int = 1): DataFrame = {
+    val base = data.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val floor = data.sparkSession.sessionState.conf.numShufflePartitions
+    val n = if (statsMult <= 1) floor
+      else Tuning.partitionsForBytes(
+        Tuning.planBytes(base) * statsMult, floor, expansion = 2.0)
+    val sized = if (n > floor) base.repartition(n, col("id")) else base
+    val scored = sized.crossJoin(broadcast(cents))
       .withColumn("d", cosine(col("v"), col("cvec")))
     val w = Window.partitionBy("id").orderBy(col("d").desc, col("cid").asc)
     scored.withColumn("rn", row_number().over(w))

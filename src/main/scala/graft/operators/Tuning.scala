@@ -44,8 +44,12 @@ object Tuning {
       .getOrElse(2048L)
 
   /** On-disk bytes per reduce partition for the stats estimator, after
-    * the expansion factor is applied. */
-  val TargetPartitionBytes: Long = 64L << 20
+    * the expansion factor is applied. Overridable for ops/tests via
+    * -Dgraft.tuning.targetPartitionBytes (same seam as the rows/chars
+    * knobs — specs force engagement at gate scale with it). */
+  def TargetPartitionBytes: Long =
+    sys.props.get("graft.tuning.targetPartitionBytes").map(_.toLong)
+      .getOrElse(64L << 20)
 
   /** In-memory + intermediate expansion over on-disk parquet for shingled
     * text pipelines: ~3-4× decompression and another ~2× for the widest

@@ -21,14 +21,30 @@ import graft.jobs.{RecommenderModel, ServeJob}
   * p_type → tag dimension, p_size → tag weight, orders⋈lineitem →
   * collect events (userId = o_custkey, bookId = l_partkey).
   *
+  * Modes (each writes its OWN artifact, so the clean serving number is
+  * never overwritten by a diagnostic run — r10 verdict 1):
+  *  - default: idle-box measurement → `target/bench_serve.json`
+  *  - `SPARK_GRAFT_SERVE_CONTEND=1`: the same measurement under a
+  *    deliberate co-tenant load (threads looping shuffle-heavy Spark jobs
+  *    on the same scheduler — the in-harness form of the r10 co-located
+  *    50× pipeline that reproduced the burst outlier) →
+  *    `target/bench_serve_contended.json`
+  *  - `SPARK_GRAFT_SERVE_SWAP=1`: steady baseline, then a hot generation
+  *    swap fired MID-BURST (2,500-event batches in flight while the new
+  *    generation builds and the fair gate lands the pointer exchange) →
+  *    `target/bench_serve_swap.json`. Verifies the "pauses only for a
+  *    pointer swap" claim under load, not just on trickle batches.
+  *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.tools.BenchServe
-  * Prints one JSON line (also written to target/bench_serve.json).
+  * Prints one JSON line (also written to the mode's artifact).
   */
 object BenchServe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    val contend = sys.env.contains("SPARK_GRAFT_SERVE_CONTEND")
+    val swapMode = sys.env.contains("SPARK_GRAFT_SERVE_SWAP")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -77,7 +93,8 @@ object BenchServe {
     InMemoryKV.clear()
     val kv = new InMemoryKV
     val debugStages = sys.env.contains("SPARK_GRAFT_SERVE_DEBUG")
-    val q = ServeJob.start(stream.toDF(), fitted, servedCollect, kv,
+    val (q, handle) = ServeJob.startSwappable(stream.toDF(), fitted,
+      servedCollect, kv,
       trigger = Trigger.ProcessingTime(0L),
       stageTimer = if (debugStages)
         (n, s) => println(f"SERVE_STAGE $n $s%.2f s") else (_, _) => ())
@@ -104,38 +121,67 @@ object BenchServe {
     // everything else flat = driver-side stall outside the JVM's view).
     val batchTaskMs = new java.util.concurrent.atomic.AtomicLong
     val batchGcMs = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = t.taskMetrics
-          if (m != null) {
-            batchTaskMs.addAndGet(m.executorRunTime)
-            batchGcMs.addAndGet(m.jvmGCTime)
-          }
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          batchTaskMs.addAndGet(m.executorRunTime)
+          batchGcMs.addAndGet(m.jvmGCTime)
         }
-      })
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // onTaskEnd delivery is asynchronous on the listener bus: snapshotting
+    // right after processAllAvailable() would attribute late events to the
+    // NEXT batch. Drain before every snapshot (r10 advice); on a timeout,
+    // say so rather than silently printing skewed columns.
+    def drainBus(): Unit =
+      if (!org.apache.spark.graftbridge.ListenerBridge.drain(
+          spark.sparkContext, 10000L))
+        println("SERVE_WARN listener bus drain timed out — task/GC " +
+          "columns may lag one batch")
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def driverGcMs: Long = {
       var s = 0L; gcBeans.forEach(b => s += math.max(b.getCollectionTime, 0)); s
     }
     val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def oneBatch(n: Int): Double = {
+      batchTaskMs.set(0); batchGcMs.set(0)
+      val gc0 = driverGcMs; val jit0 = jitBean.getTotalCompilationTime
+      val t0 = System.nanoTime()
+      stream.addData(batchJson(n))
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      drainBus()
+      println(f"SERVE_BATCH n=$n wall=$wall%.2f task=${batchTaskMs.get / 1e3}%.1f " +
+        f"execGc=${batchGcMs.get / 1e3}%.1f drvGc=${(driverGcMs - gc0) / 1e3}%.1f " +
+        f"jit=${(jitBean.getTotalCompilationTime - jit0) / 1e3}%.1f s gen=${handle.generation}")
+      wall
+    }
     def measure(n: Int, batches: Int): Seq[Double] = {
-      val raw = (1 to batches).map { _ =>
-        batchTaskMs.set(0); batchGcMs.set(0)
-        val gc0 = driverGcMs; val jit0 = jitBean.getTotalCompilationTime
-        val t0 = System.nanoTime()
-        stream.addData(batchJson(n))
-        q.processAllAvailable()
-        val wall = (System.nanoTime() - t0) / 1e9
-        println(f"SERVE_BATCH n=$n wall=$wall%.2f task=${batchTaskMs.get / 1e3}%.1f " +
-          f"execGc=${batchGcMs.get / 1e3}%.1f drvGc=${(driverGcMs - gc0) / 1e3}%.1f " +
-          f"jit=${(jitBean.getTotalCompilationTime - jit0) / 1e3}%.1f s")
-        wall
-      }
+      val raw = (1 to batches).map(_ => oneBatch(n))
       println(raw.map(t => f"$t%.2f").mkString(s"SERVE_RAW n=$n [", " ", "]"))
       raw.sorted
     }
+
+    // Deliberate co-tenant: threads looping shuffle-heavy Spark jobs on
+    // the SAME local scheduler, so serve-batch tasks queue behind corpus
+    // work exactly as in the r10 causal repro. Started before warmup so
+    // even the first measured batch is contended.
+    val contendStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val contendThreads: Seq[Thread] = if (!contend) Nil else (1 to 4).map { i =>
+      val t = new Thread(() => {
+        while (!contendStop.get()) {
+          try spark.range(0, 1L << 31, 1, 64)
+            .selectExpr("sum(xxhash64(id, id + 1, id * 7)) as s")
+            .collect()
+          catch { case _: Throwable => () } // session shutdown race at exit
+        }
+      }, s"graft-cotenant-$i")
+      t.setDaemon(true); t.start(); t
+    }
+
     // warm-up batch: codegen + state init, excluded from the numbers
     stream.addData(batchJson(batchSize))
     q.processAllAvailable()
@@ -148,17 +194,64 @@ object BenchServe {
     // trickle should collapse toward the fixed overhead.
     val burstN = batchSize * 10
     val burst = measure(burstN, 4)
+
+    // Hot-swap-under-load (r10 verdict 4): with 2,500-event bursts
+    // back-to-back, fire handle.swap() on another thread. The generation
+    // build + warmup overlap live batches (they never take the gate); the
+    // fair gate then grants the swap the next inter-batch boundary. The
+    // claim under test: no post-swap batch pays more than ~2× the loaded
+    // pre-swap p95 — the warmup hook already compiled and broadcast the
+    // new generation, so the first post-swap batch is NOT a cold start.
+    var swapJson = ""
+    if (swapMode) {
+      val genBefore = handle.generation
+      @volatile var swapWall = -1.0
+      @volatile var swapErr: Option[Throwable] = None
+      val swapT = new Thread(() => {
+        val t0 = System.nanoTime()
+        try handle.swap(fitted, servedCollect)
+        catch { case e: Throwable => swapErr = Some(e) }
+        swapWall = (System.nanoTime() - t0) / 1e9
+      }, "graft-swap")
+      swapT.start()
+      val during = scala.collection.mutable.ArrayBuffer[(Double, Long)]()
+      var postSeen = 0
+      while ((swapT.isAlive || postSeen < 3) && during.size < 24 &&
+          swapErr.isEmpty) {
+        val w = oneBatch(burstN)
+        val g = handle.generation
+        if (g > genBefore) postSeen += 1
+        during += ((w, g))
+      }
+      swapT.join()
+      swapErr.foreach(throw _)
+      require(postSeen >= 1, "swap never installed within 24 burst batches")
+      val pre = burst ++ during.filter(_._2 == genBefore).map(_._1)
+      val post = during.filter(_._2 > genBefore).map(_._1)
+      val preP95 = pre.sorted.last
+      val postMax = post.max
+      swapJson = s""","swap_build_s":${f"$swapWall%.2f"},""" +
+        s""""swap_pre_batches":${pre.size},"swap_pre_p95_s":${f"$preP95%.3f"},""" +
+        s""""swap_post_batches":${post.size},"swap_post_max_s":${f"$postMax%.3f"},""" +
+        s""""swap_post_over_pre":${f"${postMax / preP95}%.2f"}"""
+      println(s"SERVE_SWAP${swapJson.drop(1)}")
+    }
+
     val trickle = measure(10, 8)
     // where the batch time goes (driver planning vs execution): the
     // streaming progress durations for the LAST few batches
     q.recentProgress.takeRight(3).foreach { p =>
       println(s"SERVE_PROGRESS durationMs=${p.durationMs}")
     }
+    contendStop.set(true)
+    contendThreads.foreach(_.join(30000))
     q.stop()
+    spark.sparkContext.removeSparkListener(listener)
     val served = InMemoryKV.snapshot.keys.count(_.startsWith("b_like:"))
     val total = lat.sum
     val json =
-      s"""{"metric":"serve","sf":"$sfDir","fit_s":${f"$fitSecs%.1f"},""" +
+      s"""{"metric":"serve","sf":"$sfDir","contended":$contend,""" +
+        s""""fit_s":${f"$fitSecs%.1f"},""" +
         s""""batches":$nBatches,"batch_events":$batchSize,""" +
         s""""events_per_s":${f"${nBatches * batchSize / total}%.0f"},""" +
         s""""p50_batch_s":${f"${lat(nBatches / 2 - 1)}%.3f"},""" +
@@ -166,8 +259,14 @@ object BenchServe {
         s""""burst_events":$burstN,"burst_p95_s":${f"${burst.last}%.3f"},""" +
         s""""burst_events_per_s":${f"${burstN * burst.length / burst.sum}%.0f"},""" +
         s""""trickle_p95_s":${f"${trickle.last}%.3f"},""" +
-        s""""served_keys":$served}"""
-    val outPath = java.nio.file.Paths.get("target/bench_serve.json")
+        s""""served_keys":$served$swapJson}"""
+    // one artifact per mode: a diagnostic run must never overwrite the
+    // committed idle-box serving number (r10 verdict 1)
+    val outName =
+      if (contend) "bench_serve_contended.json"
+      else if (swapMode) "bench_serve_swap.json"
+      else "bench_serve.json"
+    val outPath = java.nio.file.Paths.get(s"target/$outName")
     java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -71,6 +71,103 @@ class IvfStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  /** Round-11 item: PIN the scaladoc's at-least-once replay claim
+    * (IndexIngestJob.scala:17-24) with a real checkpoint restart across
+    * the torn window. The crash is injected AFTER appendIvfShard returns
+    * (shard committed, marker on disk) but BEFORE foreachBatch returns
+    * (checkpoint never commits the batch) — exactly the window the doc
+    * reasons about. On restart from the checkpoint the batch replays into
+    * a SECOND shard with the same rows; the claim under test is that
+    * query results are nonetheless identical to a clean single-append
+    * run, because the query path dedups (query_id, neighbor_id)
+    * candidates and replayed vectors are bit-identical. */
+  test("crash between shard commit and checkpoint commit: replay is result-idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfcrash").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfcrash-ckpt").toString
+    val controlDir = java.nio.file.Files.createTempDirectory("ivfcrash-ctl").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.where(col("vec_id") < 300)
+    graft.operators.Ann.buildIvfIndex(base, "vec_id", "embedding", dir,
+      nCentroids = 8, seed = 42L)
+    // control: the SAME base index + ONE clean batch append of the delta
+    graft.operators.Ann.buildIvfIndex(base, "vec_id", "embedding",
+      controlDir, nCentroids = 8, seed = 42L)
+    val deltaDf = emb.where(col("vec_id") >= 300 && col("vec_id") < 450)
+      .select(col("vec_id"), col("embedding"))
+    assert(graft.operators.Ann.appendIvfShard(
+      deltaDf, "vec_id", "embedding", controlDir) == 1)
+    val queries = emb.where(col("vec_id") < 10)
+    def served(d: String) = graft.operators.Ann.queryIvfIndex(
+        queries, "vec_id", "embedding", d, k = 5, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("c"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+
+    val delta = deltaDf.as[(Long, Seq[Float])].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val shards = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // attempt 1: crash in the torn window — shard marker committed,
+    // checkpoint not
+    val q1 = graft.jobs.IndexIngestJob.start(
+      stream.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir,
+      trigger = Trigger.ProcessingTime(0L),
+      checkpointLocation = Some(ckpt),
+      onShard = (_, s) => {
+        shards.synchronized { shards += s }
+        throw new RuntimeException("injected crash after shard commit")
+      })
+    stream.addData(delta: _*)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(err.getMessage.contains("injected crash"), err.getMessage)
+    assert(shards.synchronized(shards.toSeq) == Seq(1),
+      s"the crashed attempt must still have committed shard 1: $shards")
+    // the committed-but-uncheckpointed shard is already visible (the
+    // marker IS the commit) — not part of the replay claim, but pins that
+    // the crash tore exactly where intended
+    assert(served(dir) == served(controlDir),
+      "shard 1 must serve after the crash (marker committed before it)")
+    // restart from the checkpoint: the batch REPLAYS (at-least-once) and
+    // must land in a second shard — shard 1's claim + commit stand
+    val q2 = graft.jobs.IndexIngestJob.start(
+      stream.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir,
+      trigger = Trigger.ProcessingTime(0L),
+      checkpointLocation = Some(ckpt),
+      onShard = (_, s) => shards.synchronized { shards += s; () })
+    try {
+      q2.processAllAvailable()
+      assert(shards.synchronized(shards.toSeq) == Seq(1, 2),
+        s"the replayed batch must commit a SECOND shard: $shards")
+      // the claim: duplicated rows across shards 1 and 2 are invisible —
+      // results identical to the clean single-append control run
+      assert(served(dir) == served(controlDir),
+        "replayed duplicate shard must not change query results")
+      assert(served(dir) == graft.operators.Ann.bruteForceTopK(
+          queries, emb.where(col("vec_id") < 450), "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("c"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet,
+        "post-replay serving must stay exact at full probe")
+      // and a FRESH batch after recovery takes the next free id — the
+      // loop is live again, not wedged on the replayed window
+      val delta2 = emb.where(col("vec_id") >= 450 && col("vec_id") < 470)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      stream.addData(delta2: _*)
+      q2.processAllAvailable()
+      assert(shards.synchronized(shards.toSeq) == Seq(1, 2, 3),
+        s"post-recovery batch must commit shard 3: $shards")
+    } finally q2.stop()
+  }
+
   test("empty micro-batches do not burn shard ids") {
     val dir = java.nio.file.Files.createTempDirectory("ivfstream2").toString
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

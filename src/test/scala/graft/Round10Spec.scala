@@ -161,13 +161,14 @@ class Round10Spec extends SparkSuite {
     // shard 1's COMMIT marker AFTER this append claims id 1 (a marker
     // created before the claim would just make the appender skip to id
     // 2 — the collision is by definition a race). The watcher waits for
-    // the claim to appear, then plants the commit marker; the append's
-    // Spark write takes long enough that the marker is in place well
-    // before its own commit attempt.
-    val claim = new org.apache.hadoop.fs.Path(postings,
-      s"_SHARD_CLAIM_${buildId}_1")
+    // the append's STAGING write to start — past the r11 pre-claim
+    // marker guard, so this pin deterministically exercises the LATE
+    // collision (the final commit-time require); the early window
+    // (marker planted before the guard's check) is the same fail-loud
+    // require one line higher.
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/.append-shard-1")
     val rogue = new Thread(() => {
-      while (!fs.exists(claim)) Thread.sleep(20)
+      while (!fs.exists(staging)) Thread.sleep(20)
       fs.create(new org.apache.hadoop.fs.Path(postings,
         s"_SHARD_COMMIT_${buildId}_1"), false).close()
     })
