@@ -36,6 +36,31 @@ object SuffixScale {
       }
     })
     val docs = graft.Tables.documents(spark, args.head)
+    // SUFFIX_DIAG=1 (r11, the run3-OOM investigation): after each run —
+    // post release()/clearCache()/System.gc(), i.e. at the point where a
+    // warm JVM SHOULD be back to baseline — print what actually survives:
+    // a jcmd class histogram (top classes by retained bytes), the
+    // retained-persist count, and heap occupancy. Cross-run growth in
+    // these columns names the accumulator the r10 OOM verdict needs.
+    val diag = sys.env.contains("SUFFIX_DIAG")
+    def heapDiag(tag: String): Unit = if (diag) {
+      System.gc(); Thread.sleep(2000); System.gc() // let ContextCleaner drain
+      val mem = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+      val persisted = spark.sparkContext.getPersistentRDDs.size
+      println(f"DIAG $tag heapUsed=${mem.getUsed / 1e9}%.2f GB " +
+        f"persistedRDDs=$persisted")
+      try {
+        val pid = ProcessHandle.current().pid()
+        val p = new ProcessBuilder("jcmd", pid.toString,
+          "GC.class_histogram").redirectErrorStream(true).start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
+          .getLines().toList
+        p.waitFor()
+        out.take(32).foreach(l => println(s"DIAG $tag | $l"))
+      } catch { case e: Exception =>
+        println(s"DIAG $tag histogram unavailable: $e") }
+    }
+    heapDiag("baseline")
     (1 to 3).foreach { i =>
       spark.catalog.clearCache()
       System.gc()
@@ -48,6 +73,7 @@ object SuffixScale {
       println(f"TIMING d14full_suffix run$i ${(System.nanoTime() - t0) / 1e9}%.2f s regions=$n " +
         f"[task ${(taskTime - t0m) / 1e3}%.0f s gc ${(gcTime - g0) / 1e3}%.0f s " +
         f"spill ${(spill - s0) / 1e6} MB shufRead ${(shufRead - r0) / 1e6} MB]")
+      heapDiag(s"after-run$i")
     }
     spark.stop()
   }

@@ -135,4 +135,44 @@ class HotSwapSpec extends SparkSuite {
     // swap must replace the persisted postings index too
     runSwapTest(1L, "exchange")
   }
+
+  test("swap is not starved by back-to-back batches (fair gate, r10 advice)") {
+    // a feeder thread keeps the stream CONTINUOUSLY busy — with a non-fair
+    // gate the foreachBatch thread can barge and reacquire at every batch
+    // boundary, starving the swap indefinitely; the fair lock must grant
+    // the swap the next boundary, so it completes well within the timeout
+    InMemoryKV.clear()
+    val kv = new InMemoryKV
+    val coll1 = Fixtures.collects(spark)
+    val f1 = fit(coll1)
+    val f2 = fit(collects2)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val (q, handle) = ServeJob.startSwappable(stream.toDF(), f1, coll1, kv,
+      trigger = Trigger.ProcessingTime(0L))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val feeder = new Thread(() => {
+      while (!stop.get()) stream.addData("""{"userId": 101}""")
+    }, "hotswap-feeder")
+    feeder.setDaemon(true)
+    try {
+      stream.addData("""{"userId": 101}""")
+      q.processAllAvailable()
+      feeder.start()
+      // ProcessingTime(0) + a nonstop feeder = zero idle gate time except
+      // the inter-batch boundary itself; the swap's own build work is
+      // done BEFORE it contends for the gate
+      val t0 = System.nanoTime()
+      handle.swap(f2, collects2)
+      val waited = (System.nanoTime() - t0) / 1e9
+      assert(handle.generation == 2L)
+      assert(waited < 60.0,
+        f"swap took $waited%.1f s under a continuously busy stream — " +
+          "gate starvation")
+    } finally {
+      stop.set(true)
+      feeder.join(10000)
+      q.stop()
+    }
+  }
 }
