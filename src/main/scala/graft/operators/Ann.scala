@@ -586,10 +586,13 @@ object Ann {
     // window's shuffle is ∝ vectors × centroids — sized from input stats
     // (r11: the posting build was the last heavy entry point running at
     // the fixed session setting).
-    assignCells(data, idCol, vecCol, centsBack, nCells = 1,
-        statsMult = math.max(1, math.min(nCents, Int.MaxValue.toLong).toInt))
-      .where(col("rn") === 1)
-      .select(col("id"), col("v"), col("cell"), lit(0).as("shard"))
+    val nCentsInt = math.max(1, math.min(nCents, Int.MaxValue.toLong).toInt)
+    clusterForPartitionedWrite(
+        assignCells(data, idCol, vecCol, centsBack, nCells = 1,
+            statsMult = nCentsInt)
+          .where(col("rn") === 1)
+          .select(col("id"), col("v"), col("cell"), lit(0).as("shard")),
+        nCentsInt)
       .write.mode("overwrite").partitionBy("cell", "shard")
       .parquet(s"$staging/postings.parquet")
     val hpath = new org.apache.hadoop.fs.Path(dir)
@@ -709,11 +712,15 @@ object Ann {
       // write into a PRIVATE staging dir: two Spark jobs writing under the
       // same live root share its _temporary committer dir, and the first
       // job's commit-time cleanup deletes the second's in-flight tasks
-      assignCells(data, idCol, vecCol, cents, nCells = 1,
-          statsMult = math.max(1,
-            math.min(m.nCentroids, Int.MaxValue.toLong).toInt))
-        .where(col("rn") === 1)
-        .select(col("id"), col("v"), col("cell"), lit(shardId).as("shard"))
+      val nCentsInt = math.max(1,
+        math.min(m.nCentroids, Int.MaxValue.toLong).toInt)
+      clusterForPartitionedWrite(
+          assignCells(data, idCol, vecCol, cents, nCells = 1,
+              statsMult = nCentsInt)
+            .where(col("rn") === 1)
+            .select(col("id"), col("v"), col("cell"),
+              lit(shardId).as("shard")),
+          nCentsInt)
         .write.mode("overwrite").partitionBy("cell", "shard")
         .parquet(s"$staging/postings.parquet")
       // move the staged shard=N leaf dirs into the live tree — the
@@ -926,6 +933,24 @@ object Ann {
     cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Cluster a postings frame by its `cell` partition column before a
+    * `partitionBy("cell", "shard")` write. A dynamic-partition write opens
+    * one parquet file per (task, partition-value) pair it sees — with the
+    * pre-write rows hash-partitioned by id, EVERY task sees ~every cell,
+    * so the file count is tasks × cells (measured: the r11 assignment
+    * sizing alone pushed a 100k-vector build from 10k to 82k files and
+    * tripled its wall on file-open cost). Hashing by cell instead lands
+    * each cell in exactly one task: file count = cells, independent of
+    * the upstream partition count, and a 100 TB index directory stays
+    * listable. Write parallelism = min(cells, partitions); huge per-cell
+    * outputs can be split with spark.sql.files.maxRecordsPerFile. */
+  private def clusterForPartitionedWrite(df: DataFrame,
+                                         nCents: Int): DataFrame = {
+    val floor = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(math.min(math.max(floor, nCents), Tuning.MaxPartitions),
+      col("cell"))
   }
 
   /** `statsMult`: when > 1, size the window's hash(id) exchange for the

@@ -906,6 +906,34 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // dc3's scale route, gated exactly (r11): benchmark sets too big to
+    // broadcast go through the IVF coarse-quantizer route
+    // (Ann.ivfThresholdHits — benchmark in home cells, corpus probes
+    // nProbe cells, exact cosine verifies inside). At FULL probe
+    // (nProbe = nCentroids) every (corpus, bench) pair is verified, so
+    // the route is exact and shares dc3's brute-force oracle — the gate
+    // pins the route itself (maxBroadcastRows = 0 forces it), including
+    // the r11 in-plan assignment sizing it runs through.
+    Q("dc4_semantic_decontam_ivf",
+      """WITH hits AS (SELECT DISTINCT a.vec_id
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id >= 20 AND b.vec_id < 20
+        |    AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+        |      >= 0.3)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id >= 20 AND vec_id NOT IN (SELECT vec_id FROM hits)
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Decontaminate.semantic(
+          emb.where(col("vec_id") >= 20), "vec_id", "embedding",
+          emb.where(col("vec_id") < 20), "embedding", minCosine = 0.3,
+          maxBroadcastRows = 0L, nCentroids = 4, nProbe = 4)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    },
+
     // Brute-force cosine ANN over embeddings: queries vec_id < 20, k = 5.
     // Double accumulation in index order on both sides → bit-identical.
     Q("ann1_brute_cosine_topk",

@@ -104,6 +104,20 @@ class CacheContractSpec extends SparkSuite {
     }(_.unpersist(blocking = true))
   }
 
+  test("suffix pass retains exactly the final round's checkpoint; release clears it") {
+    // the r10 warm-JVM OOM investigation's standing guard (r11): every
+    // per-round localCheckpoint the doubling loop creates must be released
+    // by the time the NEXT round's checkpoint exists, and the one the
+    // returned frame reads must go with the Staged hook — a regression
+    // here is exactly the cross-run accumulator the rehearsal OOM implied
+    checkRetention(1) {
+      val staged = graft.operators.SuffixDedup.duplicatedRegionsStaged(
+        freshDocs, "doc_id", "text", minLength = 8)
+      staged.df.collect()
+      staged
+    }(_.release())
+  }
+
   test("dedupCorpus distributed and small-graph paths agree on survivors") {
     val viaDriver = Dedup.dedupCorpus(freshDocs, "doc_id", "text",
         minJaccard = 0.7)
