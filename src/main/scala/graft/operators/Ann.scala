@@ -625,6 +625,78 @@ object Ann {
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
+  /** Compact an incrementally-grown IVF index IN PLACE: fold every
+    * committed shard back into a single base generation, WITHOUT
+    * retraining or re-assigning (cells were assigned against the same
+    * frozen centroids whichever shard they arrived in, so compaction is a
+    * pure relayout — query results are bit-identical before and after,
+    * spec-pinned). The 100 TB operational need: a year of daily
+    * [[appendIvfShard]]s leaves ~365 `shard=N` dirs under every cell plus
+    * 2×365 marker files — per-query listing cost and reader open-file
+    * count grow with APPEND HISTORY rather than data. Compaction resets
+    * that to one file per cell ([[clusterForPartitionedWrite]]) and an
+    * empty marker set, restoring the freshly-built layout at O(corpus
+    * rewrite) — still far cheaper than a rebuild, which pays the
+    * clustering fit and the full assignment scoring on top.
+    *
+    * Generational like the build: everything is staged (the committed
+    * postings are fully MATERIALIZED into staging before any live file is
+    * touched), then swapped with a fresh buildId, manifest (shards=[0])
+    * last. Old-generation claim/commit markers vanish with the replaced
+    * postings dir — the new generation starts clean, and the next append
+    * claims shard 1 of the NEW buildId. Run single-writer like appends:
+    * an append racing a compaction could commit a shard into the dir the
+    * swap is about to replace (same rule the doc on [[appendIvfShard]]
+    * already imposes for object stores; serial maintenance satisfies it).
+    * Returns the number of rows compacted. */
+  def compactIvfIndex(spark: SparkSession, dir: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = readIvfManifest(fs, dir)
+    requireMarkersMatch(fs, dir, m.buildId)
+    val committed = committedShards(fs, dir, m)
+    val post = spark.read.parquet(s"$dir/postings.parquet")
+      .where(col("shard").isin(committed: _*))
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val staging = s"$dir/.staging-compact"
+    val buildId = java.util.UUID.randomUUID().toString
+    val nCentsInt = math.max(1,
+      math.min(m.nCentroids, Int.MaxValue.toLong).toInt)
+    // materializing actions FIRST — both staged components exist in full
+    // before the swap deletes the live dirs they were read from
+    cents.write.mode("overwrite").parquet(s"$staging/centroids.parquet")
+    clusterForPartitionedWrite(
+        post.select(col("id"), col("v"), col("cell"), lit(0).as("shard")),
+        nCentsInt)
+      .write.mode("overwrite").partitionBy("cell", "shard")
+      .parquet(s"$staging/postings.parquet")
+    val rows = spark.read.parquet(s"$staging/postings.parquet").count()
+    writeSmallFile(fs, s"$staging/centroids.parquet/_BUILD_ID", buildId)
+    writeSmallFile(fs, s"$staging/postings.parquet/_BUILD_ID", buildId)
+    def swap(name: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      if (fs.exists(live)) fs.delete(live, true)
+      require(
+        fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$name"), live),
+        s"compactIvfIndex: rename $staging/$name -> $live failed; " +
+          "aborting before manifest commit")
+    }
+    val manifest = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
+    if (fs.exists(manifest)) fs.delete(manifest, false)  // invalidate first
+    swap("centroids.parquet")
+    swap("postings.parquet")
+    writeSmallFile(fs, s"$staging/manifest.json",
+      s"""{"seed":${m.seed},"nCentroids":${m.nCentroids},""" +
+        s""""requested":${m.requested},""" +
+        s""""buildId":"$buildId","shards":[0]}""")
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$staging/manifest.json"), manifest),
+      s"compactIvfIndex: manifest rename into $dir failed — index is " +
+        "uncommitted; rerun compactIvfIndex or buildIvfIndex")
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    rows
+  }
+
   /** Incrementally grow a [[buildIvfIndex]] index with a new document
     * shard WITHOUT retraining: the new rows are assigned against the
     * index's OWN persisted centroids and appended as posting partitions

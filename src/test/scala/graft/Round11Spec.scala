@@ -52,6 +52,46 @@ class Round11Spec extends SparkSuite {
     } finally System.clearProperty("graft.tuning.targetPartitionBytes")
   }
 
+  test("compactIvfIndex folds shards into a clean base generation with identical results") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("ivfcompact").toString
+    graft.operators.Ann.buildIvfIndex(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", dir, nCentroids = 8, seed = 42L)
+    assert(graft.operators.Ann.appendIvfShard(
+      emb.where(col("vec_id") >= 300 && col("vec_id") < 450),
+      "vec_id", "embedding", dir) == 1)
+    assert(graft.operators.Ann.appendIvfShard(
+      emb.where(col("vec_id") >= 450), "vec_id", "embedding", dir) == 2)
+    val queries = emb.where(col("vec_id") < 10)
+    def served() = graft.operators.Ann.queryIvfIndex(
+        queries, "vec_id", "embedding", dir, k = 5, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("c"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val before = served()
+    val total = emb.count()
+    assert(graft.operators.Ann.compactIvfIndex(spark, dir) == total)
+    // results bit-identical: compaction is a relayout, not a re-assignment
+    assert(served() == before, "compaction changed query results")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // the shard dirs and the old generation's markers are gone
+    val shardDirs = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/postings.parquet/cell=*/shard=*")).map(_.getPath.getName).toSet
+    assert(shardDirs == Set("shard=0"), s"non-base shards survive: $shardDirs")
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/postings.parquet")).map(_.getPath.getName)
+      .filter(n => n.startsWith("_SHARD_"))
+    assert(markers.isEmpty, s"old-generation markers survive: ${markers.toSeq}")
+    // the append loop restarts cleanly on the new generation
+    assert(graft.operators.Ann.appendIvfShard(
+      emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", dir) == 1)
+    assert(served().nonEmpty)
+  }
+
   test("buildIvfIndex/appendIvfShard sizing: forced engagement leaves query results identical") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val base = emb.where(col("vec_id") < 300)
