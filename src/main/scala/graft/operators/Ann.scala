@@ -670,6 +670,10 @@ object Ann {
         nCentsInt)
       .write.mode("overwrite").partitionBy("cell", "shard")
       .parquet(s"$staging/postings.parquet")
+    // a zero-column parquet count: row counts come from footers/row-group
+    // metadata, no vector data is decompressed — the cheap way to both
+    // return the size and ASSERT the staged tree is fully readable before
+    // the swap destroys the only other copy
     val rows = spark.read.parquet(s"$staging/postings.parquet").count()
     writeSmallFile(fs, s"$staging/centroids.parquet/_BUILD_ID", buildId)
     writeSmallFile(fs, s"$staging/postings.parquet/_BUILD_ID", buildId)
@@ -692,7 +696,8 @@ object Ann {
     require(fs.rename(
       new org.apache.hadoop.fs.Path(s"$staging/manifest.json"), manifest),
       s"compactIvfIndex: manifest rename into $dir failed — index is " +
-        "uncommitted; rerun compactIvfIndex or buildIvfIndex")
+        "uncommitted; rerun buildIvfIndex (the live manifest is already " +
+        "invalidated, so a compact rerun has nothing to read)")
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     rows
   }
@@ -1040,9 +1045,16 @@ object Ann {
                           statsMult: Int = 1): DataFrame = {
     val base = data.select(col(idCol).as("id"), col(vecCol).as("v"))
     val floor = data.sparkSession.sessionState.conf.numShufflePartitions
-    val n = if (statsMult <= 1) floor
+    // the unknown-stats sentinel (partitionsForBytes treats > 2^50 as
+    // "stats missing") must be tested on the RAW plan bytes, before the
+    // centroid multiplier — otherwise a legitimately-known multi-TiB
+    // frame × 1024 centroids crosses the sentinel and silently disables
+    // the sizing at exactly the scale it exists for (r11 review); the
+    // known-bytes product is clamped instead (it maxes the partition cap)
+    val pb = Tuning.planBytes(base)
+    val n = if (statsMult <= 1 || pb <= 0 || pb > BigInt(1L << 50)) floor
       else Tuning.partitionsForBytes(
-        Tuning.planBytes(base) * statsMult, floor, expansion = 2.0)
+        (pb * statsMult).min(BigInt(1L << 50)), floor, expansion = 2.0)
     val sized = if (n > floor) base.repartition(n, col("id")) else base
     val scored = sized.crossJoin(broadcast(cents))
       .withColumn("d", cosine(col("v"), col("cvec")))

@@ -45,6 +45,10 @@ object BenchServe {
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val contend = sys.env.contains("SPARK_GRAFT_SERVE_CONTEND")
     val swapMode = sys.env.contains("SPARK_GRAFT_SERVE_SWAP")
+    require(!(contend && swapMode),
+      "BenchServe: CONTEND and SWAP are separate modes with separate " +
+        "artifacts — combining them would overwrite one mode's committed " +
+        "artifact with the other's measurement; run them separately")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -228,7 +232,12 @@ object BenchServe {
       require(postSeen >= 1, "swap never installed within 24 burst batches")
       val pre = burst ++ during.filter(_._2 == genBefore).map(_._1)
       val post = during.filter(_._2 > genBefore).map(_._1)
-      val preP95 = pre.sorted.last
+      // a real p95, not the max: with up to 28 pre samples, .last is p100
+      // and one pre outlier would mask a genuine post-swap regression
+      // against the "~2× the loaded pre-swap p95" claim (r11 review)
+      val preSorted = pre.sorted
+      val preP95 = preSorted(
+        math.min(preSorted.size - 1, math.ceil(preSorted.size * 0.95).toInt - 1))
       val postMax = post.max
       swapJson = s""","swap_build_s":${f"$swapWall%.2f"},""" +
         s""""swap_pre_batches":${pre.size},"swap_pre_p95_s":${f"$preP95%.3f"},""" +

@@ -51,9 +51,12 @@ object CompactScale {
         queries, "vec_id", "embedding", dir, k = 5, nProbe = 4).count()
       println(f"COMPACT query_$tag run$i ${(System.nanoTime() - tq) / 1e9}%.2f s ($rows rows)")
     }
-    def files(): Long = java.nio.file.Files.walk(
+    def files(): Long = {
+      val walk = java.nio.file.Files.walk(
         java.nio.file.Paths.get(dir, "postings.parquet"))
-      .filter(p => p.toString.endsWith(".parquet")).count()
+      try walk.filter(p => p.toString.endsWith(".parquet")).count()
+      finally walk.close() // Files.walk holds open directory handles
+    }
     println(s"COMPACT files_before ${files()}")
     probe("fragmented")
     val tc = System.nanoTime()

@@ -50,6 +50,11 @@ object IvfBuildScale {
       val t0 = System.nanoTime()
       graft.operators.Ann.buildIvfIndex(emb, "vec_id", "embedding", dir,
         nCentroids = nCents, seed = 42L, distributedFit = true)
+      // drain async task-end delivery before the snapshot (the same skew
+      // BenchServe fixes via the bridge — late events would land on the
+      // NEXT run's columns)
+      org.apache.spark.graftbridge.ListenerBridge.drain(
+        spark.sparkContext, 10000L)
       println(f"TIMING ivf_build run$i ${(System.nanoTime() - t0) / 1e9}%.2f s " +
         f"[task ${(taskTime - t0m) / 1e3}%.0f s gc ${(gcTime - g0) / 1e3}%.0f s " +
         f"spill ${(spill - s0) / 1e6} MB shufWrite ${(shufWrite - w0) / 1e6} MB]")
@@ -58,9 +63,10 @@ object IvfBuildScale {
       // opens a parquet file per (task, cell) pair it sees)
       val cells = spark.read.parquet(s"$dir/postings.parquet")
         .groupBy("cell").count().count()
-      val files = java.nio.file.Files.walk(
-          java.nio.file.Paths.get(dir, "postings.parquet"))
-        .filter(p => p.toString.endsWith(".parquet")).count()
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(dir, "postings.parquet"))
+      val files = try walk.filter(p => p.toString.endsWith(".parquet")).count()
+        finally walk.close() // Files.walk holds open directory handles
       println(s"  cells=$cells files=$files")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

@@ -152,7 +152,11 @@ class HotSwapSpec extends SparkSuite {
       trigger = Trigger.ProcessingTime(0L))
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val feeder = new Thread(() => {
-      while (!stop.get()) stream.addData("""{"userId": 101}""")
+      // throttled: MemoryStream retains every added batch in driver
+      // memory, so an unthrottled loop would OOM the suite if a fairness
+      // regression ever makes the swap block for the full 60 s — 1 ms
+      // of backoff still keeps a batch queued at every gate boundary
+      while (!stop.get()) { stream.addData("""{"userId": 101}"""); Thread.sleep(1) }
     }, "hotswap-feeder")
     feeder.setDaemon(true)
     try {
