@@ -600,19 +600,10 @@ object Ann {
     writeSmallFile(fs, s"$staging/centroids.parquet/_BUILD_ID", buildId)
     writeSmallFile(fs, s"$staging/postings.parquet/_BUILD_ID", buildId)
     // commit: swap staged components into place, manifest LAST
-    def swap(name: String): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
-      if (fs.exists(live)) fs.delete(live, true)
-      require(
-        fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$name"), live),
-        s"buildIvfIndex: rename $staging/$name -> $live failed; " +
-          "aborting before manifest commit (torn build is detectable, " +
-          "a lying manifest is not)")
-    }
     val manifest = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
     if (fs.exists(manifest)) fs.delete(manifest, false)  // invalidate first
-    swap("centroids.parquet")
-    swap("postings.parquet")
+    val trash = Seq("centroids.parquet", "postings.parquet")
+      .flatMap(swapComponentIn(fs, dir, staging, _, "buildIvfIndex"))
     // manifest via tmp + rename: a crash mid-write can leave NO manifest
     // (detectable: "rerun buildIvfIndex") but never a half-written one
     writeSmallFile(fs, s"$staging/manifest.json",
@@ -622,7 +613,36 @@ object Ann {
       new org.apache.hadoop.fs.Path(s"$staging/manifest.json"), manifest),
       s"buildIvfIndex: manifest rename into $dir failed — index is " +
         "uncommitted; rerun buildIvfIndex")
+    // old generation + staging deleted AFTER the commit — off the swap's
+    // critical path (see swapComponentIn)
+    trash.foreach(fs.delete(_, true))
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
+  /** Swap a staged index component into place with two metadata renames
+    * instead of an inline recursive delete: live → `.trash-<name>`
+    * (O(1)), staged → live (O(1)); the caller deletes the returned trash
+    * path AFTER the manifest commit. Deleting a 100 TB postings tree
+    * inline would block the swap for minutes of per-file round trips AND
+    * hold the reader-visible no-manifest window open the whole time; with
+    * renames the window is a handful of metadata ops. A leftover trash
+    * dir from a crashed prior swap is cleared first — dead by
+    * construction, since its generation's manifest was invalidated before
+    * any rename. Returns the trash path when a live component existed. */
+  private def swapComponentIn(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: String, staging: String, name: String,
+                              op: String): Option[org.apache.hadoop.fs.Path] = {
+    val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    val trash = new org.apache.hadoop.fs.Path(s"$dir/.trash-$name")
+    if (fs.exists(trash)) fs.delete(trash, true)
+    val hadLive = fs.exists(live)
+    if (hadLive) require(fs.rename(live, trash),
+      s"$op: rename $live -> $trash failed; live component untouched")
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$name"), live),
+      s"$op: rename $staging/$name -> $live failed; " +
+        "aborting before manifest commit (torn build is detectable, a " +
+        s"lying manifest is not; the old tree survives at $trash)")
+    if (hadLive) Some(trash) else None
   }
 
   /** Compact an incrementally-grown IVF index IN PLACE: fold every
@@ -677,18 +697,10 @@ object Ann {
     val rows = spark.read.parquet(s"$staging/postings.parquet").count()
     writeSmallFile(fs, s"$staging/centroids.parquet/_BUILD_ID", buildId)
     writeSmallFile(fs, s"$staging/postings.parquet/_BUILD_ID", buildId)
-    def swap(name: String): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
-      if (fs.exists(live)) fs.delete(live, true)
-      require(
-        fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$name"), live),
-        s"compactIvfIndex: rename $staging/$name -> $live failed; " +
-          "aborting before manifest commit")
-    }
     val manifest = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
     if (fs.exists(manifest)) fs.delete(manifest, false)  // invalidate first
-    swap("centroids.parquet")
-    swap("postings.parquet")
+    val trash = Seq("centroids.parquet", "postings.parquet")
+      .flatMap(swapComponentIn(fs, dir, staging, _, "compactIvfIndex"))
     writeSmallFile(fs, s"$staging/manifest.json",
       s"""{"seed":${m.seed},"nCentroids":${m.nCentroids},""" +
         s""""requested":${m.requested},""" +
@@ -698,6 +710,7 @@ object Ann {
       s"compactIvfIndex: manifest rename into $dir failed — index is " +
         "uncommitted; rerun buildIvfIndex (the live manifest is already " +
         "invalidated, so a compact rerun has nothing to read)")
+    trash.foreach(fs.delete(_, true))
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     rows
   }
