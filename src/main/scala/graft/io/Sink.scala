@@ -140,7 +140,14 @@ object Sink {
     *
     * The swap is rename-based (tmp → live with the old live renamed aside
     * first and deleted last), so a crash mid-swap leaves either the old or
-    * the new complete dataset on disk, never a partial mix. */
+    * the new complete dataset on disk, never a partial mix. A concurrent
+    * reader CAN glimpse a missing dir for the two metadata ops between the
+    * renames — unavoidable for a path-addressed dataset, where readers
+    * `spark.read.parquet(path)` directly and no indirection can be added
+    * without breaking them. When readers must never blip, address the data
+    * through a pointer-resolved layout instead (the shape
+    * [[graft.operators.Ann.buildIvfIndex]] uses: generation dirs behind an
+    * atomically-flipped CURRENT file) and compact into a new generation. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 512L << 20): CompactionReport = {
     require(targetBytes >= 1L, s"targetBytes must be >= 1 (got $targetBytes)")

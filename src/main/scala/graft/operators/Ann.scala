@@ -551,34 +551,49 @@ object Ann {
     * query batch (ivfTopK's self-join form, right for one-shot all-pairs
     * work) and an O(|batch| · probed-fraction) incremental read.
     *
-    * Build is GENERATIONAL (r7/r8 advice): both components are written
-    * under a staging dir, then swapped into place, and a `manifest.json`
-    * recording (seed, nCentroids, buildId, committed shards) is written
-    * LAST — the commit marker. The buildId (a fresh UUID) is also written
-    * as a `_BUILD_ID` marker file INSIDE each component directory (Spark
+    * Build is GENERATIONAL with a POINTER commit (r11 — zero-blip
+    * maintenance): the components above live inside a generation
+    * directory `dir/gen-&lt;buildId&gt;/`, and a tiny `dir/CURRENT` file names
+    * the live generation. A rebuild writes its whole generation —
+    * components, `_BUILD_ID` markers, `manifest.json` (seed, nCentroids,
+    * buildId, committed shards) LAST — in a directory no reader resolves
+    * yet, then commits by atomically repointing CURRENT
+    * ([[flipCurrent]]). There is NO reader-visible window: a resolution
+    * before the flip serves the old generation complete, one after it the
+    * new — the pre-r11 in-place swap exposed a no-manifest window of a
+    * few metadata ops that a 1000-executor query fleet WILL hit daily.
+    * The superseded generation is deleted only after the flip, entirely
+    * off the commit path (a 100 TB postings tree takes minutes of
+    * namenode round trips to delete; here that blocks nothing). Readers
+    * that resolved the OLD generation before the flip and execute lazily
+    * afterwards would fail loudly on the vanished files — under a live
+    * serving loop, pass `retainSuperseded = true` so the old generation
+    * outlives the flip, then [[sweepIvfIndex]] once in-flight readers
+    * drain: maintenance becomes invisible end-to-end, planning AND
+    * execution. The buildId (a fresh UUID) is also written as a
+    * `_BUILD_ID` marker file INSIDE each component directory (Spark
     * ignores underscore-prefixed files on read), so [[queryIvfIndex]] can
-    * verify all three agree without running a count job — interleaved
-    * concurrent rebuilds that happen to produce the same centroid COUNT
-    * can no longer yield an undetected mixed-generation index, and the
-    * per-query-batch `cents.count()` cost is gone. A failed swap rename
-    * aborts the build before the manifest commit (matching the Sink
-    * compaction pattern) instead of declaring success over a deleted
-    * live component. */
+    * verify all three agree without running a count job — a tampered or
+    * hand-mixed generation fails loudly. Pre-pointer indexes (components
+    * at the root, no CURRENT) are still resolved ([[resolveIvfDir]]) and
+    * migrate to the pointer layout on their next rebuild/compact. */
   def buildIvfIndex(data: DataFrame, idCol: String, vecCol: String,
                     dir: String, nCentroids: Int = 16,
-                    seed: Long = 42L, distributedFit: Boolean = false): Unit = {
+                    seed: Long = 42L, distributedFit: Boolean = false,
+                    retainSuperseded: Boolean = false): Unit = {
     val cents = (if (distributedFit)
         trainCentroidsDistributed(data, idCol, vecCol, nCentroids, seed)
       else trainCentroids(data, idCol, vecCol, nCentroids, seed))
       .getOrElse(throw new IllegalArgumentException(
         "buildIvfIndex: input is empty — nothing to index"))
     val spark = data.sparkSession
-    val staging = s"$dir/.staging"
     val buildId = java.util.UUID.randomUUID().toString
-    cents.write.mode("overwrite").parquet(s"$staging/centroids.parquet")
+    val gen = s"gen-$buildId"
+    val genDir = s"$dir/$gen"
+    cents.write.mode("overwrite").parquet(s"$genDir/centroids.parquet")
     // assignment reads the centroids BACK from the written file, so the
     // persisted index is self-consistent even if training were re-run
-    val centsBack = spark.read.parquet(s"$staging/centroids.parquet")
+    val centsBack = spark.read.parquet(s"$genDir/centroids.parquet")
     val nCents = centsBack.count()
     // postings carry their source shard as a second partition level:
     // the base build is shard 0, incremental appends add shard 1..N
@@ -594,55 +609,205 @@ object Ann {
           .select(col("id"), col("v"), col("cell"), lit(0).as("shard")),
         nCentsInt)
       .write.mode("overwrite").partitionBy("cell", "shard")
-      .parquet(s"$staging/postings.parquet")
+      .parquet(s"$genDir/postings.parquet")
     val hpath = new org.apache.hadoop.fs.Path(dir)
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    writeSmallFile(fs, s"$staging/centroids.parquet/_BUILD_ID", buildId)
-    writeSmallFile(fs, s"$staging/postings.parquet/_BUILD_ID", buildId)
-    // commit: swap staged components into place, manifest LAST
-    val manifest = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
-    if (fs.exists(manifest)) fs.delete(manifest, false)  // invalidate first
-    val trash = Seq("centroids.parquet", "postings.parquet")
-      .flatMap(swapComponentIn(fs, dir, staging, _, "buildIvfIndex"))
-    // manifest via tmp + rename: a crash mid-write can leave NO manifest
-    // (detectable: "rerun buildIvfIndex") but never a half-written one
-    writeSmallFile(fs, s"$staging/manifest.json",
+    writeSmallFile(fs, s"$genDir/centroids.parquet/_BUILD_ID", buildId)
+    writeSmallFile(fs, s"$genDir/postings.parquet/_BUILD_ID", buildId)
+    // manifest LAST inside the still-private generation dir, via tmp +
+    // rename: a crash can leave an orphan generation with no manifest —
+    // unreachable behind the pointer — but never a half-written one
+    writeSmallFile(fs, s"$genDir/.manifest.json.tmp",
       s"""{"seed":$seed,"nCentroids":$nCents,"requested":$nCentroids,""" +
         s""""buildId":"$buildId","shards":[0]}""")
     require(fs.rename(
-      new org.apache.hadoop.fs.Path(s"$staging/manifest.json"), manifest),
-      s"buildIvfIndex: manifest rename into $dir failed — index is " +
-        "uncommitted; rerun buildIvfIndex")
-    // old generation + staging deleted AFTER the commit — off the swap's
-    // critical path (see swapComponentIn)
-    trash.foreach(fs.delete(_, true))
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      new org.apache.hadoop.fs.Path(s"$genDir/.manifest.json.tmp"),
+      new org.apache.hadoop.fs.Path(s"$genDir/manifest.json")),
+      s"buildIvfIndex: manifest rename inside $genDir failed — generation " +
+        "is uncommitted and the live pointer untouched; rerun buildIvfIndex")
+    // THE commit: atomically repoint CURRENT at the finished generation
+    flipCurrent(fs, spark.sparkContext.hadoopConfiguration, dir, gen)
+    // superseded generation / legacy components / stale scratch deleted
+    // AFTER the flip — entirely off the reader-visible path. With
+    // retainSuperseded the old generation stays for in-flight readers;
+    // [[sweepIvfIndex]] finishes the cycle once they drain.
+    if (!retainSuperseded) cleanupAfterFlip(fs, dir, gen)
   }
 
-  /** Swap a staged index component into place with two metadata renames
-    * instead of an inline recursive delete: live → `.trash-<name>`
-    * (O(1)), staged → live (O(1)); the caller deletes the returned trash
-    * path AFTER the manifest commit. Deleting a 100 TB postings tree
-    * inline would block the swap for minutes of per-file round trips AND
-    * hold the reader-visible no-manifest window open the whole time; with
-    * renames the window is a handful of metadata ops. A leftover trash
-    * dir from a crashed prior swap is cleared first — dead by
-    * construction, since its generation's manifest was invalidated before
-    * any rename. Returns the trash path when a live component existed. */
-  private def swapComponentIn(fs: org.apache.hadoop.fs.FileSystem,
-                              dir: String, staging: String, name: String,
-                              op: String): Option[org.apache.hadoop.fs.Path] = {
-    val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
-    val trash = new org.apache.hadoop.fs.Path(s"$dir/.trash-$name")
-    if (fs.exists(trash)) fs.delete(trash, true)
-    val hadLive = fs.exists(live)
-    if (hadLive) require(fs.rename(live, trash),
-      s"$op: rename $live -> $trash failed; live component untouched")
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$name"), live),
-      s"$op: rename $staging/$name -> $live failed; " +
-        "aborting before manifest commit (torn build is detectable, a " +
-        s"lying manifest is not; the old tree survives at $trash)")
-    if (hadLive) Some(trash) else None
+  /** Resolve an index ROOT to its live generation directory: the one
+    * named by `dir/CURRENT` (pointer layout), or the root itself when a
+    * pre-pointer index keeps its `manifest.json` in place (legacy
+    * layout — still readable; its next rebuild/compact migrates it).
+    * On filesystems whose overwrite-rename is delete-then-rename rather
+    * than atomic (the local FS; HDFS rename2 IS atomic), a read can race
+    * the two metadata ops of a flip — absorbed by a bounded retry; a
+    * persistent miss fails loudly. */
+  def resolveIvfDir(spark: SparkSession, dir: String): String =
+    resolveIvfDir(new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+
+  private def resolveIvfDir(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: String): String = {
+    val pfs = pointerIoFs(fs) // sidecar-free pointer IO (see flipCurrent)
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
+    var attempt = 0
+    var lastRace: Throwable = null
+    while (attempt < 20) {
+      try {
+        if (pfs.exists(cur)) {
+          val gen = readSmallFile(pfs, cur).trim
+          require(gen.startsWith("gen-") && !gen.contains("/") &&
+              !gen.contains(".."),
+            s"corrupt CURRENT pointer at $dir: '$gen'")
+          return s"$dir/$gen"
+        } else if (fs.exists(
+            new org.apache.hadoop.fs.Path(s"$dir/manifest.json"))) {
+          return dir // legacy in-place layout
+        }
+      } catch {
+        // lost the exists/open race with a non-atomic flip — retry
+        case e: java.io.FileNotFoundException => lastRace = e
+      }
+      attempt += 1
+      if (attempt < 20) Thread.sleep(5)
+    }
+    throw new IllegalStateException(
+      s"IVF index at $dir has neither a CURRENT pointer nor a legacy " +
+        "manifest.json — torn, empty, or pre-manifest; rerun buildIvfIndex",
+      lastRace)
+  }
+
+  /** The live generation's buildId, after the same manifest + marker
+    * consistency checks every query runs — the cheap ops probe for "what
+    * is serving right now" (three tiny file reads, no Spark job). */
+  def liveIvfGeneration(spark: SparkSession, dir: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resolveAndReadManifest(fs, dir)._2.buildId
+  }
+
+  /** Resolve the live generation and read + check its manifest, retrying
+    * through SUPERSESSION: between reading CURRENT and reading the
+    * manifest, a maintenance flip can delete the generation we resolved —
+    * that is not corruption, the pointer has simply moved on, so
+    * re-resolve and read the new generation. The retry fires ONLY when a
+    * fresh resolution disagrees with the generation that failed; a
+    * genuinely torn or tampered index (markers missing, manifest
+    * malformed, pointer dangling) still fails loudly on the spot. This is
+    * what makes the metadata phase of a query genuinely zero-blip for
+    * readers, not just for the writer's commit. */
+  private def resolveAndReadManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): (String, IvfManifest) = {
+    var attempt = 0
+    while (true) {
+      val g = resolveIvfDir(fs, dir)
+      try {
+        val m = readIvfManifest(fs, g)
+        requireMarkersMatch(fs, g, m.buildId)
+        return (g, m)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val superseded =
+            try resolveIvfDir(fs, dir) != g
+            catch { case scala.util.control.NonFatal(_) => false }
+          attempt += 1
+          if (!superseded || attempt >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The filesystem to use for pointer-file IO. On a ChecksumFileSystem
+    * (the local FS) the `.crc` sidecar breaks flip atomicity — the data
+    * file and its sidecar are replaced by SEPARATE renames, so a reader
+    * between them cross-checks new content against the old checksum and
+    * dies with a ChecksumException (caught live by IvfPointerSpec's
+    * hammer-reader before this bypass existed). The pointer is a
+    * single-digit-byte file validated by its own format check in
+    * [[resolveIvfDir]]; it goes through the raw FS, sidecar-free. HDFS
+    * and object stores are not ChecksumFileSystems — untouched. */
+  private def pointerIoFs(fs: org.apache.hadoop.fs.FileSystem)
+      : org.apache.hadoop.fs.FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
+  /** Atomically repoint `dir/CURRENT` at generation `gen`. The content is
+    * written to a tmp file first; the publish is ONE overwrite-rename —
+    * rename(2) on the raw local FS (atomic replace on POSIX), the
+    * FileContext rename2 RPC on HDFS. Filesystems where neither form is
+    * atomic degrade to a window of two metadata ops on a tiny file, which
+    * [[resolveIvfDir]]'s bounded retry absorbs. */
+  private def flipCurrent(fs: org.apache.hadoop.fs.FileSystem,
+                          conf: org.apache.hadoop.conf.Configuration,
+                          dir: String, gen: String): Unit = {
+    val pfs = pointerIoFs(fs)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.CURRENT-$gen.tmp")
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
+    writeSmallFile(pfs, tmp.toString, gen)
+    if (pfs ne fs) {
+      // migration from a checksummed-written pointer: a stale sidecar
+      // would fail every checksummed read of the raw-renamed content
+      val crc = new org.apache.hadoop.fs.Path(s"$dir/.CURRENT.crc")
+      if (pfs.exists(crc)) pfs.delete(crc, false)
+      if (!pfs.rename(tmp, cur)) {
+        // no atomic replace on this FS: fall back to the two-op window
+        // the reader retry absorbs
+        pfs.delete(cur, false)
+        require(pfs.rename(tmp, cur),
+          s"flipCurrent: rename $tmp -> $cur failed; the previous " +
+            "generation pointer was deleted — rerun the maintenance op")
+      }
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, conf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(cur),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Post-flip cleanup, OFF the commit path: superseded generation dirs,
+    * legacy in-place components now shadowed by the pointer, stale flip
+    * tmps, and pre-pointer scratch dirs. Deleting a 100 TB postings tree
+    * here blocks nothing — new resolutions already land on `keepGen`.
+    * Run maintenance single-writer (the [[appendIvfShard]] rule): a
+    * concurrent build's in-flight generation dir would be deleted as an
+    * orphan by the winner's cleanup. Returns the deleted names. */
+  private def cleanupAfterFlip(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String, keepGen: String): Seq[String] =
+    Option(fs.listStatus(new org.apache.hadoop.fs.Path(dir)))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        val stale =
+          (n.startsWith("gen-") && n != keepGen) ||
+          n == "manifest.json" || n == "centroids.parquet" ||
+          n == "postings.parquet" ||
+          n.startsWith(".staging") || n.startsWith(".trash-") ||
+          (n.startsWith(".CURRENT-") && n.endsWith(".tmp")) ||
+          (n.startsWith("..CURRENT-") && n.endsWith(".tmp.crc"))
+        if (stale) { fs.delete(s.getPath, true); Some(n) } else None
+      }
+
+  /** Delete everything a maintenance flip superseded under an index root,
+    * keeping only the live generation — the deferred second half of a
+    * ZERO-DOWNTIME maintenance cycle. `buildIvfIndex`/`compactIvfIndex`
+    * with `retainSuperseded = true` flip the pointer but leave the old
+    * generation on disk, so queries PLANNED against it before the flip
+    * finish their scans instead of dying on vanished files; once in-flight
+    * readers drain (a serving loop's batch boundary bounds this), sweep.
+    * Refuses a legacy in-place index (nothing there is superseded — the
+    * live components ARE the root). Returns the deleted top-level names. */
+  def sweepIvfIndex(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g = resolveIvfDir(fs, dir)
+    require(g != dir,
+      s"sweepIvfIndex: $dir is a legacy in-place index — nothing is " +
+        "superseded; its next rebuild/compact migrates it to the pointer " +
+        "layout")
+    cleanupAfterFlip(fs, dir, new org.apache.hadoop.fs.Path(g).getName)
   }
 
   /** Compact an incrementally-grown IVF index IN PLACE: fold every
@@ -659,59 +824,61 @@ object Ann {
     * rewrite) — still far cheaper than a rebuild, which pays the
     * clustering fit and the full assignment scoring on top.
     *
-    * Generational like the build: everything is staged (the committed
-    * postings are fully MATERIALIZED into staging before any live file is
-    * touched), then swapped with a fresh buildId, manifest (shards=[0])
-    * last. Old-generation claim/commit markers vanish with the replaced
-    * postings dir — the new generation starts clean, and the next append
-    * claims shard 1 of the NEW buildId. Run single-writer like appends:
-    * an append racing a compaction could commit a shard into the dir the
-    * swap is about to replace (same rule the doc on [[appendIvfShard]]
-    * already imposes for object stores; serial maintenance satisfies it).
+    * Generational like the build: the folded postings are fully
+    * MATERIALIZED into a fresh generation directory (read entirely from
+    * the live one before anything is deleted), manifest (shards=[0])
+    * last, then committed by the same atomic pointer flip — readers see
+    * the old generation complete until the instant they see the new one.
+    * Old-generation claim/commit markers vanish with the superseded
+    * generation dir — the next append claims shard 1 of the NEW buildId.
+    * A legacy in-place index is migrated to the pointer layout by its
+    * first compact. Run single-writer like appends: an append racing a
+    * compaction could commit a shard into the generation the flip is
+    * about to supersede (same rule the doc on [[appendIvfShard]] already
+    * imposes for object stores; serial maintenance satisfies it).
     * Returns the number of rows compacted. */
-  def compactIvfIndex(spark: SparkSession, dir: String): Long = {
+  def compactIvfIndex(spark: SparkSession, dir: String,
+                      retainSuperseded: Boolean = false): Long = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val m = readIvfManifest(fs, dir)
-    requireMarkersMatch(fs, dir, m.buildId)
-    val committed = committedShards(fs, dir, m)
-    val post = spark.read.parquet(s"$dir/postings.parquet")
+    val src = resolveIvfDir(fs, dir)
+    val m = readIvfManifest(fs, src)
+    requireMarkersMatch(fs, src, m.buildId)
+    val committed = committedShards(fs, src, m)
+    val post = spark.read.parquet(s"$src/postings.parquet")
       .where(col("shard").isin(committed: _*))
-    val cents = spark.read.parquet(s"$dir/centroids.parquet")
-    val staging = s"$dir/.staging-compact"
+    val cents = spark.read.parquet(s"$src/centroids.parquet")
     val buildId = java.util.UUID.randomUUID().toString
+    val gen = s"gen-$buildId"
+    val genDir = s"$dir/$gen"
     val nCentsInt = math.max(1,
       math.min(m.nCentroids, Int.MaxValue.toLong).toInt)
-    // materializing actions FIRST — both staged components exist in full
-    // before the swap deletes the live dirs they were read from
-    cents.write.mode("overwrite").parquet(s"$staging/centroids.parquet")
+    // materializing actions FIRST — both new-generation components exist
+    // in full before cleanup deletes the live dirs they were read from
+    cents.write.mode("overwrite").parquet(s"$genDir/centroids.parquet")
     clusterForPartitionedWrite(
         post.select(col("id"), col("v"), col("cell"), lit(0).as("shard")),
         nCentsInt)
       .write.mode("overwrite").partitionBy("cell", "shard")
-      .parquet(s"$staging/postings.parquet")
+      .parquet(s"$genDir/postings.parquet")
     // a zero-column parquet count: row counts come from footers/row-group
     // metadata, no vector data is decompressed — the cheap way to both
-    // return the size and ASSERT the staged tree is fully readable before
-    // the swap destroys the only other copy
-    val rows = spark.read.parquet(s"$staging/postings.parquet").count()
-    writeSmallFile(fs, s"$staging/centroids.parquet/_BUILD_ID", buildId)
-    writeSmallFile(fs, s"$staging/postings.parquet/_BUILD_ID", buildId)
-    val manifest = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
-    if (fs.exists(manifest)) fs.delete(manifest, false)  // invalidate first
-    val trash = Seq("centroids.parquet", "postings.parquet")
-      .flatMap(swapComponentIn(fs, dir, staging, _, "compactIvfIndex"))
-    writeSmallFile(fs, s"$staging/manifest.json",
+    // return the size and ASSERT the new tree is fully readable before
+    // the flip supersedes the only other copy
+    val rows = spark.read.parquet(s"$genDir/postings.parquet").count()
+    writeSmallFile(fs, s"$genDir/centroids.parquet/_BUILD_ID", buildId)
+    writeSmallFile(fs, s"$genDir/postings.parquet/_BUILD_ID", buildId)
+    writeSmallFile(fs, s"$genDir/.manifest.json.tmp",
       s"""{"seed":${m.seed},"nCentroids":${m.nCentroids},""" +
         s""""requested":${m.requested},""" +
         s""""buildId":"$buildId","shards":[0]}""")
     require(fs.rename(
-      new org.apache.hadoop.fs.Path(s"$staging/manifest.json"), manifest),
-      s"compactIvfIndex: manifest rename into $dir failed — index is " +
-        "uncommitted; rerun buildIvfIndex (the live manifest is already " +
-        "invalidated, so a compact rerun has nothing to read)")
-    trash.foreach(fs.delete(_, true))
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      new org.apache.hadoop.fs.Path(s"$genDir/.manifest.json.tmp"),
+      new org.apache.hadoop.fs.Path(s"$genDir/manifest.json")),
+      s"compactIvfIndex: manifest rename inside $genDir failed — the new " +
+        "generation is uncommitted and the live one untouched; rerun")
+    flipCurrent(fs, spark.sparkContext.hadoopConfiguration, dir, gen)
+    if (!retainSuperseded) cleanupAfterFlip(fs, dir, gen)
     rows
   }
 
@@ -751,9 +918,12 @@ object Ann {
     * HEAD-then-PUT unless conditional writes are enabled (Hadoop ≥ 3.4.1
     * `fs.s3a.create.conditional.enabled`) — without that, run appends
     * single-writer per index. Centroids are untouched, so the buildId
-    * generation markers remain valid across appends; a full rebuild
-    * replaces the postings dir wholesale, taking every claim/commit
-    * marker of the old generation with it.
+    * generation markers remain valid across appends; a full rebuild or
+    * compact flips `CURRENT` to a fresh generation directory, taking
+    * every claim/commit marker of the old generation with it when the
+    * superseded dir is deleted. Appends resolve the live generation once
+    * at entry and never touch the pointer — they are zero-blip by
+    * construction.
     *
     * Cost trade documented: appended shards are assigned to FROZEN
     * centroids, so cell balance can drift as the corpus distribution
@@ -768,20 +938,26 @@ object Ann {
     val spark = data.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val m = readIvfManifest(fs, dir)
+    // resolve the live generation ONCE — every path below (markers,
+    // staging, renames) is inside it, so a maintenance flip racing this
+    // append can never split it across generations (it lands whole in the
+    // superseded dir and vanishes with it; single-writer maintenance rules
+    // that race out anyway)
+    val g = resolveIvfDir(fs, dir)
+    val m = readIvfManifest(fs, g)
     // generation check before writing anything
-    requireMarkersMatch(fs, dir, m.buildId)
-    val committed = committedShards(fs, dir, m)
+    requireMarkersMatch(fs, g, m.buildId)
+    val committed = committedShards(fs, g, m)
     // claim the shard id: exclusive create makes concurrent appenders
     // land on distinct ids (each then stages + renames its own dirs)
     var shardId = committed.max + 1
-    while (!tryExclusiveCreate(fs, claimMarker(dir, m.buildId, shardId))) {
+    while (!tryExclusiveCreate(fs, claimMarker(g, m.buildId, shardId))) {
       shardId += 1
       require(shardId - committed.max < (1 << 16),
         s"appendIvfShard: ${1 << 16} consecutive claimed-but-uncommitted " +
-          s"shard ids at $dir — clear dead _SHARD_CLAIM_ markers")
+          s"shard ids at $g — clear dead _SHARD_CLAIM_ markers")
     }
-    val staging = s"$dir/.append-shard-$shardId"
+    val staging = s"$g/.append-shard-$shardId"
     try {
       // clean any torn pre-claim-protocol attempt at this shard id (the
       // claim guarantees no live writer owns these files) — but NEVER
@@ -791,14 +967,14 @@ object Ann {
       // these files are committed and possibly being served, so deleting
       // them here would destroy served data before the post-write commit
       // require ever fires. Fail loudly instead (r10 advice).
-      require(!fs.exists(commitMarker(dir, m.buildId, shardId)),
+      require(!fs.exists(commitMarker(g, m.buildId, shardId)),
         s"appendIvfShard: commit marker for claimed shard $shardId " +
-          s"appeared at $dir after the committed-shard listing — claim " +
+          s"appeared at $g after the committed-shard listing — claim " +
           "fencing was bypassed; rebuild the index")
       def liveParts = fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$dir/postings.parquet/cell=*/shard=$shardId"))
+        s"$g/postings.parquet/cell=*/shard=$shardId"))
       Option(liveParts).foreach(_.foreach(s => fs.delete(s.getPath, true)))
-      val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      val cents = spark.read.parquet(s"$g/centroids.parquet")
       // write into a PRIVATE staging dir: two Spark jobs writing under the
       // same live root share its _temporary committer dir, and the first
       // job's commit-time cleanup deletes the second's in-flight tasks
@@ -820,7 +996,7 @@ object Ann {
         .map(_.toSeq).getOrElse(Seq.empty)
       staged.foreach { st =>
         val destCell = new org.apache.hadoop.fs.Path(
-          s"$dir/postings.parquet/${st.getPath.getParent.getName}")
+          s"$g/postings.parquet/${st.getPath.getParent.getName}")
         if (!fs.exists(destCell)) fs.mkdirs(destCell)
         val dest = new org.apache.hadoop.fs.Path(destCell, st.getPath.getName)
         require(fs.rename(st.getPath, dest),
@@ -829,9 +1005,9 @@ object Ann {
             "a committed half-append is not)")
       }
       // commit marker LAST; the manifest is never rewritten
-      require(tryExclusiveCreate(fs, commitMarker(dir, m.buildId, shardId)),
+      require(tryExclusiveCreate(fs, commitMarker(g, m.buildId, shardId)),
         s"appendIvfShard: commit marker for shard $shardId already exists " +
-          s"at $dir — claim fencing was bypassed; rebuild the index")
+          s"at $g — claim fencing was bypassed; rebuild the index")
       shardId
     } catch {
       case e: Throwable =>
@@ -846,11 +1022,11 @@ object Ann {
         // leave the live files AND the claim intact for inspection/rebuild
         // (r9 advice).
         try {
-          if (!fs.exists(commitMarker(dir, m.buildId, shardId))) {
+          if (!fs.exists(commitMarker(g, m.buildId, shardId))) {
             Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-                s"$dir/postings.parquet/cell=*/shard=$shardId")))
+                s"$g/postings.parquet/cell=*/shard=$shardId")))
               .foreach(_.foreach(s => fs.delete(s.getPath, true)))
-            fs.delete(claimMarker(dir, m.buildId, shardId), false)
+            fs.delete(claimMarker(g, m.buildId, shardId), false)
           }
         } catch { case _: java.io.IOException => () } // keep the real error
         throw e
@@ -999,17 +1175,21 @@ object Ann {
     // concurrent rebuilds (even with identical centroid counts), fail
     // loudly instead of silently probing postings assigned against
     // other-generation centroids. Three tiny file reads; no count job.
+    // The generation is resolved ONCE, here — both component scans and
+    // the committed-shard listing come from the same generation dir, so a
+    // maintenance flip between planning and execution can never mix
+    // generations inside one query (it can only make the WHOLE query fail
+    // loudly if the superseded tree is deleted mid-scan).
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val m = readIvfManifest(fs, dir)
-    requireMarkersMatch(fs, dir, m.buildId)
-    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val (g, m) = resolveAndReadManifest(fs, dir)
+    val cents = spark.read.parquet(s"$g/centroids.parquet")
     // only committed shards are scanned — the manifest's base list plus
     // current-generation _SHARD_COMMIT_ markers ([[appendIvfShard]]); an
     // append that crashed before its commit marker left files no query
     // reads (partition filter — pruned, not filtered row-by-row)
-    val post = spark.read.parquet(s"$dir/postings.parquet")
-      .where(col("shard").isin(committedShards(fs, dir, m): _*))
+    val post = spark.read.parquet(s"$g/postings.parquet")
+      .where(col("shard").isin(committedShards(fs, g, m): _*))
     val qcells = assignCells(queries, idCol, vecCol, cents, nProbe)
       .select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
     val cand = qcells

@@ -86,7 +86,8 @@ object AnnScale {
         -1L
       }
       println(s"ANNSCALE $tag buildIvfIndex postings rows (untimed): " +
-        spark.read.parquet(s"$idx/postings.parquet").count())
+        spark.read.parquet(
+          s"${Ann.resolveIvfDir(spark, idx)}/postings.parquet").count())
       time("queryIvfIndex_100q") {
         Ann.queryIvfIndex(emb.where(col("vec_id") < 100), "vec_id",
           "embedding", idx, k = 5, nProbe = 4).count()

@@ -56,7 +56,8 @@ object AppendServeScale {
     // marker files — inside postings.parquet/ — are the commit
     // protocol's unit of visibility)
     def committedShards(): Long =
-      Option(new java.io.File(s"$dir/postings.parquet").list()).map(
+      Option(new java.io.File(s"${graft.operators.Ann.resolveIvfDir(
+          spark, dir)}/postings.parquet").list()).map(
         _.count(_.startsWith("_SHARD_COMMIT_")).toLong).getOrElse(0L)
     def oneQuery(): Double = {
       val gen = committedShards()

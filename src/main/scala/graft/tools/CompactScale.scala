@@ -52,8 +52,9 @@ object CompactScale {
       println(f"COMPACT query_$tag run$i ${(System.nanoTime() - tq) / 1e9}%.2f s ($rows rows)")
     }
     def files(): Long = {
-      val walk = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(dir, "postings.parquet"))
+      // resolve per call: the compact flips CURRENT to a new generation
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(
+        graft.operators.Ann.resolveIvfDir(spark, dir), "postings.parquet"))
       try walk.filter(p => p.toString.endsWith(".parquet")).count()
       finally walk.close() // Files.walk holds open directory handles
     }

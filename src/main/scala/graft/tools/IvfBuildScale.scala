@@ -61,10 +61,11 @@ object IvfBuildScale {
       // the A/B must compare identical results, not just walls — and the
       // FILE count is the write-cost driver (a dynamic-partition write
       // opens a parquet file per (task, cell) pair it sees)
-      val cells = spark.read.parquet(s"$dir/postings.parquet")
+      val gdir = graft.operators.Ann.resolveIvfDir(spark, dir)
+      val cells = spark.read.parquet(s"$gdir/postings.parquet")
         .groupBy("cell").count().count()
       val walk = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(dir, "postings.parquet"))
+        java.nio.file.Paths.get(gdir, "postings.parquet"))
       val files = try walk.filter(p => p.toString.endsWith(".parquet")).count()
         finally walk.close() // Files.walk holds open directory handles
       println(s"  cells=$cells files=$files")

@@ -151,7 +151,8 @@ class Round10Spec extends SparkSuite {
       nCentroids = 4, seed = 42L)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    val postings = s"$dir/postings.parquet"
+    val gdir = graft.operators.Ann.resolveIvfDir(spark, dir)
+    val postings = s"$gdir/postings.parquet"
     val buildId = {
       val in = fs.open(new org.apache.hadoop.fs.Path(postings, "_BUILD_ID"))
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -166,7 +167,7 @@ class Round10Spec extends SparkSuite {
     // collision (the final commit-time require); the early window
     // (marker planted before the guard's check) is the same fail-loud
     // require one line higher.
-    val staging = new org.apache.hadoop.fs.Path(s"$dir/.append-shard-1")
+    val staging = new org.apache.hadoop.fs.Path(s"$gdir/.append-shard-1")
     val rogue = new Thread(() => {
       while (!fs.exists(staging)) Thread.sleep(20)
       fs.create(new org.apache.hadoop.fs.Path(postings,

@@ -76,12 +76,14 @@ class Round11Spec extends SparkSuite {
     assert(served() == before, "compaction changed query results")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    // the shard dirs and the old generation's markers are gone
+    // the shard dirs and the old generation's markers are gone — resolve
+    // AFTER the compact: it flipped CURRENT to a fresh generation dir
+    val gdir = graft.operators.Ann.resolveIvfDir(spark, dir)
     val shardDirs = fs.globStatus(new org.apache.hadoop.fs.Path(
-      s"$dir/postings.parquet/cell=*/shard=*")).map(_.getPath.getName).toSet
+      s"$gdir/postings.parquet/cell=*/shard=*")).map(_.getPath.getName).toSet
     assert(shardDirs == Set("shard=0"), s"non-base shards survive: $shardDirs")
     val markers = fs.listStatus(new org.apache.hadoop.fs.Path(
-        s"$dir/postings.parquet")).map(_.getPath.getName)
+        s"$gdir/postings.parquet")).map(_.getPath.getName)
       .filter(n => n.startsWith("_SHARD_"))
     assert(markers.isEmpty, s"old-generation markers survive: ${markers.toSeq}")
     // the append loop restarts cleanly on the new generation

@@ -260,8 +260,10 @@ class Round7Spec extends SparkSuite {
     graft.operators.Ann.buildIvfIndex(emb, "vec_id", "embedding", dir,
       nCentroids = 8, seed = 42L)
     // layout: centroids + cell-partitioned postings (partition pruning is
-    // what makes a partial probe read a fraction of the corpus bytes)
-    val cellDirs = new java.io.File(s"$dir/postings.parquet")
+    // what makes a partial probe read a fraction of the corpus bytes),
+    // inside the generation dir the CURRENT pointer resolves to (r11)
+    val gdir = graft.operators.Ann.resolveIvfDir(spark, dir)
+    val cellDirs = new java.io.File(s"$gdir/postings.parquet")
       .listFiles().filter(_.getName.startsWith("cell="))
     assert(cellDirs.length > 1, "postings must be partitioned by home cell")
     val queries = emb.where(col("vec_id") < 10)
@@ -304,12 +306,18 @@ class Round7Spec extends SparkSuite {
       k = 3, nProbe = 2)
     q.count()
     val plan = q.queryExecution.executedPlan.toString
-    val postingsScanLines = plan.split("\n")
-      .filter(l => l.contains("postings.parquet"))
-    assert(postingsScanLines.nonEmpty, s"postings scan not found:\n$plan")
-    assert(postingsScanLines.exists(_.contains("dynamicpruning")),
+    // the explain string truncates Location paths at ~100 chars, and the
+    // r11 generation dir (gen-<uuid>) pushes ".../postings.parquet" past
+    // the cutoff — identify the index scans by the index ROOT dir name
+    // instead; the postings scan is the only PARTITIONED one, so any
+    // dynamicpruning on an index scan is it (centroids has no partitions)
+    val idxName = new java.io.File(dir).getName
+    val idxScanLines = plan.split("\n")
+      .filter(l => l.contains("FileScan") && l.contains(idxName))
+    assert(idxScanLines.nonEmpty, s"index scans not found:\n$plan")
+    assert(idxScanLines.exists(_.contains("dynamicpruning")),
       "postings scan must carry a dynamicpruning partition filter on cell; " +
-        s"got:\n${postingsScanLines.mkString("\n")}")
+        s"got:\n${idxScanLines.mkString("\n")}")
   }
 
   test("streaming ANN serve: micro-batches query the persisted IVF index (stream-static)") {

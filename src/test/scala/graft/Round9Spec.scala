@@ -102,7 +102,8 @@ class Round9Spec extends SparkSuite {
     val before = run()
     // simulate a torn append: shard=1 posting files exist on disk but the
     // manifest was never rewritten (crash between write and commit)
-    val cellDir = new java.io.File(s"$dir/postings.parquet")
+    val gdir = graft.operators.Ann.resolveIvfDir(spark, dir)
+    val cellDir = new java.io.File(s"$gdir/postings.parquet")
       .listFiles().filter(_.getName.startsWith("cell=")).head
     val torn = new java.io.File(cellDir, "shard=1")
     torn.mkdirs()
@@ -122,7 +123,7 @@ class Round9Spec extends SparkSuite {
     // committed shard rows are now scanned: exactly the 20 delta rows sit
     // in shard=1, and the index answer equals brute force over the grown
     // corpus (self-matches excluded by both lanes)
-    assert(spark.read.parquet(s"$dir/postings.parquet")
+    assert(spark.read.parquet(s"$gdir/postings.parquet")
       .where(col("shard") === 1).count() == 20L,
       "exactly the committed delta rows must live in shard=1")
     val grown = base.unionByName(delta)
@@ -145,19 +146,20 @@ class Round9Spec extends SparkSuite {
     // negative seed: the manifest number parser must round-trip it
     graft.operators.Ann.buildIvfIndex(base, "vec_id", "embedding", dir,
       nCentroids = 4, seed = -7L)
+    val gdir = graft.operators.Ann.resolveIvfDir(spark, dir)
     val mtext0 = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/manifest.json")), "UTF-8")
+      java.nio.file.Paths.get(s"$gdir/manifest.json")), "UTF-8")
     val buildId = """"buildId":"([^"]+)"""".r.findFirstMatchIn(mtext0)
       .get.group(1)
     // a concurrent appender claimed shard 1 and is still writing: this
     // append must land on shard 2, never interleave files into shard=1
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
-        s"$dir/postings.parquet/_SHARD_CLAIM_${buildId}_1"),
+        s"$gdir/postings.parquet/_SHARD_CLAIM_${buildId}_1"),
       Array.empty[Byte])
     // stray near-protocol names must be ignored, not crash the parse
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/postings.parquet/_SHARD_COMMIT_9.bak"),
+      java.nio.file.Paths.get(s"$gdir/postings.parquet/_SHARD_COMMIT_9.bak"),
       Array.empty[Byte])
     val delta = emb.where(col("vec_id") >= 400 && col("vec_id") < 420)
     val sid = graft.operators.Ann.appendIvfShard(delta, "vec_id", "embedding", dir)
@@ -166,14 +168,14 @@ class Round9Spec extends SparkSuite {
     // the build (a truncate-in-place crash there would brick every
     // previously committed shard)
     val mtext = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/manifest.json")), "UTF-8")
+      java.nio.file.Paths.get(s"$gdir/manifest.json")), "UTF-8")
     assert(mtext.contains("\"shards\":[0]"),
       s"append must not rewrite the manifest: $mtext")
     assert(mtext.contains("\"seed\":-7"), s"negative seed must persist: $mtext")
     assert(new java.io.File(
-        s"$dir/postings.parquet/_SHARD_COMMIT_${buildId}_2").exists(),
+        s"$gdir/postings.parquet/_SHARD_COMMIT_${buildId}_2").exists(),
       "commit marker for the appended shard must exist")
-    assert(!new java.io.File(s"$dir/.append-shard-2").exists(),
+    assert(!new java.io.File(s"$gdir/.append-shard-2").exists(),
       "private staging dir must be cleaned up after the append")
     // marker-committed shards are served; the claimed-uncommitted one is not
     val queries = emb.where(col("vec_id") < 5)
@@ -195,12 +197,13 @@ class Round9Spec extends SparkSuite {
     // tamper: another build's marker lands in postings (interleaved
     // concurrent rebuilds with the SAME nCentroids — the r8 count check
     // could not see this)
-    val marker = new java.io.File(s"$dir/postings.parquet/_BUILD_ID")
+    val gdir = graft.operators.Ann.resolveIvfDir(spark, dir)
+    val marker = new java.io.File(s"$gdir/postings.parquet/_BUILD_ID")
     java.nio.file.Files.write(marker.toPath,
       "00000000-dead-beef-0000-000000000000".getBytes("UTF-8"))
     // the local ChecksumFileSystem would otherwise flag the raw tamper
     // before our generation check runs; the crc sidecar is a test artifact
-    new java.io.File(s"$dir/postings.parquet/._BUILD_ID.crc").delete()
+    new java.io.File(s"$gdir/postings.parquet/._BUILD_ID.crc").delete()
     val e = intercept[IllegalArgumentException] {
       graft.operators.Ann.queryIvfIndex(
         emb.where(col("vec_id") < 3), "vec_id", "embedding", dir,
