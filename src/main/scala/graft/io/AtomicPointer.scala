@@ -1,0 +1,137 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** A tiny pointer file published by atomic (or atomically-recoverable)
+  * rename — the commit primitive behind zero-blip generational layouts
+  * (the IVF index's `CURRENT`, the dedup ingest index's `FOLDED`). The
+  * pointer names which generation of a dataset is live; flipping it IS
+  * the commit, so writers prepare whole generations off to the side and
+  * readers never observe a torn state.
+  *
+  * Write path ([[flip]]): content lands in a tmp file, then ONE
+  * overwrite-rename publishes it — rename(2) on the raw local FS (atomic
+  * replace on POSIX), the FileContext rename2 RPC on HDFS. Filesystems
+  * with neither (no atomic replace, no AbstractFileSystem binding for
+  * the scheme — many object-store connectors ship only a FileSystem
+  * impl) degrade to a RECOVERABLE three-rename sequence: the live
+  * pointer is renamed ASIDE (`.<name>.old`, never deleted) before the
+  * new one moves in, and [[read]] falls back to the aside copy — a crash
+  * at any point leaves one of the two generations readable, never
+  * neither.
+  *
+  * Read path ([[read]]): primary, then aside, with a bounded
+  * retry absorbing the exists/open race against a non-atomic flip.
+  *
+  * Checksum sidecars: on a ChecksumFileSystem (the local FS) the data
+  * file and its `.crc` are replaced by SEPARATE renames, so a reader
+  * between them cross-checks new content against the old checksum and
+  * dies with a ChecksumException (caught live by a hammer-reader spec).
+  * All pointer IO therefore goes through the raw FS, sidecar-free — the
+  * pointer is a single-digit-byte file validated by the caller's own
+  * format check. */
+object AtomicPointer {
+
+  /** The filesystem for pointer IO: raw (sidecar-free) on checksummed
+    * filesystems, the FS itself elsewhere. */
+  def pointerIoFs(fs: FileSystem): FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
+  private def asidePath(dir: String, name: String) =
+    new Path(s"$dir/.$name.old")
+
+  /** Read the pointer content (trimmed): primary first, then the aside
+    * copy a crashed fallback flip may have left, retrying through the
+    * exists/open race of a concurrent non-atomic flip. None when neither
+    * file exists after the retry budget (callers treat that as "no
+    * pointer layout here" — e.g. fall back to a legacy layout). */
+  def read(fs: FileSystem, dir: String, name: String): Option[String] = {
+    val pfs = pointerIoFs(fs)
+    val primary = new Path(s"$dir/$name")
+    val aside = asidePath(dir, name)
+    var attempt = 0
+    while (attempt < 20) {
+      try {
+        if (pfs.exists(primary)) return Some(readSmall(pfs, primary))
+        else if (pfs.exists(aside)) return Some(readSmall(pfs, aside))
+        else return None
+      } catch {
+        // lost the exists/open race with a non-atomic flip — retry
+        case _: java.io.FileNotFoundException => ()
+      }
+      attempt += 1
+      if (attempt < 20) Thread.sleep(5)
+    }
+    None
+  }
+
+  /** Atomically repoint `dir/name` to `content` (see the object doc for
+    * the atomicity ladder). Single-writer per pointer: concurrent flips
+    * of the same pointer are the caller's race to rule out. */
+  def flip(fs: FileSystem, conf: Configuration, dir: String, name: String,
+           content: String): Unit = {
+    val pfs = pointerIoFs(fs)
+    val tmp = new Path(s"$dir/.$name.tmp")
+    val primary = new Path(s"$dir/$name")
+    writeSmall(pfs, tmp, content)
+    if (pfs ne fs) {
+      // migration from a checksummed-written pointer: a stale sidecar
+      // would fail every checksummed read of the raw-renamed content
+      val crc = new Path(s"$dir/.$name.crc")
+      if (pfs.exists(crc)) pfs.delete(crc, false)
+    }
+    def atomicReplace(): Boolean =
+      if (pfs ne fs) pfs.rename(tmp, primary) // rename(2): atomic on POSIX
+      else try {
+        org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+          .rename(fs.makeQualified(tmp), fs.makeQualified(primary),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch {
+        // no AbstractFileSystem binding for this scheme (FileContext is a
+        // separate registry from FileSystem; many object-store connectors
+        // ship only the latter) — use the recoverable fallback below
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => false
+      }
+    if (!atomicReplace()) {
+      // recoverable non-atomic path: aside-rename, never delete — a crash
+      // between the renames leaves the aside copy, which read() falls
+      // back to (the superseded generation must still be on disk: run
+      // generation cleanup only after flip returns)
+      val aside = asidePath(dir, name)
+      if (pfs.exists(aside)) pfs.delete(aside, false) // stale prior crash
+      if (pfs.exists(primary)) require(pfs.rename(primary, aside),
+        s"AtomicPointer.flip: rename $primary aside failed; live pointer " +
+          "untouched — rerun the maintenance op")
+      require(pfs.rename(tmp, primary),
+        s"AtomicPointer.flip: rename $tmp -> $primary failed; readers " +
+          s"fall back to $aside (previous generation) until the " +
+          "maintenance op is rerun")
+      pfs.delete(aside, false)
+    }
+  }
+
+  /** Delete a stale aside copy — ONLY safe when the primary exists (after
+    * a crash recovery the aside may be the sole pointer readers resolve
+    * through). Returns true when something was deleted. */
+  def clearAside(fs: FileSystem, dir: String, name: String): Boolean = {
+    val pfs = pointerIoFs(fs)
+    val aside = asidePath(dir, name)
+    pfs.exists(new Path(s"$dir/$name")) && pfs.exists(aside) &&
+      pfs.delete(aside, false)
+  }
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  private def writeSmall(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+}

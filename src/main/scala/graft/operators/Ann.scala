@@ -648,33 +648,29 @@ object Ann {
 
   private def resolveIvfDir(fs: org.apache.hadoop.fs.FileSystem,
                             dir: String): String = {
-    val pfs = pointerIoFs(fs) // sidecar-free pointer IO (see flipCurrent)
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
     var attempt = 0
-    var lastRace: Throwable = null
     while (attempt < 20) {
-      try {
-        if (pfs.exists(cur)) {
-          val gen = readSmallFile(pfs, cur).trim
+      // read() covers primary + crashed-fallback aside with its own
+      // FNF-race retry; the loop here covers the window where a flip
+      // completed between the two existence probes (pointer momentarily
+      // unseen) on a filesystem without atomic replace
+      graft.io.AtomicPointer.read(fs, dir, "CURRENT") match {
+        case Some(gen) =>
           require(gen.startsWith("gen-") && !gen.contains("/") &&
               !gen.contains(".."),
             s"corrupt CURRENT pointer at $dir: '$gen'")
           return s"$dir/$gen"
-        } else if (fs.exists(
-            new org.apache.hadoop.fs.Path(s"$dir/manifest.json"))) {
-          return dir // legacy in-place layout
-        }
-      } catch {
-        // lost the exists/open race with a non-atomic flip — retry
-        case e: java.io.FileNotFoundException => lastRace = e
+        case None =>
+          if (fs.exists(
+              new org.apache.hadoop.fs.Path(s"$dir/manifest.json")))
+            return dir // legacy in-place layout
       }
       attempt += 1
       if (attempt < 20) Thread.sleep(5)
     }
     throw new IllegalStateException(
       s"IVF index at $dir has neither a CURRENT pointer nor a legacy " +
-        "manifest.json — torn, empty, or pre-manifest; rerun buildIvfIndex",
-      lastRace)
+        "manifest.json — torn, empty, or pre-manifest; rerun buildIvfIndex")
   }
 
   /** The live generation's buildId, after the same manifest + marker
@@ -684,6 +680,17 @@ object Ann {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     resolveAndReadManifest(fs, dir)._2.buildId
+  }
+
+  /** The number of shards a query scans right now (manifest base plus
+    * marker-committed appends) — the fragmentation probe an
+    * auto-compaction policy keys on. One listStatus, no Spark job; read
+    * cost grows with this number ([[compactIvfIndex]] resets it to 1). */
+  def committedIvfShardCount(spark: SparkSession, dir: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (g, m) = resolveAndReadManifest(fs, dir)
+    committedShards(fs, g, m).size
   }
 
   /** Resolve the live generation and read + check its manifest, retrying
@@ -718,54 +725,14 @@ object Ann {
     throw new IllegalStateException("unreachable")
   }
 
-  /** The filesystem to use for pointer-file IO. On a ChecksumFileSystem
-    * (the local FS) the `.crc` sidecar breaks flip atomicity — the data
-    * file and its sidecar are replaced by SEPARATE renames, so a reader
-    * between them cross-checks new content against the old checksum and
-    * dies with a ChecksumException (caught live by IvfPointerSpec's
-    * hammer-reader before this bypass existed). The pointer is a
-    * single-digit-byte file validated by its own format check in
-    * [[resolveIvfDir]]; it goes through the raw FS, sidecar-free. HDFS
-    * and object stores are not ChecksumFileSystems — untouched. */
-  private def pointerIoFs(fs: org.apache.hadoop.fs.FileSystem)
-      : org.apache.hadoop.fs.FileSystem = fs match {
-    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-    case other => other
-  }
-
-  /** Atomically repoint `dir/CURRENT` at generation `gen`. The content is
-    * written to a tmp file first; the publish is ONE overwrite-rename —
-    * rename(2) on the raw local FS (atomic replace on POSIX), the
-    * FileContext rename2 RPC on HDFS. Filesystems where neither form is
-    * atomic degrade to a window of two metadata ops on a tiny file, which
-    * [[resolveIvfDir]]'s bounded retry absorbs. */
+  /** Atomically repoint `dir/CURRENT` at generation `gen` — the
+    * [[graft.io.AtomicPointer]] commit primitive (atomic replace where
+    * the FS offers one; a recoverable aside-rename sequence elsewhere,
+    * with [[resolveIvfDir]] reading through the aside copy). */
   private def flipCurrent(fs: org.apache.hadoop.fs.FileSystem,
                           conf: org.apache.hadoop.conf.Configuration,
-                          dir: String, gen: String): Unit = {
-    val pfs = pointerIoFs(fs)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.CURRENT-$gen.tmp")
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
-    writeSmallFile(pfs, tmp.toString, gen)
-    if (pfs ne fs) {
-      // migration from a checksummed-written pointer: a stale sidecar
-      // would fail every checksummed read of the raw-renamed content
-      val crc = new org.apache.hadoop.fs.Path(s"$dir/.CURRENT.crc")
-      if (pfs.exists(crc)) pfs.delete(crc, false)
-      if (!pfs.rename(tmp, cur)) {
-        // no atomic replace on this FS: fall back to the two-op window
-        // the reader retry absorbs
-        pfs.delete(cur, false)
-        require(pfs.rename(tmp, cur),
-          s"flipCurrent: rename $tmp -> $cur failed; the previous " +
-            "generation pointer was deleted — rerun the maintenance op")
-      }
-    } else {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.getUri, conf)
-      fc.rename(fs.makeQualified(tmp), fs.makeQualified(cur),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
-  }
+                          dir: String, gen: String): Unit =
+    graft.io.AtomicPointer.flip(fs, conf, dir, "CURRENT", gen)
 
   /** Post-flip cleanup, OFF the commit path: superseded generation dirs,
     * legacy in-place components now shadowed by the pointer, stale flip
@@ -775,7 +742,13 @@ object Ann {
     * concurrent build's in-flight generation dir would be deleted as an
     * orphan by the winner's cleanup. Returns the deleted names. */
   private def cleanupAfterFlip(fs: org.apache.hadoop.fs.FileSystem,
-                               dir: String, keepGen: String): Seq[String] =
+                               dir: String, keepGen: String): Seq[String] = {
+    // the aside pointer from a crashed fallback flip is only garbage when
+    // the primary pointer exists — after a crash RECOVERY it may be the
+    // sole pointer readers resolve through, and deleting it would orphan
+    // the index
+    val curExists = graft.io.AtomicPointer.pointerIoFs(fs).exists(
+      new org.apache.hadoop.fs.Path(s"$dir/CURRENT"))
     Option(fs.listStatus(new org.apache.hadoop.fs.Path(dir)))
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
       .toSeq.flatMap { s =>
@@ -785,10 +758,11 @@ object Ann {
           n == "manifest.json" || n == "centroids.parquet" ||
           n == "postings.parquet" ||
           n.startsWith(".staging") || n.startsWith(".trash-") ||
-          (n.startsWith(".CURRENT-") && n.endsWith(".tmp")) ||
-          (n.startsWith("..CURRENT-") && n.endsWith(".tmp.crc"))
+          n == ".CURRENT.tmp" ||
+          (n == ".CURRENT.old" && curExists)
         if (stale) { fs.delete(s.getPath, true); Some(n) } else None
       }
+  }
 
   /** Delete everything a maintenance flip superseded under an index root,
     * keeping only the live generation — the deferred second half of a

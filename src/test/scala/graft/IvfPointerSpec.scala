@@ -148,6 +148,29 @@ class IvfPointerSpec extends SparkSuite {
     assert(graft.operators.Ann.sweepIvfIndex(spark, dir).isEmpty)
   }
 
+  test("a crashed fallback flip leaves .CURRENT.old as the sole pointer: still resolves, healed by the next maintenance") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfaside").toString
+    graft.operators.Ann.buildIvfIndex(emb.where(col("vec_id") < 400),
+      "vec_id", "embedding", dir, nCentroids = 4, seed = 42L)
+    val gen1 = graft.operators.Ann.liveIvfGeneration(spark, dir)
+    val expect = served(dir)
+    // simulate the non-atomic fallback dying between its aside-rename and
+    // the new pointer landing: the previous pointer sits at .CURRENT.old,
+    // CURRENT is gone, the generation itself is untouched
+    assert(new java.io.File(dir, "CURRENT").renameTo(
+      new java.io.File(dir, ".CURRENT.old")))
+    assert(graft.operators.Ann.liveIvfGeneration(spark, dir) == gen1,
+      "readers must fall back to the aside pointer after a torn flip")
+    assert(served(dir) == expect)
+    // the next maintenance heals: a fresh CURRENT lands and the aside
+    // pointer is swept (it is only garbage once CURRENT exists again)
+    graft.operators.Ann.compactIvfIndex(spark, dir)
+    assert(new java.io.File(dir, "CURRENT").isFile)
+    assert(!new java.io.File(dir, ".CURRENT.old").exists(),
+      "stale aside pointer must be swept once CURRENT exists")
+    assert(served(dir) == expect, "recovery changed query results")
+  }
+
   test("a crashed build's orphan generation is invisible and swept by the next successful maintenance") {
     val dir = java.nio.file.Files.createTempDirectory("ivforphan").toString
     graft.operators.Ann.buildIvfIndex(emb.where(col("vec_id") < 400),
