@@ -49,13 +49,31 @@ object DedupIngestJob {
            shingleN: Int = 3, bands: Int = 12, rows: Int = 8): Unit =
     writeIndexShard(corpus, idCol, textCol, dir, -1L, shingleN, bands, rows)
 
+  /** `foldAfterBatches` > 0 bounds the index's READ cost: when more than
+    * that many unfolded `batch=N` shard dirs exist after a batch, the
+    * loop folds them (plus any prior base) into ONE `base-<uuid>`
+    * generation and commits by flipping the `FOLDED` pointer
+    * ([[graft.io.AtomicPointer]]) — the dedup-index analogue of
+    * [[graft.operators.Ann.compactIvfIndex]]. Without it, a year of
+    * micro-batches leaves ~2×365×partitions index files whose
+    * per-trigger listing/open cost grows with APPEND HISTORY rather than
+    * data. The fold is replay-safe: the pointer records the highest
+    * folded batch id, [[loadIndex]] reads base + STRICTLY NEWER batch
+    * dirs only, so a replayed batch ≤ the fold boundary re-creates dirs
+    * the effective view ignores (they are swept by the next fold) —
+    * without this filter the replayed rows would double-count bucket
+    * sizes and silently mask true duplicates behind the `maxBucket`
+    * skew guard. Fold runs inside the serial foreachBatch, so it never
+    * races an append (single-writer by construction). */
   def start(docs: DataFrame, idCol: String, textCol: String, dir: String,
             shingleN: Int = 3, bands: Int = 12, rows: Int = 8,
             minJaccard: Double = 0.8, maxBucket: Long = 200L,
             dedupWithinBatch: Boolean = true,
             trigger: Trigger = Trigger.AvailableNow(),
             checkpointLocation: Option[String] = None,
-            onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery = {
+            onBatch: (Long, Long) => Unit = (_, _) => (),
+            foldAfterBatches: Int = 0,
+            onFold: Long => Unit = _ => ()): StreamingQuery = {
     val base = docs.writeStream.outputMode("append")
     checkpointLocation.foreach(base.option("checkpointLocation", _))
     base
@@ -91,6 +109,11 @@ object DedupIngestJob {
               shingleN, bands, rows)
             onBatch(batchId, n)
           } finally { s.unpersist(); () }
+          if (foldAfterBatches > 0 &&
+              unfoldedBatchCount(spark, dir) > foldAfterBatches) {
+            foldIndex(spark, dir, batchId)
+            onFold(batchId)
+          }
         }
         ()
       }
@@ -113,13 +136,113 @@ object DedupIngestJob {
       .parquet(s"$dir/index/shingled/batch=$batchId")
   }
 
+  /** The FOLDED pointer's parsed content: the highest batch id folded
+    * into `baseName`, the live base generation under `dir/index/`. */
+  private final case class FoldState(maxBatch: Long, baseName: String)
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readFold(spark: SparkSession, dir: String): Option[FoldState] =
+    graft.io.AtomicPointer.read(fs(spark, dir), s"$dir/index", "FOLDED")
+      .map { c =>
+        val parts = c.split("\\s+")
+        require(parts.length == 2 && parts(1).startsWith("base-") &&
+            !parts(1).contains("/") && !parts(1).contains(".."),
+          s"corrupt FOLDED pointer at $dir/index: '$c'")
+        FoldState(parts(0).toLong, parts(1))
+      }
+
+  /** Unfolded `batch=N` shard ids under one index component (banded and
+    * shingled move in lockstep; banded is listed). Ids at or below the
+    * fold boundary are replay leftovers the effective view ignores. */
+  private def unfoldedBatches(spark: SparkSession, dir: String,
+                              fold: Option[FoldState]): Seq[Long] = {
+    val floor = fold.map(_.maxBatch).getOrElse(Long.MinValue)
+    Option(fs(spark, dir).listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/index/banded")))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus]).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .filter(_ > floor)
+  }
+
+  private def unfoldedBatchCount(spark: SparkSession, dir: String): Int =
+    unfoldedBatches(spark, dir, readFold(spark, dir)).size
+
+  /** Fold the base (if any) plus every unfolded batch shard into a fresh
+    * `base-<uuid>` generation and flip the FOLDED pointer to it. The new
+    * generation is fully materialized before the flip; superseded dirs
+    * (old base, orphan bases from crashed folds, batch dirs ≤ the new
+    * boundary — including replay leftovers) are deleted AFTER it, off
+    * the commit path. No retain cycle is needed: the index's only reader
+    * is this same serial foreachBatch thread. */
+  private def foldIndex(spark: SparkSession, dir: String,
+                        upToBatch: Long): Unit = {
+    val idxDir = s"$dir/index"
+    val hfs = fs(spark, dir)
+    val prior = readFold(spark, dir)
+    val cur = loadIndex(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"foldIndex: no index at $idxDir — nothing has been ingested"))
+    val name = s"base-${java.util.UUID.randomUUID().toString}"
+    cur.banded.write.parquet(s"$idxDir/$name/banded")
+    cur.shingles.write.parquet(s"$idxDir/$name/shingled")
+    graft.io.AtomicPointer.flip(hfs,
+      spark.sparkContext.hadoopConfiguration, idxDir, "FOLDED",
+      s"$upToBatch $name")
+    // cleanup after the flip: superseded + orphan generations, folded
+    // batch dirs (also catches replay leftovers at or below the boundary)
+    Option(hfs.listStatus(new org.apache.hadoop.fs.Path(idxDir)))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("base-") && n != name)
+          hfs.delete(st.getPath, true)
+      }
+    Seq("banded", "shingled").foreach { sub =>
+      Option(hfs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$idxDir/$sub")))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("batch=") &&
+              n.stripPrefix("batch=").toLong <= upToBatch)
+            hfs.delete(st.getPath, true)
+        }
+    }
+    graft.io.AtomicPointer.clearAside(hfs, idxDir, "FOLDED")
+    prior.foreach(_ => ()) // prior base removed by the base-* sweep above
+  }
+
+  /** The EFFECTIVE index: the folded base generation (when the FOLDED
+    * pointer exists) plus strictly-newer batch shards — never a replayed
+    * dir at or below the fold boundary, whose rows would double-count
+    * bucket sizes against the `maxBucket` skew guard. */
   private def loadIndex(spark: SparkSession,
                         dir: String): Option[Dedup.LshIndex] = {
     val banded = new org.apache.hadoop.fs.Path(s"$dir/index/banded")
-    val fs = banded.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(banded)) None
-    else Some(Dedup.LshIndex(
-      spark.read.parquet(s"$dir/index/banded").drop("batch"),
-      spark.read.parquet(s"$dir/index/shingled").drop("batch")))
+    val hfs = fs(spark, dir)
+    readFold(spark, dir) match {
+      case None =>
+        if (!hfs.exists(banded)) None
+        else Some(Dedup.LshIndex(
+          spark.read.parquet(s"$dir/index/banded").drop("batch"),
+          spark.read.parquet(s"$dir/index/shingled").drop("batch")))
+      case Some(f) =>
+        val baseB = spark.read.parquet(s"$dir/index/${f.baseName}/banded")
+        val baseS = spark.read.parquet(s"$dir/index/${f.baseName}/shingled")
+        if (unfoldedBatches(spark, dir, Some(f)).isEmpty)
+          Some(Dedup.LshIndex(baseB, baseS))
+        else Some(Dedup.LshIndex(
+          // the batch > boundary predicate is a partition filter — the
+          // replay-leftover dirs are pruned, not scanned
+          baseB.unionByName(spark.read.parquet(s"$dir/index/banded")
+            .where(col("batch") > f.maxBatch).drop("batch")),
+          baseS.unionByName(spark.read.parquet(s"$dir/index/shingled")
+            .where(col("batch") > f.maxBatch).drop("batch"))))
+    }
   }
 }

@@ -25,25 +25,63 @@ import graft.operators.Ann
   *
   * Batches are appended SERIALLY (one foreachBatch at a time per query),
   * so the single-writer guidance for object stores without conditional
-  * creates is satisfied by deploying one ingest stream per index. */
+  * creates is satisfied by deploying one ingest stream per index — and
+  * the same serialization makes in-loop COMPACTION safe: maintenance
+  * never races an append because both run inside the one foreachBatch
+  * thread. */
 object IndexIngestJob {
 
   /** `vectors`: a streaming frame carrying `idCol` and `vecCol` (the
     * same column contract as the batch append). Empty micro-batches are
     * skipped — an empty shard would burn an id and a listing entry per
     * idle trigger. `onShard(batchId, shardId)` is the observability
-    * hook (tests, metrics). */
+    * hook (tests, metrics).
+    *
+    * `compactAfterShards` > 0 makes the index SELF-MAINTAINING: when the
+    * committed shard count exceeds the budget after an append, the batch
+    * runs [[graft.operators.Ann.compactIvfIndex]] with `retainSuperseded
+    * = true` — the pointer flips to the folded generation with zero
+    * reader blip, external queries planned against the old one finish
+    * their scans — and the SWEEP of the superseded generation is
+    * deferred to the start of the NEXT micro-batch (one trigger interval
+    * bounds the reader drain, the same contract a serving loop's batch
+    * boundary gives [[graft.operators.Ann.sweepIvfIndex]]). A crash
+    * between compact and sweep just leaves the stale generation for the
+    * restarted stream's first batch to sweep — the startup sweep also
+    * clears leftovers, so restarts self-heal. Without the budget (the
+    * default 0) a year of daily appends costs queries ~40% extra wall in
+    * pure listing/open overhead (SCALING.md §round-11-compaction);
+    * with it the read cost is bounded by construction. */
   def start(vectors: DataFrame, idCol: String, vecCol: String, dir: String,
             trigger: Trigger = Trigger.AvailableNow(),
             checkpointLocation: Option[String] = None,
-            onShard: (Long, Int) => Unit = (_, _) => ()): StreamingQuery = {
+            onShard: (Long, Int) => Unit = (_, _) => (),
+            compactAfterShards: Int = 0,
+            onCompact: Long => Unit = _ => ()): StreamingQuery = {
     val base = vectors.writeStream.outputMode("append")
     checkpointLocation.foreach(base.option("checkpointLocation", _))
+    // deferred-sweep flag, private to this query's serial foreachBatch
+    // thread; seeded true so a restart sweeps a crashed cycle's leftovers
+    var pendingSweep = compactAfterShards > 0
     base
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (pendingSweep) {
+          // only a pointer-layout index has anything to sweep; a legacy
+          // in-place index migrates on its first in-loop compact
+          if (Ann.resolveIvfDir(spark, dir) != dir)
+            Ann.sweepIvfIndex(spark, dir)
+          pendingSweep = false
+        }
         if (!batch.isEmpty) {
           val sid = Ann.appendIvfShard(batch, idCol, vecCol, dir)
           onShard(batchId, sid)
+          if (compactAfterShards > 0 &&
+              Ann.committedIvfShardCount(spark, dir) > compactAfterShards) {
+            Ann.compactIvfIndex(spark, dir, retainSuperseded = true)
+            pendingSweep = true
+            onCompact(batchId)
+          }
         }
         ()
       }

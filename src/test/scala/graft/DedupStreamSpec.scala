@@ -114,4 +114,120 @@ class DedupStreamSpec extends SparkSuite {
       assert(survivorIds(dir).contains(21L))
     } finally q2.stop()
   }
+
+  private def batchDirs(dir: String): Set[String] =
+    Option(new java.io.File(s"$dir/index/banded").listFiles())
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).toSet).getOrElse(Set.empty)
+  private def baseDirs(dir: String): Set[String] =
+    Option(new java.io.File(s"$dir/index").listFiles())
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("base-"))
+        .map(_.getName).toSet).getOrElse(Set.empty)
+
+  test("foldAfterBatches: shard dirs fold behind the FOLDED pointer; the folded index still catches duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupfold").toString
+    graft.jobs.DedupIngestJob.seed(
+      Seq((1L, lorem)).toDF("doc_id", "text"), "doc_id", "text", dir)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val folds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.jobs.DedupIngestJob.start(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+      trigger = Trigger.ProcessingTime(0L),
+      foldAfterBatches = 2,
+      onFold = b => folds.synchronized { folds += b; () })
+    try {
+      // batch 0: seed(batch=-1) + batch=0 = 2 unfolded — within budget
+      stream.addData((10L, other))
+      q.processAllAvailable()
+      assert(folds.synchronized(folds.isEmpty),
+        "fold must not fire inside the batch budget")
+      // batch 1: 3 unfolded > 2 — the loop folds everything into a base
+      stream.addData((11L, "entirely novel text about wavelet trees and " +
+        "succinct rank select dictionaries for compressed suffix arrays"))
+      q.processAllAvailable()
+      assert(folds.synchronized(folds.toSeq) == Seq(1L),
+        "fold must fire past the batch budget")
+      assert(batchDirs(dir).isEmpty,
+        s"folded batch dirs must be swept: ${batchDirs(dir)}")
+      assert(baseDirs(dir).size == 1,
+        s"exactly one base generation must remain: ${baseDirs(dir)}")
+      // batch 2: near-dups of the SEED and of both folded survivors must
+      // still be caught — the folded base is the live index now
+      stream.addData(
+        (20L, lorem + " x"), (21L, other + " y"),
+        (22L, "fresh unrelated prose describing tidal estuaries and the " +
+          "migratory habits of arctic terns across two hemispheres"))
+      q.processAllAvailable()
+      val s = survivorIds(dir)
+      assert(!s.contains(20L) && !s.contains(21L),
+        s"folded index must still catch near-dups of folded survivors: $s")
+      assert(s.contains(22L))
+      assert(batchDirs(dir) == Set("batch=2"),
+        s"post-fold batches append normally: ${batchDirs(dir)}")
+    } finally q.stop()
+  }
+
+  test("crash between fold and checkpoint commit: replay ignores its own stale shard dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupfoldcrash").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("dedupfoldcrash-ckpt").toString
+    graft.jobs.DedupIngestJob.seed(
+      Seq((1L, lorem)).toDF("doc_id", "text"), "doc_id", "text", dir)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    // foldAfterBatches=1: the FIRST batch folds (seed + itself = 2 > 1),
+    // and the injected crash lands after the fold's pointer flip but
+    // before the checkpoint commits the batch — the torn window where a
+    // replay re-creates batch dirs at or below the fold boundary
+    val q1 = graft.jobs.DedupIngestJob.start(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+      trigger = Trigger.ProcessingTime(0L),
+      checkpointLocation = Some(ckpt), foldAfterBatches = 1,
+      onFold = _ => throw new RuntimeException("injected crash after fold"))
+    stream.addData((10L, other), (11L, other + " y"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(err.getMessage.contains("injected crash"), err.getMessage)
+    assert(batchDirs(dir).isEmpty, "the fold completed before the crash")
+    val afterCrash = survivorIds(dir)
+    assert(afterCrash.intersect(Set(10L, 11L)).size == 1)
+    // restart: batch 0 REPLAYS — it re-dedups against the folded index
+    // (which already holds its own survivor; the id guard excludes the
+    // self-match) and re-creates batch=0 dirs that the effective view
+    // must IGNORE (batch 0 <= fold boundary 0): counting them against
+    // maxBucket would silently mask true duplicates
+    val q2 = graft.jobs.DedupIngestJob.start(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+      trigger = Trigger.ProcessingTime(0L),
+      checkpointLocation = Some(ckpt), foldAfterBatches = 1)
+    try {
+      q2.processAllAvailable()
+      assert(survivorIds(dir) == afterCrash,
+        "replay must reproduce the pre-crash survivors exactly")
+      assert(batchDirs(dir) == Set("batch=0"),
+        s"replay re-creates its shard dirs: ${batchDirs(dir)}")
+      // the replayed stale dir is invisible: a near-dup of the folded
+      // survivor is still caught, a fresh doc still lands
+      stream.addData(
+        (20L, other + " z"),
+        (21L, "fresh unrelated prose describing tidal estuaries and the " +
+          "migratory habits of arctic terns across two hemispheres"))
+      q2.processAllAvailable()
+      val s = survivorIds(dir)
+      assert(!s.contains(20L),
+        "the folded index must keep catching duplicates after a replay")
+      assert(s.contains(21L))
+      // one more batch pushes the unfolded count past the budget: the
+      // next fold sweeps the stale replayed batch=0 along with batch=1/2
+      stream.addData((30L, "a third stream of unrelated sentences about " +
+        "glacier mass balance measurements and firn densification rates"))
+      q2.processAllAvailable()
+      assert(batchDirs(dir).isEmpty,
+        s"the next fold must sweep the stale replayed dir: ${batchDirs(dir)}")
+      assert(survivorIds(dir).contains(30L))
+    } finally q2.stop()
+  }
 }

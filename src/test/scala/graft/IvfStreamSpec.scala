@@ -194,4 +194,69 @@ class IvfStreamSpec extends SparkSuite {
         "first non-empty batch takes shard 1 — idle triggers burned none")
     } finally q.stop()
   }
+
+  test("compactAfterShards: the ingest loop compacts itself with a deferred sweep, results exact throughout") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfselfmaint").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    graft.operators.Ann.buildIvfIndex(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", dir, nCentroids = 8, seed = 42L)
+    val gen0 = graft.operators.Ann.liveIvfGeneration(spark, dir)
+    val queries = emb.where(col("vec_id") < 10)
+    def served() = graft.operators.Ann.queryIvfIndex(
+        queries, "vec_id", "embedding", dir, k = 5, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("c"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    def brute(corpus: org.apache.spark.sql.DataFrame) =
+      graft.operators.Ann.bruteForceTopK(
+        queries, corpus, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("c"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    def slice(a: Long, b: Long) =
+      emb.where(col("vec_id") >= a && col("vec_id") < b)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+    def genDirs() = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-")).length
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val compactedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.jobs.IndexIngestJob.start(
+      stream.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir,
+      trigger = Trigger.ProcessingTime(0L),
+      compactAfterShards = 2,
+      onCompact = b => compactedAt.synchronized { compactedAt += b; () })
+    try {
+      // batch 1: base(1 shard) + shard 1 = 2 committed — within budget
+      stream.addData(slice(300, 450): _*)
+      q.processAllAvailable()
+      assert(compactedAt.synchronized(compactedAt.isEmpty),
+        "compaction must not fire inside the shard budget")
+      // batch 2: 3 committed > 2 — the loop compacts itself; the pointer
+      // flips to the folded generation, the old one is RETAINED
+      stream.addData(slice(450, 475): _*)
+      q.processAllAvailable()
+      assert(compactedAt.synchronized(compactedAt.nonEmpty),
+        "compaction must fire past the shard budget")
+      assert(graft.operators.Ann.liveIvfGeneration(spark, dir) != gen0)
+      assert(graft.operators.Ann.committedIvfShardCount(spark, dir) == 1,
+        "compaction must fold the shard count back to 1")
+      assert(genDirs() == 2,
+        "the superseded generation must be retained until the next batch")
+      assert(served() == brute(emb.where(col("vec_id") < 475)),
+        "post-compact serving must be exact over everything ingested")
+      // batch 3: sweeps the superseded generation, then appends normally
+      stream.addData(slice(475, 500): _*)
+      q.processAllAvailable()
+      assert(genDirs() == 1, "the deferred sweep must run on the next batch")
+      assert(graft.operators.Ann.committedIvfShardCount(spark, dir) == 2)
+      assert(served() == brute(emb),
+        "post-sweep serving must be exact over the full corpus")
+    } finally q.stop()
+  }
 }
