@@ -102,10 +102,17 @@ object AtomicPointer {
       // back to (the superseded generation must still be on disk: run
       // generation cleanup only after flip returns)
       val aside = asidePath(dir, name)
-      if (pfs.exists(aside)) pfs.delete(aside, false) // stale prior crash
-      if (pfs.exists(primary)) require(pfs.rename(primary, aside),
-        s"AtomicPointer.flip: rename $primary aside failed; live pointer " +
-          "untouched — rerun the maintenance op")
+      if (pfs.exists(primary)) {
+        // a stale aside is only deletable here, where the primary->aside
+        // rename immediately recreates it: in the crash-RECOVERY state
+        // (primary missing, aside the sole pointer) deleting it first
+        // would re-open the exact zero-pointer window this path closes —
+        // there the aside stays untouched until the new primary lands
+        if (pfs.exists(aside)) pfs.delete(aside, false)
+        require(pfs.rename(primary, aside),
+          s"AtomicPointer.flip: rename $primary aside failed; live " +
+            "pointer untouched — rerun the maintenance op")
+      }
       require(pfs.rename(tmp, primary),
         s"AtomicPointer.flip: rename $tmp -> $primary failed; readers " +
           s"fall back to $aside (previous generation) until the " +

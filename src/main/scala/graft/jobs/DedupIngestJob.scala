@@ -103,10 +103,17 @@ object DedupIngestJob {
           val s = survivors.persist()
           try {
             val n = s.count()
-            s.write.mode("overwrite")
+            // size the batch's writes by its ROW count: at the session
+            // setting every micro-batch leaves one file per shuffle
+            // partition per component — a year of daily batches is tens
+            // of thousands of near-empty files before the fold ever runs.
+            // repartition (not coalesce) so the minhash compute upstream
+            // keeps its parallelism; the shuffled frames are tiny.
+            s.repartition(sizedParts(spark, n, 8192L))
+              .write.mode("overwrite")
               .parquet(s"$dir/survivors/batch=$batchId")
             writeIndexShard(s, idCol, textCol, dir, batchId,
-              shingleN, bands, rows)
+              shingleN, bands, rows, nDocs = Some(n))
             onBatch(batchId, n)
           } finally { s.unpersist(); () }
           if (foldAfterBatches > 0 &&
@@ -126,13 +133,31 @@ object DedupIngestJob {
   def survivors(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/survivors").drop("batch")
 
+  /** Partition count for a write of `rows` rows at ~`rowsPerFile` each,
+    * floored at 1 and capped at the session setting (never raises). */
+  private def sizedParts(spark: SparkSession, rows: Long,
+                         rowsPerFile: Long): Int =
+    math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (rows + rowsPerFile - 1) / rowsPerFile)).toInt
+
   private def writeIndexShard(docs: DataFrame, idCol: String,
                               textCol: String, dir: String, batchId: Long,
-                              shingleN: Int, bands: Int, rows: Int): Unit = {
+                              shingleN: Int, bands: Int, rows: Int,
+                              nDocs: Option[Long] = None): Unit = {
+    val spark = docs.sparkSession
     val idx = Dedup.lshIndex(docs, idCol, textCol, shingleN, bands, rows)
-    idx.banded.write.mode("overwrite")
+    // banded rows = nDocs × bands exactly; shingled = nDocs (set-valued,
+    // wider rows). The one-time seed path passes no count and writes at
+    // the session setting — only the ACCUMULATING per-batch shards need
+    // the file-count bound.
+    val banded = nDocs.map(n => idx.banded.repartition(
+      sizedParts(spark, n * bands, 65536L))).getOrElse(idx.banded)
+    val shingled = nDocs.map(n => idx.shingles.repartition(
+      sizedParts(spark, n, 16384L))).getOrElse(idx.shingles)
+    banded.write.mode("overwrite")
       .parquet(s"$dir/index/banded/batch=$batchId")
-    idx.shingles.write.mode("overwrite")
+    shingled.write.mode("overwrite")
       .parquet(s"$dir/index/shingled/batch=$batchId")
   }
 
@@ -148,7 +173,8 @@ object DedupIngestJob {
     graft.io.AtomicPointer.read(fs(spark, dir), s"$dir/index", "FOLDED")
       .map { c =>
         val parts = c.split("\\s+")
-        require(parts.length == 2 && parts(1).startsWith("base-") &&
+        require(parts.length == 2 && parts(0).matches("-?\\d+") &&
+            parts(1).startsWith("base-") &&
             !parts(1).contains("/") && !parts(1).contains(".."),
           s"corrupt FOLDED pointer at $dir/index: '$c'")
         FoldState(parts(0).toLong, parts(1))
@@ -183,7 +209,6 @@ object DedupIngestJob {
                         upToBatch: Long): Unit = {
     val idxDir = s"$dir/index"
     val hfs = fs(spark, dir)
-    val prior = readFold(spark, dir)
     val cur = loadIndex(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"foldIndex: no index at $idxDir — nothing has been ingested"))
@@ -214,7 +239,6 @@ object DedupIngestJob {
         }
     }
     graft.io.AtomicPointer.clearAside(hfs, idxDir, "FOLDED")
-    prior.foreach(_ => ()) // prior base removed by the base-* sweep above
   }
 
   /** The EFFECTIVE index: the folded base generation (when the FOLDED

@@ -67,17 +67,25 @@ object IndexIngestJob {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (pendingSweep) {
-          // only a pointer-layout index has anything to sweep; a legacy
-          // in-place index migrates on its first in-loop compact
-          if (Ann.resolveIvfDir(spark, dir) != dir)
+          // only a POINTER-layout index has anything to sweep: a legacy
+          // in-place index migrates on its first in-loop compact, and an
+          // index that has not been built yet must idle harmlessly (a
+          // resolve here would throw and kill the stream on its very
+          // first — possibly empty — trigger)
+          val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (graft.io.AtomicPointer.read(hfs, dir, "CURRENT").isDefined)
             Ann.sweepIvfIndex(spark, dir)
           pendingSweep = false
         }
         if (!batch.isEmpty) {
-          val sid = Ann.appendIvfShard(batch, idCol, vecCol, dir)
+          // the counted variant returns the post-append committed total
+          // off the metadata the append already read — no second
+          // resolve + listing per trigger
+          val (sid, nShards) =
+            Ann.appendIvfShardWithCount(batch, idCol, vecCol, dir)
           onShard(batchId, sid)
-          if (compactAfterShards > 0 &&
-              Ann.committedIvfShardCount(spark, dir) > compactAfterShards) {
+          if (compactAfterShards > 0 && nShards > compactAfterShards) {
             Ann.compactIvfIndex(spark, dir, retainSuperseded = true)
             pendingSweep = true
             onCompact(batchId)

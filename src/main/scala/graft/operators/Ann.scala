@@ -759,6 +759,10 @@ object Ann {
           n == "postings.parquet" ||
           n.startsWith(".staging") || n.startsWith(".trash-") ||
           n == ".CURRENT.tmp" ||
+          // pre-AtomicPointer flips staged tmps as .CURRENT-<gen>.tmp; a
+          // crashed one from before the upgrade must still be cleaned
+          (n.startsWith(".CURRENT-") && n.endsWith(".tmp")) ||
+          (n.startsWith("..CURRENT-") && n.endsWith(".tmp.crc")) ||
           (n == ".CURRENT.old" && curExists)
         if (stale) { fs.delete(s.getPath, true); Some(n) } else None
       }
@@ -908,7 +912,18 @@ object Ann {
     *
     * Returns the committed shard id. */
   def appendIvfShard(data: DataFrame, idCol: String, vecCol: String,
-                     dir: String): Int = {
+                     dir: String): Int =
+    appendIvfShardWithCount(data, idCol, vecCol, dir)._1
+
+  /** [[appendIvfShard]] plus the post-append committed-shard count — the
+    * fragmentation signal an auto-compaction policy keys on, at zero
+    * extra metadata cost: the append already resolved the generation and
+    * listed the committed set to claim its id, so re-probing via
+    * [[committedIvfShardCount]] would pay a second resolve + listStatus
+    * per micro-batch in exactly the listing hot path compaction exists
+    * to bound. Returns (shardId, committedCountAfterThisAppend). */
+  def appendIvfShardWithCount(data: DataFrame, idCol: String,
+                              vecCol: String, dir: String): (Int, Int) = {
     val spark = data.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -982,7 +997,7 @@ object Ann {
       require(tryExclusiveCreate(fs, commitMarker(g, m.buildId, shardId)),
         s"appendIvfShard: commit marker for shard $shardId already exists " +
           s"at $g — claim fencing was bypassed; rebuild the index")
-      shardId
+      (shardId, committed.size + 1)
     } catch {
       case e: Throwable =>
         // in-process failure: this appender is provably not live, so the

@@ -12,11 +12,17 @@ import org.apache.spark.sql.streaming.Trigger
   * cost tracks the BATCH (plus colliding buckets), not the accumulated
   * corpus — batch walls should stay ~flat as the index doubles.
   *
-  * Usage: DedupIngestScale <dir> [batches=5] */
+  * With `foldAfterBatches` > 0 the run also measures the r11 index fold:
+  * per-fire fold wall, and the index FILE count per batch — the growth
+  * the fold exists to bound (unfolded, a year of micro-batches costs
+  * every trigger's probe a listing over ~2×365×partitions files).
+  *
+  * Usage: DedupIngestScale <dir> [batches=5] [foldAfterBatches=0] */
 object DedupIngestScale {
   def main(args: Array[String]): Unit = {
     val srcDir = args.head
     val nBatches = if (args.length > 1) args(1).toInt else 5
+    val foldAfter = if (args.length > 2) args(2).toInt else 0
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -37,10 +43,23 @@ object DedupIngestScale {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
     @volatile var lastN = -1L
+    @volatile var foldMark = 0L
+    val foldWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val q = graft.jobs.DedupIngestJob.start(
       stream.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
       trigger = Trigger.ProcessingTime(0L),
-      onBatch = (_, n) => lastN = n)
+      onBatch = (_, n) => { lastN = n; foldMark = System.nanoTime() },
+      foldAfterBatches = foldAfter,
+      // onBatch fires right before the fold check, so mark-to-onFold is
+      // (to a few ms of budget probing) the fold's own wall
+      onFold = _ => foldWalls.synchronized {
+        foldWalls += (System.nanoTime() - foldMark) / 1e9; () })
+    def indexFiles(): Long = {
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(dir, "index"))
+      try walk.filter(p => p.toString.endsWith(".parquet")).count()
+      finally walk.close()
+    }
     try {
       val step = math.max(1L, (hi - mid) / nBatches)
       (0 until nBatches).foreach { d =>
@@ -51,8 +70,11 @@ object DedupIngestScale {
         val td = System.nanoTime()
         stream.addData(rows: _*)
         q.processAllAvailable()
+        val folded = foldWalls.synchronized {
+          val w = foldWalls.toSeq; foldWalls.clear(); w }
         println(f"DEDUPINGEST batch${d + 1} ${(System.nanoTime() - td) / 1e9}%.1f s " +
-          s"(in=${rows.size} survivors=$lastN)")
+          s"(in=${rows.size} survivors=$lastN indexFiles=${indexFiles()}" +
+          folded.map(w => f" fold=$w%.1f s").mkString + ")")
       }
       val total = graft.jobs.DedupIngestJob.survivors(spark, dir).count()
       println(s"DEDUPINGEST total_survivors $total")

@@ -168,6 +168,30 @@ class DedupStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("per-batch shard writes are sized by row count, not the session partition setting") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupsized").toString
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.jobs.DedupIngestJob.start(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      stream.addData((1L, lorem), (2L, other))
+      q.processAllAvailable()
+      // 2 docs: one file per component, not one per shuffle partition —
+      // the accumulating-small-files term a year of micro-batches turns
+      // into tens of thousands of near-empty files
+      Seq(s"$dir/survivors/batch=0", s"$dir/index/banded/batch=0",
+          s"$dir/index/shingled/batch=0").foreach { p =>
+        val files = new java.io.File(p).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1,
+          s"$p must hold exactly one file for a 2-doc batch: ${files.length}")
+      }
+      assert(survivorIds(dir) == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("crash between fold and checkpoint commit: replay ignores its own stale shard dirs") {
     val dir = java.nio.file.Files.createTempDirectory("dedupfoldcrash").toString
     val ckpt = java.nio.file.Files

@@ -195,6 +195,35 @@ class IvfStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("compactAfterShards on a not-yet-built index: idle triggers stay harmless until the build lands") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfnotyet").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val shards = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // the startup-sweep probe must not resolve (and throw) against a dir
+    // with no index yet — a stream deployed before the initial build
+    // idles exactly like the compactAfterShards=0 form
+    val q = graft.jobs.IndexIngestJob.start(
+      stream.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir,
+      trigger = Trigger.ProcessingTime(0L),
+      compactAfterShards = 2,
+      onShard = (_, s) => shards.synchronized { shards += s; () })
+    try {
+      q.processAllAvailable() // empty trigger against a non-index: no crash
+      assert(q.isActive, "idle trigger must not kill the stream")
+      graft.operators.Ann.buildIvfIndex(emb.where(col("vec_id") < 300),
+        "vec_id", "embedding", dir, nCentroids = 4, seed = 42L)
+      stream.addData(emb.where(col("vec_id") >= 300 && col("vec_id") < 320)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq: _*)
+      q.processAllAvailable()
+      assert(shards.synchronized(shards.toSeq) == Seq(1),
+        "first post-build batch appends normally")
+    } finally q.stop()
+  }
+
   test("compactAfterShards: the ingest loop compacts itself with a deferred sweep, results exact throughout") {
     val dir = java.nio.file.Files.createTempDirectory("ivfselfmaint").toString
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
