@@ -173,11 +173,15 @@ object DedupIngestJob {
     graft.io.AtomicPointer.read(fs(spark, dir), s"$dir/index", "FOLDED")
       .map { c =>
         val parts = c.split("\\s+")
-        require(parts.length == 2 && parts(0).matches("-?\\d+") &&
-            parts(1).startsWith("base-") &&
+        // the numeric field parses via Try so a digit string beyond Long
+        // range still dies with the descriptive message, not a bare
+        // NumberFormatException
+        val maxB = if (parts.length == 2)
+          scala.util.Try(parts(0).toLong).toOption else None
+        require(maxB.isDefined && parts(1).startsWith("base-") &&
             !parts(1).contains("/") && !parts(1).contains(".."),
           s"corrupt FOLDED pointer at $dir/index: '$c'")
-        FoldState(parts(0).toLong, parts(1))
+        FoldState(maxB.get, parts(1))
       }
 
   /** Unfolded `batch=N` shard ids under one index component (banded and

@@ -48,7 +48,17 @@ object IndexIngestJob {
     * boundary gives [[graft.operators.Ann.sweepIvfIndex]]). A crash
     * between compact and sweep just leaves the stale generation for the
     * restarted stream's first batch to sweep — the startup sweep also
-    * clears leftovers, so restarts self-heal. Without the budget (the
+    * clears leftovers, so restarts self-heal.
+    *
+    * Deploy-before-build: a stream started against a dir whose
+    * `buildIvfIndex` has not run yet idles harmlessly on empty triggers
+    * (the startup-sweep probe tolerates the missing index), but a batch
+    * CARRYING VECTORS fails the stream loudly — appending to a
+    * nonexistent index has no correct meaning, and silently dropping the
+    * rows would lose data. The failure is the safe kind: the checkpoint
+    * never committed the batch, so restarting after the build replays it
+    * and the vectors land (spec-pinned) — the same at-least-once
+    * machinery that covers the crash window covers the deploy race. Without the budget (the
     * default 0) a year of daily appends costs queries ~40% extra wall in
     * pure listing/open overhead (SCALING.md §round-11-compaction);
     * with it the read cost is bounded by construction. */

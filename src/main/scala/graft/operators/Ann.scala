@@ -921,7 +921,13 @@ object Ann {
     * listed the committed set to claim its id, so re-probing via
     * [[committedIvfShardCount]] would pay a second resolve + listStatus
     * per micro-batch in exactly the listing hot path compaction exists
-    * to bound. Returns (shardId, committedCountAfterThisAppend). */
+    * to bound. The count is entry-listing + 1: EXACT under the
+    * single-writer-per-index rule every maintenance consumer already
+    * runs under; with concurrent appenders it lags by their in-flight
+    * commits (bounded by the concurrency, and only ever LOW — a policy
+    * keyed on it compacts late, never early; use
+    * [[committedIvfShardCount]] when a fresh listing is worth the round
+    * trips). Returns (shardId, committedCountAfterThisAppend). */
   def appendIvfShardWithCount(data: DataFrame, idCol: String,
                               vecCol: String, dir: String): (Int, Int) = {
     val spark = data.sparkSession

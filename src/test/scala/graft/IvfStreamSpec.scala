@@ -195,33 +195,49 @@ class IvfStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("compactAfterShards on a not-yet-built index: idle triggers stay harmless until the build lands") {
+  test("deploy-before-build race: a pre-build batch fails without committing, and a post-build restart replays it") {
     val dir = java.nio.file.Files.createTempDirectory("ivfnotyet").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ivfnotyet-ckpt").toString
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Seq[Float])]
     val shards = scala.collection.mutable.ArrayBuffer.empty[Int]
-    // the startup-sweep probe must not resolve (and throw) against a dir
-    // with no index yet — a stream deployed before the initial build
-    // idles exactly like the compactAfterShards=0 form
-    val q = graft.jobs.IndexIngestJob.start(
+    def job() = graft.jobs.IndexIngestJob.start(
       stream.toDF().toDF("vec_id", "embedding"),
       "vec_id", "embedding", dir,
       trigger = Trigger.ProcessingTime(0L),
-      compactAfterShards = 2,
+      checkpointLocation = Some(ckpt), compactAfterShards = 2,
       onShard = (_, s) => shards.synchronized { shards += s; () })
+    // vectors arrive BEFORE the initial build: the append has no index
+    // to land in, so the stream must fail LOUDLY (the startup-sweep
+    // probe tolerated the missing index; silently dropping rows would
+    // lose data) — and must NOT commit the batch to the checkpoint
+    val q1 = job()
+    stream.addData(emb.where(col("vec_id") >= 300 && col("vec_id") < 320)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq: _*)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(err.getMessage.contains("rerun buildIvfIndex"), err.getMessage)
+    assert(shards.synchronized(shards.isEmpty))
+    // the build lands; restarting from the same checkpoint REPLAYS the
+    // failed batch — the deploy race is covered by the same
+    // at-least-once machinery as the crash window, zero data loss
+    graft.operators.Ann.buildIvfIndex(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", dir, nCentroids = 4, seed = 42L)
+    val q2 = job()
     try {
-      q.processAllAvailable() // empty trigger against a non-index: no crash
-      assert(q.isActive, "idle trigger must not kill the stream")
-      graft.operators.Ann.buildIvfIndex(emb.where(col("vec_id") < 300),
-        "vec_id", "embedding", dir, nCentroids = 4, seed = 42L)
-      stream.addData(emb.where(col("vec_id") >= 300 && col("vec_id") < 320)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Seq[Float])].collect().toSeq: _*)
-      q.processAllAvailable()
+      q2.processAllAvailable()
       assert(shards.synchronized(shards.toSeq) == Seq(1),
-        "first post-build batch appends normally")
-    } finally q.stop()
+        "the pre-build batch must replay into shard 1 after the build")
+      assert(spark.read.parquet(s"${graft.operators.Ann.resolveIvfDir(
+          spark, dir)}/postings.parquet")
+        .where(col("shard") === 1).count() == 20L,
+        "exactly the replayed vectors must land")
+    } finally q2.stop()
   }
 
   test("compactAfterShards: the ingest loop compacts itself with a deferred sweep, results exact throughout") {
