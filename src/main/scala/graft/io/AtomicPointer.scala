@@ -121,6 +121,48 @@ object AtomicPointer {
     }
   }
 
+  /** [[flip]] plus a read-back FENCE — detection, not locking (r11
+    * verdict 3). The single-writer contract says concurrent flips of one
+    * pointer never happen; this is the cheap check that CATCHES a breach
+    * instead of trusting it. After the flip, the pointer is re-read: a
+    * foreign value means another maintainer's flip interleaved with ours
+    * (possible on the non-atomic fallback path, or via a rogue cron job
+    * running a second maintenance loop) and OUR generation is not the one
+    * installed — its data would otherwise be silently last-writer-lost,
+    * with the losing maintainer none the wiser. Pointer contents embed a
+    * per-maintainer UUID (the generation/buildId), so a foreign value is
+    * unambiguous. The fence is one tiny read; it narrows the undetected
+    * window to "the foreign flip lands after our read-back", where the
+    * foreign maintainer is simply a LATER commit — and ITS fence would
+    * catch us the same way if we were the late ones. */
+  def flipFenced(fs: FileSystem, conf: Configuration, dir: String,
+                 name: String, content: String): Unit = {
+    flip(fs, conf, dir, name, content)
+    verifyOwn(fs, dir, name, content)
+  }
+
+  /** The read-back half of [[flipFenced]], callable on its own at the end
+    * of a multi-step maintenance op (flip, then cleanup, then verify the
+    * pointer STILL names our generation). Throws when the pointer reads a
+    * foreign value — the caller's generation was superseded or clobbered
+    * by a concurrent maintainer and must not be reported as installed. */
+  def verifyOwn(fs: FileSystem, dir: String, name: String,
+                content: String): Unit = {
+    val got = read(fs, dir, name)
+    if (!got.contains(content))
+      throw new ConcurrentFlipException(
+        s"pointer $dir/$name reads '${got.getOrElse("<missing>")}' after " +
+          s"this maintainer flipped it to '$content' — a concurrent " +
+          "maintainer raced this flip (single-writer contract breached). " +
+          "This generation is NOT installed; run maintenance serially and " +
+          "rerun the op.")
+  }
+
+  /** A detected single-writer breach: two maintainers flipped the same
+    * pointer concurrently and this one lost. */
+  final class ConcurrentFlipException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Delete a stale aside copy — ONLY safe when the primary exists (after
     * a crash recovery the aside may be the sole pointer readers resolve
     * through). Returns true when something was deleted. */

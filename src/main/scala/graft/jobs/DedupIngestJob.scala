@@ -76,8 +76,17 @@ object DedupIngestJob {
             onFold: Long => Unit = _ => ()): StreamingQuery = {
     val base = docs.writeStream.outputMode("append")
     checkpointLocation.foreach(base.option("checkpointLocation", _))
+    // the shared serial-loop maintenance scaffolding ([[MaintenanceCycle]]):
+    // fold-on-budget; the fold's cleanup is inline (this thread is the
+    // index's only reader — no drain to wait for), so the sweep is a no-op
+    val cycle = new MaintenanceCycle(foldAfterBatches,
+      maintain = (spark, batchId) => {
+        foldIndex(spark, dir, batchId)
+        onFold(batchId)
+      })
     base
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cycle.beforeBatch(batch.sparkSession)
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val withinDeduped =
@@ -116,11 +125,9 @@ object DedupIngestJob {
               shingleN, bands, rows, nDocs = Some(n))
             onBatch(batchId, n)
           } finally { s.unpersist(); () }
-          if (foldAfterBatches > 0 &&
-              unfoldedBatchCount(spark, dir) > foldAfterBatches) {
-            foldIndex(spark, dir, batchId)
-            onFold(batchId)
-          }
+          // by-name load: the unfolded-count listing only runs when a
+          // fold budget is configured
+          cycle.afterBatch(spark, batchId)(unfoldedBatchCount(spark, dir))
         }
         ()
       }
@@ -184,6 +191,16 @@ object DedupIngestJob {
         FoldState(maxB.get, parts(1))
       }
 
+  /** Anchored `batch=N` dir-name parse: stray near-protocol names (an
+    * editor backup `batch=3.bak`, a mis-copied dir) are NOT protocol
+    * state and must be ignored, not crash the stream inside foreachBatch
+    * with a bare NumberFormatException — the same tolerance the IVF
+    * marker listing applies to non-matching names (r11 advice). */
+  private val BatchDirName = "^batch=(-?\\d+)$".r
+  private def parseBatchDir(name: String): Option[Long] =
+    BatchDirName.findFirstMatchIn(name)
+      .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+
   /** Unfolded `batch=N` shard ids under one index component (banded and
     * shingled move in lockstep; banded is listed). Ids at or below the
     * fold boundary are replay leftovers the effective view ignores. */
@@ -194,8 +211,7 @@ object DedupIngestJob {
         new org.apache.hadoop.fs.Path(s"$dir/index/banded")))
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus]).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
+      .flatMap(parseBatchDir)
       .filter(_ > floor)
   }
 
@@ -219,11 +235,15 @@ object DedupIngestJob {
     val name = s"base-${java.util.UUID.randomUUID().toString}"
     cur.banded.write.parquet(s"$idxDir/$name/banded")
     cur.shingles.write.parquet(s"$idxDir/$name/shingled")
-    graft.io.AtomicPointer.flip(hfs,
+    // FENCED flip (r11 verdict 3): the fold fails loudly if a concurrent
+    // maintainer's flip interleaved — a silently lost fold generation
+    // would dedup the next batches against a stale boundary
+    graft.io.AtomicPointer.flipFenced(hfs,
       spark.sparkContext.hadoopConfiguration, idxDir, "FOLDED",
       s"$upToBatch $name")
     // cleanup after the flip: superseded + orphan generations, folded
-    // batch dirs (also catches replay leftovers at or below the boundary)
+    // batch dirs (also catches replay leftovers at or below the boundary);
+    // stray non-protocol names (batch=3.bak) are not ours to delete
     Option(hfs.listStatus(new org.apache.hadoop.fs.Path(idxDir)))
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
       .foreach { st =>
@@ -236,9 +256,8 @@ object DedupIngestJob {
           new org.apache.hadoop.fs.Path(s"$idxDir/$sub")))
         .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
         .foreach { st =>
-          val n = st.getPath.getName
-          if (st.isDirectory && n.startsWith("batch=") &&
-              n.stripPrefix("batch=").toLong <= upToBatch)
+          if (st.isDirectory &&
+              parseBatchDir(st.getPath.getName).exists(_ <= upToBatch))
             hfs.delete(st.getPath, true)
         }
     }
@@ -255,6 +274,31 @@ object DedupIngestJob {
     val hfs = fs(spark, dir)
     readFold(spark, dir) match {
       case None =>
+        // no pointer but a folded base generation on disk = the FOLDED
+        // pointer was LOST (manual deletion, partial restore), not "never
+        // folded": silently deduping against only the unfolded batch dirs
+        // would stop catching every duplicate in the folded history, with
+        // no error, forever. Fail loudly — the IVF analogue
+        // (resolveIvfDir with no CURRENT and no manifest) already does
+        // (r11 advice).
+        val bases =
+          (try Option(hfs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$dir/index")))
+            .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus]).toSeq
+          // an un-seeded stream's first batch: no index dir yet — that is
+          // the legitimate "nothing ingested" state, not a lost pointer
+          catch { case _: java.io.FileNotFoundException =>
+            Seq.empty[org.apache.hadoop.fs.FileStatus] })
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("base-"))
+          .map(_.getPath.getName)
+        if (bases.nonEmpty) throw new IllegalStateException(
+          s"dedup index at $dir/index has folded generation(s) " +
+            s"${bases.sorted.mkString(",")} but no FOLDED pointer — the " +
+            "pointer was lost (deletion or partial restore), and deduping " +
+            "against only the unfolded batches would silently miss every " +
+            "duplicate in the folded history. Restore the pointer " +
+            "(content: '<maxFoldedBatch> <baseName>') or rebuild the index.")
         if (!hfs.exists(banded)) None
         else Some(Dedup.LshIndex(
           spark.read.parquet(s"$dir/index/banded").drop("batch"),

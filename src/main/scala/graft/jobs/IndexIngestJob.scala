@@ -70,24 +70,30 @@ object IndexIngestJob {
             onCompact: Long => Unit = _ => ()): StreamingQuery = {
     val base = vectors.writeStream.outputMode("append")
     checkpointLocation.foreach(base.option("checkpointLocation", _))
-    // deferred-sweep flag, private to this query's serial foreachBatch
-    // thread; seeded true so a restart sweeps a crashed cycle's leftovers
-    var pendingSweep = compactAfterShards > 0
+    // the shared serial-loop maintenance scaffolding ([[MaintenanceCycle]]):
+    // compact-on-budget with the sweep deferred one trigger interval
+    val cycle = new MaintenanceCycle(compactAfterShards,
+      maintain = (spark, batchId) => {
+        Ann.compactIvfIndex(spark, dir, retainSuperseded = true)
+        onCompact(batchId)
+      },
+      sweep = spark => {
+        // only a POINTER-layout index has anything to sweep: a legacy
+        // in-place index migrates on its first in-loop compact, and an
+        // index that has not been built yet must idle harmlessly (a
+        // resolve here would throw and kill the stream on its very
+        // first — possibly empty — trigger)
+        val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (graft.io.AtomicPointer.read(hfs, dir, "CURRENT").isDefined) {
+          Ann.sweepIvfIndex(spark, dir)
+          ()
+        }
+      })
     base
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (pendingSweep) {
-          // only a POINTER-layout index has anything to sweep: a legacy
-          // in-place index migrates on its first in-loop compact, and an
-          // index that has not been built yet must idle harmlessly (a
-          // resolve here would throw and kill the stream on its very
-          // first — possibly empty — trigger)
-          val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          if (graft.io.AtomicPointer.read(hfs, dir, "CURRENT").isDefined)
-            Ann.sweepIvfIndex(spark, dir)
-          pendingSweep = false
-        }
+        cycle.beforeBatch(spark)
         if (!batch.isEmpty) {
           // the counted variant returns the post-append committed total
           // off the metadata the append already read — no second
@@ -95,11 +101,7 @@ object IndexIngestJob {
           val (sid, nShards) =
             Ann.appendIvfShardWithCount(batch, idCol, vecCol, dir)
           onShard(batchId, sid)
-          if (compactAfterShards > 0 && nShards > compactAfterShards) {
-            Ann.compactIvfIndex(spark, dir, retainSuperseded = true)
-            pendingSweep = true
-            onCompact(batchId)
-          }
+          cycle.afterBatch(spark, batchId)(nShards)
         }
         ()
       }

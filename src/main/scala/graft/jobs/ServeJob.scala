@@ -242,7 +242,8 @@ object ServeJob {
       ref: java.util.concurrent.atomic.AtomicReference[Generation],
       gate: java.util.concurrent.locks.ReentrantLock,
       build: (RecommenderModel.Fitted, DataFrame) => Generation,
-      warmup: Generation => Unit) {
+      warmup: Generation => Unit,
+      retire: Generation => Unit) {
     private[ServeJob] val closed =
       new java.util.concurrent.atomic.AtomicBoolean(false)
     // `closed` is set by the async termination listener, so a swap()
@@ -276,7 +277,16 @@ object ServeJob {
             "generation — the build was released; deploy a new job") }
         val o = ref.get(); ref.set(g); gen.incrementAndGet(); o
       } finally gate.unlock()
-      old.release()                    // no batch can still be reading it
+      // no batch can still be reading the old generation (the gate saw it
+      // out) — but its release is DEFERRED one batch and run off-thread
+      // (r11 verdict 2): released here, the broadcast-destroy + unpersist
+      // storm and the GC cycle that reclaims a model-sized old generation
+      // land exactly under the first post-swap batch, which the r11 swap
+      // bench measured as that batch carrying the run's only GC spike
+      // (execGc 187 s). The retire hook parks it until the next batch
+      // COMPLETES, then releases on a daemon thread — the same
+      // deferral contract sweepIvfIndex gives the IVF maintenance cycle.
+      retire(old)
     }
   }
 
@@ -395,13 +405,50 @@ object ServeJob {
     // indefinitely — fairness grants the swap the very next inter-batch
     // boundary, which is the whole point of the gate (r10 advice).
     val gate = new java.util.concurrent.locks.ReentrantLock(true)
-    val handle = new ModelHandle(ref, gate, buildGeneration, warmup)
+    // a swapped-out generation parks here until the NEXT batch completes,
+    // then releases on a daemon thread (r11 verdict 2): deferred past the
+    // first post-swap batch so the destroy/unpersist storm and the GC
+    // cycle reclaiming a model-sized generation never share that batch's
+    // window, and off-thread so no batch ever runs it inline. Safe at any
+    // point after the swap — the gate already guaranteed no in-flight
+    // batch reads it; the deferral is purely about WHEN the reclamation
+    // cost lands. At most one generation is parked: a second swap inside
+    // one trigger interval releases the previously parked one inline
+    // (swaps are rare; two in one interval is a test pattern).
+    // parked as (generation, batches-completed-at-park): released only
+    // once batchesDone has ADVANCED past the park stamp — without the
+    // stamp, the batch that unlocked the gate FOR the swap would see the
+    // freshly parked generation at its own batch-end hook and release it
+    // right at the swap boundary, exactly the window the deferral exists
+    // to clear
+    val batchesDone = new java.util.concurrent.atomic.AtomicLong(0L)
+    val pendingRelease = new java.util.concurrent.atomic
+      .AtomicReference[(Generation, Long)](null)
+    def retire(old: Generation): Unit = {
+      val prev = pendingRelease.getAndSet((old, batchesDone.get()))
+      if (prev != null) prev._1.release()
+    }
+    def releasePendingAsync(): Unit = {
+      val p = pendingRelease.get()
+      if (p != null && batchesDone.get() > p._2 &&
+          pendingRelease.compareAndSet(p, null)) {
+        val t = new Thread(() => p._1.release(), "graft-gen-release")
+        t.setDaemon(true)
+        t.start()
+      }
+    }
+    val handle = new ModelHandle(ref, gate, buildGeneration, warmup, retire)
     // under the gate: without it, termination could interleave with a
     // swap's pointer exchange — releasing the generation the swap is
-    // about to replace while leaking the one it installs
+    // about to replace while leaking the one it installs. Drains any
+    // parked generation too (a swap with no subsequent batch would
+    // otherwise leak it for the session).
     val release = () => {
       gate.lock()
-      try { handle.closed.set(true); ref.get().release() }
+      try {
+        handle.closed.set(true); ref.get().release()
+        Option(pendingRelease.getAndSet(null)).foreach(_._1.release())
+      }
       finally gate.unlock()
     }
     // everything from here to start() can throw (warmup scoring, a bad
@@ -438,6 +485,10 @@ object ServeJob {
               stageTimer("kv_write", (System.nanoTime() - tw0) / 1e9)
             }
           } finally gate.unlock()
+          // the batch is COMPLETE: a generation swapped out before this
+          // batch can release now, off-thread (see pendingRelease)
+          batchesDone.incrementAndGet()
+          releasePendingAsync()
           ()
         }
         .trigger(trigger)

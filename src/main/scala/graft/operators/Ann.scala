@@ -632,6 +632,33 @@ object Ann {
     // retainSuperseded the old generation stays for in-flight readers;
     // [[sweepIvfIndex]] finishes the cycle once they drain.
     if (!retainSuperseded) cleanupAfterFlip(fs, dir, gen)
+    finalizeMaintenance(fs, dir, gen, buildId)
+  }
+
+  /** End-of-maintenance self-check (detection, not locking — r11
+    * verdict 3): after the flip AND the cleanup, the pointer must still
+    * name OUR generation and that generation must still be complete
+    * (manifest + both markers). The flip's own fence catches a pointer
+    * clobbered before our read-back; this catches the other half a
+    * concurrent maintainer can inflict — its post-flip cleanup deleting
+    * our generation dir as "superseded" while our pointer verify had
+    * already passed (caught live by Round12Spec's concurrent-compaction
+    * race: both threads claimed success, final pointer named a
+    * manifest-less husk). Three tiny file reads; a maintenance op may now
+    * fail loudly AFTER its flip — the failure means a concurrent
+    * maintainer superseded or destroyed the result, and the caller must
+    * not report its generation as installed. */
+  private def finalizeMaintenance(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: String, gen: String,
+                                  buildId: String): Unit = {
+    graft.io.AtomicPointer.verifyOwn(fs, dir, "CURRENT", gen)
+    val m = readIvfManifest(fs, s"$dir/$gen")
+    if (m.buildId != buildId)
+      throw new IllegalStateException(
+        s"IVF maintenance at $dir: generation $gen now carries buildId " +
+          s"${m.buildId}, not this maintainer's $buildId — a concurrent " +
+          "maintainer rewrote it (single-writer contract breached)")
+    requireMarkersMatch(fs, s"$dir/$gen", buildId)
   }
 
   /** Resolve an index ROOT to its live generation directory: the one
@@ -665,6 +692,26 @@ object Ann {
               new org.apache.hadoop.fs.Path(s"$dir/manifest.json")))
             return dir // legacy in-place layout
       }
+      // the retry budget exists for ONE state: a non-atomic flip's
+      // mid-rename window, in which index artifacts (a gen-* dir, an
+      // aside pointer, flip scratch) necessarily exist. A dir that does
+      // not exist, or holds none of them, is an unbuilt/mistyped path no
+      // flip can produce — fail now instead of spinning the full ~100 ms
+      // budget on every deploy-before-build probe (r11 advice). Probed
+      // every iteration, so a first build landing mid-probe falls through
+      // to the normal retry instead of a spurious throw.
+      val entries =
+        try Option(fs.listStatus(new org.apache.hadoop.fs.Path(dir)))
+          .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+          .map(_.getPath.getName)
+        catch { case _: java.io.FileNotFoundException => null }
+      if (entries == null || !entries.exists(n =>
+          n.startsWith("gen-") || n == "CURRENT" || n == ".CURRENT.old" ||
+          n == ".CURRENT.tmp" || n == "manifest.json"))
+        throw new IllegalStateException(
+          s"IVF index at $dir ${if (entries == null) "does not exist"
+            else "contains no index artifacts"} — unbuilt or mistyped " +
+            "path; run buildIvfIndex first")
       attempt += 1
       if (attempt < 20) Thread.sleep(5)
     }
@@ -728,11 +775,15 @@ object Ann {
   /** Atomically repoint `dir/CURRENT` at generation `gen` — the
     * [[graft.io.AtomicPointer]] commit primitive (atomic replace where
     * the FS offers one; a recoverable aside-rename sequence elsewhere,
-    * with [[resolveIvfDir]] reading through the aside copy). */
+    * with [[resolveIvfDir]] reading through the aside copy). FENCED
+    * (r11 verdict 3): the flip re-reads the pointer and fails loudly if a
+    * concurrent maintainer's flip interleaved — the losing build/compact
+    * reports the breach instead of silently believing its generation is
+    * live while the winner's cleanup deletes it. */
   private def flipCurrent(fs: org.apache.hadoop.fs.FileSystem,
                           conf: org.apache.hadoop.conf.Configuration,
                           dir: String, gen: String): Unit =
-    graft.io.AtomicPointer.flip(fs, conf, dir, "CURRENT", gen)
+    graft.io.AtomicPointer.flipFenced(fs, conf, dir, "CURRENT", gen)
 
   /** Post-flip cleanup, OFF the commit path: superseded generation dirs,
     * legacy in-place components now shadowed by the pointer, stale flip
@@ -749,6 +800,34 @@ object Ann {
     // the index
     val curExists = graft.io.AtomicPointer.pointerIoFs(fs).exists(
       new org.apache.hadoop.fs.Path(s"$dir/CURRENT"))
+    // the live generation's fold provenance (compacted generations only):
+    // deleting the fold's SOURCE is fenced against appends that committed
+    // into it after the fold snapshot (r11 advice — those rows are in no
+    // live generation; see IvfManifest.srcBuildId)
+    val prov: Option[(String, Set[Int])] =
+      try {
+        val m = readIvfManifest(fs, s"$dir/$keepGen")
+        m.srcBuildId.map(b => (b, m.srcShards.toSet))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def fenceLostAppends(postings: String): Unit = prov.foreach {
+      case (srcBuildId, srcShards) =>
+        val re = ("^_SHARD_COMMIT_" +
+          java.util.regex.Pattern.quote(srcBuildId) + "_(\\d+)$").r
+        val st =
+          try fs.listStatus(new org.apache.hadoop.fs.Path(postings))
+          catch { case _: java.io.FileNotFoundException => null }
+        val lost = (if (st == null) Seq.empty[Int] else st.toSeq.flatMap(s =>
+          re.findFirstMatchIn(s.getPath.getName).map(_.group(1).toInt)))
+          .filterNot(srcShards)
+        if (lost.nonEmpty) throw new IllegalStateException(
+          s"cleanupAfterFlip: shard(s) ${lost.sorted.mkString(",")} were " +
+            s"committed into the superseded generation at $postings AFTER " +
+            "the compaction snapshot that folded it — an append raced the " +
+            "maintenance flip (single-writer contract breached). Their " +
+            "rows are in NO live generation; refusing to delete the " +
+            "evidence. Re-append those rows from source (or rebuild), " +
+            "then sweep.")
+    }
     Option(fs.listStatus(new org.apache.hadoop.fs.Path(dir)))
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
       .toSeq.flatMap { s =>
@@ -764,7 +843,11 @@ object Ann {
           (n.startsWith(".CURRENT-") && n.endsWith(".tmp")) ||
           (n.startsWith("..CURRENT-") && n.endsWith(".tmp.crc")) ||
           (n == ".CURRENT.old" && curExists)
-        if (stale) { fs.delete(s.getPath, true); Some(n) } else None
+        if (stale) {
+          if (n.startsWith("gen-")) fenceLostAppends(s"${s.getPath}/postings.parquet")
+          else if (n == "postings.parquet") fenceLostAppends(s.getPath.toString)
+          fs.delete(s.getPath, true); Some(n)
+        } else None
       }
   }
 
@@ -846,10 +929,17 @@ object Ann {
     val rows = spark.read.parquet(s"$genDir/postings.parquet").count()
     writeSmallFile(fs, s"$genDir/centroids.parquet/_BUILD_ID", buildId)
     writeSmallFile(fs, s"$genDir/postings.parquet/_BUILD_ID", buildId)
+    // fold provenance: exactly which source shards this generation holds,
+    // so post-flip cleanup can DETECT a shard that an append committed
+    // into the source generation after this snapshot (r11 advice — that
+    // shard's rows are in no live generation; deleting its dir silently
+    // would turn a single-writer breach into data loss)
     writeSmallFile(fs, s"$genDir/.manifest.json.tmp",
       s"""{"seed":${m.seed},"nCentroids":${m.nCentroids},""" +
         s""""requested":${m.requested},""" +
-        s""""buildId":"$buildId","shards":[0]}""")
+        s""""buildId":"$buildId","shards":[0],""" +
+        s""""srcBuildId":"${m.buildId}",""" +
+        s""""srcShards":[${committed.sorted.mkString(",")}]}""")
     require(fs.rename(
       new org.apache.hadoop.fs.Path(s"$genDir/.manifest.json.tmp"),
       new org.apache.hadoop.fs.Path(s"$genDir/manifest.json")),
@@ -857,6 +947,7 @@ object Ann {
         "generation is uncommitted and the live one untouched; rerun")
     flipCurrent(fs, spark.sparkContext.hadoopConfiguration, dir, gen)
     if (!retainSuperseded) cleanupAfterFlip(fs, dir, gen)
+    finalizeMaintenance(fs, dir, gen, buildId)
     rows
   }
 
@@ -1099,9 +1190,21 @@ object Ann {
       n.endsWith(".FileAlreadyExistsException"))
   }
 
+  /** `srcBuildId`/`srcShards` (compacted generations only): the FOLD
+    * PROVENANCE — which source generation and exactly which committed
+    * shards this generation was folded from. Post-flip cleanup fences on
+    * it: a shard committed into the source generation AFTER the fold's
+    * snapshot (an append racing the compact, a single-writer breach) has
+    * rows in NO live generation, and deleting the superseded dir would
+    * turn the breach into silent data loss — the fence fails loudly and
+    * leaves the evidence on disk instead (r11 advice). Rebuilds carry no
+    * provenance: a rebuild reads its corpus fresh and supersedes the old
+    * generation's appends by explicit decision, not by folding them. */
   private case class IvfManifest(seed: Long, nCentroids: Long,
                                  requested: Long, buildId: String,
-                                 shards: Seq[Int])
+                                 shards: Seq[Int],
+                                 srcBuildId: Option[String] = None,
+                                 srcShards: Seq[Int] = Nil)
 
   private def readIvfManifest(fs: org.apache.hadoop.fs.FileSystem,
                               dir: String): IvfManifest = {
@@ -1124,8 +1227,13 @@ object Ann {
       .getOrElse(throw new IllegalStateException(
         s"IVF manifest in $dir has no shards list — rebuild: $mtext"))
     require(shards.nonEmpty, s"IVF manifest in $dir commits zero shards")
+    val srcBuildId = """"srcBuildId":"([^"]+)"""".r.findFirstMatchIn(mtext)
+      .map(_.group(1))
+    val srcShards = """"srcShards":\[([0-9, ]*)\]""".r.findFirstMatchIn(mtext)
+      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+        .map(_.toInt).toSeq).getOrElse(Seq.empty)
     IvfManifest(num("seed"), num("nCentroids"), num("requested"),
-      buildId, shards)
+      buildId, shards, srcBuildId, srcShards)
   }
 
   private def requireMarkersMatch(fs: org.apache.hadoop.fs.FileSystem,

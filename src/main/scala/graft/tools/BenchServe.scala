@@ -39,6 +39,53 @@ import graft.jobs.{RecommenderModel, ServeJob}
   * Prints one JSON line (also written to the mode's artifact).
   */
 object BenchServe {
+
+  /** Phase evidence for one measurement attempt: the box's documented
+    * degraded phase shows summed TASK time inflating 10-30× on identical
+    * batches with GC flat (r10/r11 NOTES) — so the self-qualifying signal
+    * is max/median task seconds across batches of identical work, maxed
+    * over the batch-size families measured. Clean batches land well under
+    * [[PhaseThreshold]]; the degraded phase lands far above it. */
+  final case class PhaseStamp(phase: String, taskInflation: Double,
+                              medTaskS: Double)
+
+  /** Max tolerated per-family max/median task-time ratio before an
+    * attempt is stamped degraded. Clean-phase identical batches vary by
+    * tens of percent; the degraded phase inflates 10-30× — the threshold
+    * sits an order of magnitude under the failure signature and well
+    * above honest jitter. */
+  val PhaseThreshold = 4.0
+
+  /** Stamp one attempt from its per-family per-batch summed task seconds
+    * (a family = batches of identical work, e.g. all 250-event steady
+    * batches). Families with fewer than 2 samples carry no ratio and are
+    * skipped. */
+  def phaseStamp(families: Seq[Seq[Double]],
+                 threshold: Double = PhaseThreshold): PhaseStamp = {
+    val ratios = families.filter(_.size >= 2).map { f =>
+      val s = f.sorted
+      val med = s(s.size / 2)
+      (if (med > 0) s.last / med else 1.0, med)
+    }
+    val worst = if (ratios.isEmpty) 1.0 else ratios.map(_._1).max
+    val med = if (ratios.isEmpty) 0.0 else ratios.map(_._2).max
+    PhaseStamp(if (worst <= threshold) "clean" else "degraded", worst, med)
+  }
+
+  /** The only writer of serving artifacts: refuses a payload with no
+    * phase stamp, so an unqualified capture can never become the durable
+    * number a downstream reader mistakes for the product (r11 verdict 1). */
+  def writeArtifact(outName: String, json: String): Unit = {
+    require(json.contains("\"phase\":"),
+      s"BenchServe.writeArtifact($outName): refusing to write an " +
+        "UNSTAMPED serving artifact — every committed serving number " +
+        "must carry its own phase evidence (phase/task_inflation columns)")
+    val outPath = java.nio.file.Paths.get(s"target/$outName")
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -150,6 +197,10 @@ object BenchServe {
       var s = 0L; gcBeans.forEach(b => s += math.max(b.getCollectionTime, 0)); s
     }
     val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    // per-batch summed task seconds, grouped by batch-size family
+    // (identical work within a family) — the attempt's phase evidence
+    val familyTasks = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Double]]
     def oneBatch(n: Int): Double = {
       batchTaskMs.set(0); batchGcMs.set(0)
       val gc0 = driverGcMs; val jit0 = jitBean.getTotalCompilationTime
@@ -158,6 +209,9 @@ object BenchServe {
       q.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9
       drainBus()
+      familyTasks.getOrElseUpdate(n,
+        scala.collection.mutable.ArrayBuffer.empty[Double]) +=
+        batchTaskMs.get / 1e3
       println(f"SERVE_BATCH n=$n wall=$wall%.2f task=${batchTaskMs.get / 1e3}%.1f " +
         f"execGc=${batchGcMs.get / 1e3}%.1f drvGc=${(driverGcMs - gc0) / 1e3}%.1f " +
         f"jit=${(jitBean.getTotalCompilationTime - jit0) / 1e3}%.1f s gen=${handle.generation}")
@@ -186,67 +240,110 @@ object BenchServe {
       t.setDaemon(true); t.start(); t
     }
 
-    // warm-up batch: codegen + state init, excluded from the numbers
-    stream.addData(batchJson(batchSize))
-    q.processAllAvailable()
-    val lat = measure(batchSize, nBatches)
-    // Burst/trickle envelope: the reference's pub/sub loop (ULK:182-213)
-    // scores one event per Redis round-trip, so a 10x burst queues 10x
-    // the wall-clock. Micro-batching absorbs it: the per-batch cost is
-    // fixed-overhead + marginal-cost x events, so a 2,500-event burst
-    // should cost far less than 10x the 250-event batch, and a 10-event
-    // trickle should collapse toward the fixed overhead.
+    // SELF-QUALIFYING attempts (r11 verdict 1 — three rounds running, the
+    // committed artifact recorded the box's degraded phase instead of the
+    // product): every attempt stamps itself with its own task-inflation
+    // evidence; a degraded attempt is RE-RUN (up to SPARK_GRAFT_SERVE_
+    // ATTEMPTS, default 2) and, if the box never yields a clean window,
+    // the artifact ships stamped "degraded" so no downstream reader can
+    // mistake it for the product number.
+    val maxAttempts = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_SERVE_ATTEMPTS", "2").toInt)
     val burstN = batchSize * 10
-    val burst = measure(burstN, 4)
+    var attempt = 0
+    var json = ""
+    var done = false
+    while (!done) {
+      attempt += 1
+      familyTasks.clear()
+      // warm-up batch: codegen + state init, excluded from the numbers
+      stream.addData(batchJson(batchSize))
+      q.processAllAvailable()
+      val lat = measure(batchSize, nBatches)
+      // Burst/trickle envelope: the reference's pub/sub loop (ULK:182-213)
+      // scores one event per Redis round-trip, so a 10x burst queues 10x
+      // the wall-clock. Micro-batching absorbs it: the per-batch cost is
+      // fixed-overhead + marginal-cost x events, so a 2,500-event burst
+      // should cost far less than 10x the 250-event batch, and a 10-event
+      // trickle should collapse toward the fixed overhead.
+      val burst = measure(burstN, 4)
 
-    // Hot-swap-under-load (r10 verdict 4): with 2,500-event bursts
-    // back-to-back, fire handle.swap() on another thread. The generation
-    // build + warmup overlap live batches (they never take the gate); the
-    // fair gate then grants the swap the next inter-batch boundary. The
-    // claim under test: no post-swap batch pays more than ~2× the loaded
-    // pre-swap p95 — the warmup hook already compiled and broadcast the
-    // new generation, so the first post-swap batch is NOT a cold start.
-    var swapJson = ""
-    if (swapMode) {
-      val genBefore = handle.generation
-      @volatile var swapWall = -1.0
-      @volatile var swapErr: Option[Throwable] = None
-      val swapT = new Thread(() => {
-        val t0 = System.nanoTime()
-        try handle.swap(fitted, servedCollect)
-        catch { case e: Throwable => swapErr = Some(e) }
-        swapWall = (System.nanoTime() - t0) / 1e9
-      }, "graft-swap")
-      swapT.start()
-      val during = scala.collection.mutable.ArrayBuffer[(Double, Long)]()
-      var postSeen = 0
-      while ((swapT.isAlive || postSeen < 3) && during.size < 24 &&
-          swapErr.isEmpty) {
-        val w = oneBatch(burstN)
-        val g = handle.generation
-        if (g > genBefore) postSeen += 1
-        during += ((w, g))
+      // Hot-swap-under-load (r10 verdict 4): with 2,500-event bursts
+      // back-to-back, fire handle.swap() on another thread. The generation
+      // build + warmup overlap live batches (they never take the gate); the
+      // fair gate then grants the swap the next inter-batch boundary. The
+      // claim under test: no post-swap batch pays more than ~2× the loaded
+      // pre-swap p95 — the warmup hook already compiled and broadcast the
+      // new generation, so the first post-swap batch is NOT a cold start.
+      var swapJson = ""
+      if (swapMode) {
+        val genBefore = handle.generation
+        @volatile var swapWall = -1.0
+        @volatile var swapErr: Option[Throwable] = None
+        val swapT = new Thread(() => {
+          val t0 = System.nanoTime()
+          try handle.swap(fitted, servedCollect)
+          catch { case e: Throwable => swapErr = Some(e) }
+          swapWall = (System.nanoTime() - t0) / 1e9
+        }, "graft-swap")
+        swapT.start()
+        val during = scala.collection.mutable.ArrayBuffer[(Double, Long)]()
+        var postSeen = 0
+        while ((swapT.isAlive || postSeen < 3) && during.size < 24 &&
+            swapErr.isEmpty) {
+          val w = oneBatch(burstN)
+          val g = handle.generation
+          if (g > genBefore) postSeen += 1
+          during += ((w, g))
+        }
+        swapT.join()
+        swapErr.foreach(throw _)
+        require(postSeen >= 1, "swap never installed within 24 burst batches")
+        val pre = burst ++ during.filter(_._2 == genBefore).map(_._1)
+        val post = during.filter(_._2 > genBefore).map(_._1)
+        // a real p95, not the max: with up to 28 pre samples, .last is p100
+        // and one pre outlier would mask a genuine post-swap regression
+        // against the "~2× the loaded pre-swap p95" claim (r11 review)
+        val preSorted = pre.sorted
+        val preP95 = preSorted(
+          math.min(preSorted.size - 1, math.ceil(preSorted.size * 0.95).toInt - 1))
+        val postMax = post.max
+        swapJson = s""","swap_build_s":${f"$swapWall%.2f"},""" +
+          s""""swap_pre_batches":${pre.size},"swap_pre_p95_s":${f"$preP95%.3f"},""" +
+          s""""swap_post_batches":${post.size},"swap_post_max_s":${f"$postMax%.3f"},""" +
+          s""""swap_post_over_pre":${f"${postMax / preP95}%.2f"}"""
+        println(s"SERVE_SWAP${swapJson.drop(1)}")
       }
-      swapT.join()
-      swapErr.foreach(throw _)
-      require(postSeen >= 1, "swap never installed within 24 burst batches")
-      val pre = burst ++ during.filter(_._2 == genBefore).map(_._1)
-      val post = during.filter(_._2 > genBefore).map(_._1)
-      // a real p95, not the max: with up to 28 pre samples, .last is p100
-      // and one pre outlier would mask a genuine post-swap regression
-      // against the "~2× the loaded pre-swap p95" claim (r11 review)
-      val preSorted = pre.sorted
-      val preP95 = preSorted(
-        math.min(preSorted.size - 1, math.ceil(preSorted.size * 0.95).toInt - 1))
-      val postMax = post.max
-      swapJson = s""","swap_build_s":${f"$swapWall%.2f"},""" +
-        s""""swap_pre_batches":${pre.size},"swap_pre_p95_s":${f"$preP95%.3f"},""" +
-        s""""swap_post_batches":${post.size},"swap_post_max_s":${f"$postMax%.3f"},""" +
-        s""""swap_post_over_pre":${f"${postMax / preP95}%.2f"}"""
-      println(s"SERVE_SWAP${swapJson.drop(1)}")
-    }
 
-    val trickle = measure(10, 8)
+      val trickle = measure(10, 8)
+      val served = InMemoryKV.snapshot.keys.count(_.startsWith("b_like:"))
+      val total = lat.sum
+      // the attempt's own phase evidence; a deliberately co-tenant run is
+      // its own label — contention is the measurement there, not a defect
+      val stamp = phaseStamp(familyTasks.values.map(_.toSeq).toSeq)
+      val phase = if (contend) "contended" else stamp.phase
+      json =
+        s"""{"metric":"serve","sf":"$sfDir","contended":$contend,""" +
+          s""""fit_s":${f"$fitSecs%.1f"},""" +
+          s""""batches":$nBatches,"batch_events":$batchSize,""" +
+          s""""events_per_s":${f"${nBatches * batchSize / total}%.0f"},""" +
+          s""""p50_batch_s":${f"${lat(nBatches / 2 - 1)}%.3f"},""" +
+          s""""p95_batch_s":${f"${lat(nBatches - 1)}%.3f"},""" +
+          s""""burst_events":$burstN,"burst_p95_s":${f"${burst.last}%.3f"},""" +
+          s""""burst_events_per_s":${f"${burstN * burst.length / burst.sum}%.0f"},""" +
+          s""""trickle_p95_s":${f"${trickle.last}%.3f"},""" +
+          s""""served_keys":$served$swapJson,""" +
+          s""""phase":"$phase",""" +
+          s""""task_inflation":${f"${stamp.taskInflation}%.2f"},""" +
+          s""""task_med_s":${f"${stamp.medTaskS}%.2f"},""" +
+          s""""attempts":$attempt}"""
+      println(s"SERVE_PHASE phase=$phase " +
+        f"task_inflation=${stamp.taskInflation}%.2f attempt=$attempt")
+      if (phase == "degraded" && attempt < maxAttempts) {
+        println("SERVE_PHASE degraded attempt discarded — re-measuring " +
+          "(the box is in its documented task-inflation phase)")
+      } else done = true
+    }
     // where the batch time goes (driver planning vs execution): the
     // streaming progress durations for the LAST few batches
     q.recentProgress.takeRight(3).foreach { p =>
@@ -256,29 +353,13 @@ object BenchServe {
     contendThreads.foreach(_.join(30000))
     q.stop()
     spark.sparkContext.removeSparkListener(listener)
-    val served = InMemoryKV.snapshot.keys.count(_.startsWith("b_like:"))
-    val total = lat.sum
-    val json =
-      s"""{"metric":"serve","sf":"$sfDir","contended":$contend,""" +
-        s""""fit_s":${f"$fitSecs%.1f"},""" +
-        s""""batches":$nBatches,"batch_events":$batchSize,""" +
-        s""""events_per_s":${f"${nBatches * batchSize / total}%.0f"},""" +
-        s""""p50_batch_s":${f"${lat(nBatches / 2 - 1)}%.3f"},""" +
-        s""""p95_batch_s":${f"${lat(nBatches - 1)}%.3f"},""" +
-        s""""burst_events":$burstN,"burst_p95_s":${f"${burst.last}%.3f"},""" +
-        s""""burst_events_per_s":${f"${burstN * burst.length / burst.sum}%.0f"},""" +
-        s""""trickle_p95_s":${f"${trickle.last}%.3f"},""" +
-        s""""served_keys":$served$swapJson}"""
     // one artifact per mode: a diagnostic run must never overwrite the
     // committed idle-box serving number (r10 verdict 1)
     val outName =
       if (contend) "bench_serve_contended.json"
       else if (swapMode) "bench_serve_swap.json"
       else "bench_serve.json"
-    val outPath = java.nio.file.Paths.get(s"target/$outName")
-    java.nio.file.Files.createDirectories(outPath.getParent)
-    java.nio.file.Files.write(outPath,
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeArtifact(outName, json)
     println(json)
     spark.stop()
   }

@@ -1,0 +1,140 @@
+package graft.tools
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Scale rehearsal for the COMPOSED ingest chain (r11 verdict 5):
+  * dedup → embed → index as one operational flow. Seeds
+  * [[graft.jobs.DedupIngestJob]] with half the N× corpus and an IVF
+  * index with the seed's embeddings, then streams the other half in
+  * day-sized batches through BOTH loops — stage 1 dedups and writes
+  * survivors, stage 2 (a file-source stream over the survivors dirs)
+  * embeds them and appends IVF shards — with both in-loop maintenance
+  * budgets armed (index fold + IVF compact), which is exactly the
+  * deployment shape. Embeddings are the deterministic hash-fake the
+  * spec twin (ComposedIngestSpec) pins: the chain's cost structure —
+  * probe joins, shard appends, maintenance — is what scales, not the
+  * embedding model.
+  *
+  * The claim under test: per-batch chain wall tracks the BATCH while
+  * both indexes grow, and the maintenance fires amortize (fold/compact
+  * walls bounded, file counts reset).
+  *
+  * Usage: ComposedIngestScale <dir> [batches=5] [foldAfter=4] [compactAfter=4] */
+object ComposedIngestScale {
+  private val Dims = 8
+  private def fakeEmb(c: Column): Column =
+    transform(sequence(lit(0), lit(Dims - 1)),
+      i => (pmod(xxhash64(c, i), lit(1000L)).cast("float") / lit(100.0f))
+        - lit(5.0f))
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.head
+    val nBatches = if (args.length > 1) args(1).toInt else 5
+    val foldAfter = if (args.length > 2) args(2).toInt else 4
+    val compactAfter = if (args.length > 3) args(3).toInt else 4
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ids = docs.select(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    val root = java.nio.file.Files.createTempDirectory("composed50").toString
+    val dedupDir = s"$root/dedup"; val ivfDir = s"$root/ivf"
+    val seed = docs.where(col("doc_id") <= mid)
+    val nSeed = seed.count()
+    val nCents = math.max(4, math.sqrt(nSeed.toDouble).toInt)
+    var t0 = System.nanoTime()
+    graft.jobs.DedupIngestJob.seed(seed, "doc_id", "text", dedupDir)
+    println(f"COMPOSED seed_dedup ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"($nSeed docs)")
+    t0 = System.nanoTime()
+    graft.operators.Ann.buildIvfIndex(
+      seed.withColumn("embedding", fakeEmb(col("text"))),
+      "doc_id", "embedding", ivfDir, nCentroids = nCents,
+      distributedFit = true)
+    println(f"COMPOSED seed_ivf ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"($nCents cells)")
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    @volatile var lastN = -1L
+    @volatile var foldMark = 0L
+    val foldWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val compactFires = new java.util.concurrent.atomic.AtomicInteger
+    val q1 = graft.jobs.DedupIngestJob.start(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", dedupDir,
+      trigger = Trigger.ProcessingTime(0L),
+      onBatch = (_, n) => { lastN = n; foldMark = System.nanoTime() },
+      foldAfterBatches = foldAfter,
+      onFold = _ => foldWalls.synchronized {
+        foldWalls += (System.nanoTime() - foldMark) / 1e9; () })
+    val survivorSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("batch", LongType)))
+    val q2 = graft.jobs.IndexIngestJob.start(
+      spark.readStream.schema(survivorSchema)
+        .parquet(s"$dedupDir/survivors")
+        .withColumn("embedding", fakeEmb(col("text")))
+        .select("doc_id", "embedding"),
+      "doc_id", "embedding", ivfDir,
+      trigger = Trigger.ProcessingTime(0L),
+      compactAfterShards = compactAfter,
+      onCompact = _ => { compactFires.incrementAndGet(); () })
+    try {
+      val step = math.max(1L, (hi - mid) / nBatches)
+      (0 until nBatches).foreach { d =>
+        val a = mid + 1 + d * step
+        val b = if (d == nBatches - 1) hi + 1 else a + step
+        val rows = docs.where(col("doc_id") >= a && col("doc_id") < b)
+          .as[(Long, String)].collect().toSeq
+        val td = System.nanoTime()
+        stream.addData(rows: _*)
+        q1.processAllAvailable()
+        val t1 = System.nanoTime()
+        q2.processAllAvailable()
+        val t2 = System.nanoTime()
+        val folded = foldWalls.synchronized {
+          val w = foldWalls.toSeq; foldWalls.clear(); w }
+        println(f"COMPOSED batch${d + 1} chain=${(t2 - td) / 1e9}%.1f s " +
+          f"(dedup=${(t1 - td) / 1e9}%.1f embed_index=${(t2 - t1) / 1e9}%.1f " +
+          s"in=${rows.size} survivors=$lastN" +
+          folded.map(w => f" fold=$w%.1f s").mkString +
+          s" compacts=${compactFires.get})")
+      }
+      val total = graft.jobs.DedupIngestJob.survivors(spark, dedupDir).count()
+      val shards = graft.operators.Ann.committedIvfShardCount(spark, ivfDir)
+      println(s"COMPOSED total_survivors $total ivf_shards $shards " +
+        s"compact_fires ${compactFires.get}")
+      // the chain's served answer stays exact: full-probe IVF top-k over
+      // a sample equals brute force over seed + survivors
+      val corpus = seed.unionByName(
+          graft.jobs.DedupIngestJob.survivors(spark, dedupDir))
+        .withColumn("embedding", fakeEmb(col("text")))
+      val queries = corpus.where(col("doc_id") <= lo + 9)
+        .select("doc_id", "embedding")
+      val tq = System.nanoTime()
+      val ivf = graft.operators.Ann.queryIvfIndex(queries, "doc_id",
+          "embedding", ivfDir, k = 5, nProbe = nCents)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"COMPOSED served_query ${(System.nanoTime() - tq) / 1e9}%.1f s")
+      val brute = graft.operators.Ann.bruteForceTopK(queries, corpus,
+          "doc_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"COMPOSED exactness ${if (ivf == brute) "OK"
+        else s"MISMATCH ${ivf.diff(brute).size}/${brute.diff(ivf).size}"}")
+    } finally { q1.stop(); q2.stop() }
+    spark.stop()
+  }
+}

@@ -136,6 +136,55 @@ class HotSwapSpec extends SparkSuite {
     runSwapTest(1L, "exchange")
   }
 
+  test("a swapped-out generation is released one batch later, off-thread — and at termination when no batch follows (r11 verdict 2)") {
+    // exchange lane (budget 1): each generation persists its postings
+    // index, so release timing is observable via getPersistentRDDs.
+    // Contract under test: after swap() returns, the OLD generation's
+    // persist is still alive (release deferred — its destroy/unpersist
+    // storm must not land under the first post-swap batch); after the
+    // next batch completes it is released asynchronously; a swap never
+    // followed by a batch is drained by the termination hook.
+    InMemoryKV.clear()
+    val kv = new InMemoryKV
+    val coll1 = Fixtures.collects(spark)
+    val f1 = fit(coll1)
+    val f2 = fit(collects2)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def extraPersists: Int =
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val (q, handle) = ServeJob.startSwappable(stream.toDF(), f1, coll1, kv,
+      trigger = Trigger.ProcessingTime(0L), serveBudgetBytes = 1L)
+    try {
+      stream.addData("""{"userId": 101}""")
+      q.processAllAvailable()
+      assert(extraPersists == 1, s"one live postings persist expected")
+      handle.swap(f2, collects2)
+      assert(extraPersists == 2,
+        "old generation must still be retained right after the swap — " +
+          "its release is deferred past the next batch")
+      stream.addData("""{"userId": 101}""")
+      q.processAllAvailable()
+      // released AFTER that batch completed, on a daemon thread — poll
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (extraPersists > 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(extraPersists == 1,
+        "old generation must be released once the first post-swap batch " +
+          "completes")
+      // second swap with NO batch afterwards: the termination hook must
+      // drain the parked generation
+      handle.swap(f1, coll1)
+      assert(extraPersists == 2)
+    } finally q.stop()
+    val deadline2 = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (extraPersists > 0 && System.nanoTime() < deadline2)
+      Thread.sleep(50)
+    assert(extraPersists == 0,
+      "termination must release the live AND any parked generation")
+  }
+
   test("swap is not starved by back-to-back batches (fair gate, r10 advice)") {
     // a feeder thread keeps the stream CONTINUOUSLY busy — with a non-fair
     // gate the foreachBatch thread can barge and reacquire at every batch

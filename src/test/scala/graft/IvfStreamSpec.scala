@@ -221,7 +221,10 @@ class IvfStreamSpec extends SparkSuite {
       q1.processAllAvailable()
     }
     q1.stop()
-    assert(err.getMessage.contains("rerun buildIvfIndex"), err.getMessage)
+    // r11 advice: the unbuilt-dir probe now fails FAST (no 100 ms retry
+    // budget — that exists only for the non-atomic flip window), with the
+    // same loud point-at-the-build message
+    assert(err.getMessage.contains("buildIvfIndex"), err.getMessage)
     assert(shards.synchronized(shards.isEmpty))
     // the build lands; restarting from the same checkpoint REPLAYS the
     // failed batch — the deploy race is covered by the same
