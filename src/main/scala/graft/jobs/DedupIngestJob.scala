@@ -262,6 +262,21 @@ object DedupIngestJob {
         }
     }
     graft.io.AtomicPointer.clearAside(hfs, idxDir, "FOLDED")
+    // end-of-maintenance self-check, the fold analogue of the IVF loop's
+    // finalizeMaintenance: the pointer must still name OUR base and the
+    // base must still exist — a concurrent folder's cleanup deleting it
+    // as "superseded" is caught here instead of surfacing as a mystery
+    // read failure three batches later (detection, not locking; the
+    // serial-foreachBatch deployment makes this a no-op in practice)
+    graft.io.AtomicPointer.verifyOwn(hfs, idxDir, "FOLDED",
+      s"$upToBatch $name")
+    Seq("banded", "shingled").foreach { sub =>
+      if (!hfs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/$name/$sub")))
+        throw new IllegalStateException(
+          s"foldIndex: folded base $idxDir/$name lost its $sub component " +
+            "after the flip — a concurrent maintainer's cleanup destroyed " +
+            "it (single-writer contract breached); rebuild the index")
+    }
   }
 
   /** The EFFECTIVE index: the folded base generation (when the FOLDED

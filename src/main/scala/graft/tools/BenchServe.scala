@@ -231,8 +231,12 @@ object BenchServe {
     val contendThreads: Seq[Thread] = if (!contend) Nil else (1 to 4).map { i =>
       val t = new Thread(() => {
         while (!contendStop.get()) {
+          // bounded per-row term: a raw xxhash64 sum overflows Long after
+          // a handful of rows under ANSI mode, killing each co-tenant job
+          // in its first task wave — the "load" became fail-restart churn
+          // (caught r12 reading the contended run's executor errors)
           try spark.range(0, 1L << 31, 1, 64)
-            .selectExpr("sum(xxhash64(id, id + 1, id * 7)) as s")
+            .selectExpr("sum(pmod(xxhash64(id, id + 1, id * 7), 1000000007)) as s")
             .collect()
           catch { case _: Throwable => () } // session shutdown race at exit
         }

@@ -81,6 +81,9 @@ object ComposedIngestScale {
     val survivorSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("batch", LongType)))
+    // the handoff dir must exist before the file-source stream lists it
+    // (the seed writes only the index, not survivors)
+    new java.io.File(s"$dedupDir/survivors").mkdirs()
     val q2 = graft.jobs.IndexIngestJob.start(
       spark.readStream.schema(survivorSchema)
         .parquet(s"$dedupDir/survivors")
