@@ -74,9 +74,29 @@ object AtomicPointer {
   def flip(fs: FileSystem, conf: Configuration, dir: String, name: String,
            content: String): Unit = {
     val pfs = pointerIoFs(fs)
-    val tmp = new Path(s"$dir/.$name.tmp")
+    // tmp is UNIQUE per flip: with a shared `.name.tmp`, a concurrent
+    // flip's create(overwrite) TRUNCATES the file this flip is about to
+    // rename, and the pointer itself lands empty/torn — readers then see
+    // garbage, not just a superseded generation (caught by Round12Spec's
+    // flip hammer: final pointer read back as ""). With unique tmps a
+    // breach degrades to clean last-writer-wins + the fence telling the
+    // losers; the pointer content is always some writer's whole value.
+    val tmp = new Path(s"$dir/.$name.tmp.${java.util.UUID.randomUUID()}")
     val primary = new Path(s"$dir/$name")
     writeSmall(pfs, tmp, content)
+    try flipFrom(fs, pfs, conf, dir, name, tmp, primary)
+    finally {
+      // consumed by the rename on success; a failure path (or a beaten
+      // racer) must not strand it — crash-orphaned tmps are swept by the
+      // maintenance cleanups
+      try { if (pfs.exists(tmp)) { pfs.delete(tmp, false); () } }
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private def flipFrom(fs: FileSystem, pfs: FileSystem, conf: Configuration,
+                       dir: String, name: String, tmp: Path,
+                       primary: Path): Unit = {
     if (pfs ne fs) {
       // migration from a checksummed-written pointer: a stale sidecar
       // would fail every checksummed read of the raw-renamed content

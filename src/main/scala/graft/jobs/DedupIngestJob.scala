@@ -248,7 +248,9 @@ object DedupIngestJob {
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
       .foreach { st =>
         val n = st.getPath.getName
-        if (st.isDirectory && n.startsWith("base-") && n != name)
+        if ((st.isDirectory && n.startsWith("base-") && n != name) ||
+            // crash-orphaned per-flip pointer tmps (uuid-suffixed)
+            (!st.isDirectory && n.startsWith(".FOLDED.tmp")))
           hfs.delete(st.getPath, true)
       }
     Seq("banded", "shingled").foreach { sub =>

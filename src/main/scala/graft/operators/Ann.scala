@@ -659,6 +659,29 @@ object Ann {
           s"${m.buildId}, not this maintainer's $buildId — a concurrent " +
           "maintainer rewrote it (single-writer contract breached)")
     requireMarkersMatch(fs, s"$dir/$gen", buildId)
+    // markers/manifest alone are not proof of life: a concurrent
+    // maintainer's cleanup can delete this generation's DATA mid-write,
+    // after which our own marker/manifest writes recreate the dir as a
+    // husk (fs.create makes parents) that passes the checks above —
+    // caught by the concurrent-compaction race spec (both threads
+    // "succeeded", the pointer named a generation whose components held
+    // only underscore files). Require at least one data entry per
+    // component; a husk fails here, loudly.
+    Seq("centroids.parquet", "postings.parquet").foreach { comp =>
+      val st =
+        try fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$gen/$comp"))
+        catch { case _: java.io.FileNotFoundException => null }
+      val hasData = st != null && st.exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (!hasData) throw new IllegalStateException(
+        s"IVF maintenance at $dir: generation $gen's $comp holds no data " +
+          "files — a concurrent maintainer's cleanup destroyed this " +
+          "generation mid-commit (single-writer contract breached); this " +
+          "maintainer's result is NOT installed, rerun maintenance " +
+          "serially")
+    }
   }
 
   /** Resolve an index ROOT to its live generation directory: the one
@@ -837,7 +860,8 @@ object Ann {
           n == "manifest.json" || n == "centroids.parquet" ||
           n == "postings.parquet" ||
           n.startsWith(".staging") || n.startsWith(".trash-") ||
-          n == ".CURRENT.tmp" ||
+          // shared-name form (pre-r12) and uuid-suffixed per-flip tmps
+          n.startsWith(".CURRENT.tmp") ||
           // pre-AtomicPointer flips staged tmps as .CURRENT-<gen>.tmp; a
           // crashed one from before the upgrade must still be cleaned
           (n.startsWith(".CURRENT-") && n.endsWith(".tmp")) ||

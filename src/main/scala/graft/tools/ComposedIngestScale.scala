@@ -27,10 +27,16 @@ import org.apache.spark.sql.types._
   * Usage: ComposedIngestScale <dir> [batches=5] [foldAfter=4] [compactAfter=4] */
 object ComposedIngestScale {
   private val Dims = 8
+  /** Same per-dimension hash values as the spec twin's lambda form, but
+    * built as an explicit `array(...)` — a higher-order `transform`
+    * whose lambda captures an outer column trips an optimizer
+    * attribute-rewrite failure ("key not found: text#N") once the plan
+    * grows a union around it (Spark 4.1; hit twice in this tool). */
   private def fakeEmb(c: Column): Column =
-    transform(sequence(lit(0), lit(Dims - 1)),
-      i => (pmod(xxhash64(c, i), lit(1000L)).cast("float") / lit(100.0f))
-        - lit(5.0f))
+    array((0 until Dims).map { i =>
+      (pmod(xxhash64(c, lit(i)), lit(1000L)).cast("float") / lit(100.0f))
+        - lit(5.0f)
+    }: _*)
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.head
@@ -90,7 +96,10 @@ object ComposedIngestScale {
         .withColumn("embedding", fakeEmb(col("text")))
         .select("doc_id", "embedding"),
       "doc_id", "embedding", ivfDir,
-      trigger = Trigger.ProcessingTime(0L),
+      // deployment-realistic cadence: at ProcessingTime(0) this stage
+      // free-runs thousands of empty probe triggers (each a tiny Spark
+      // job) while stage 1's 80 s dedup batch runs — pure churn
+      trigger = Trigger.ProcessingTime(500L),
       compactAfterShards = compactAfter,
       onCompact = _ => { compactFires.incrementAndGet(); () })
     try {
@@ -114,15 +123,42 @@ object ComposedIngestScale {
           folded.map(w => f" fold=$w%.1f s").mkString +
           s" compacts=${compactFires.get})")
       }
+      // drain the handoff: the file source's discovery of a survivors dir
+      // can lag a trigger or two under a busy driver (observed at 50×:
+      // batches 2-3 were picked up during batch 4's window) — data is
+      // never lost, just late, and a real deployment's trigger cadence
+      // absorbs it; the exactness check below needs the index COMPLETE
+      var stable = 0; var lastShards = -1; var drains = 0
+      while (stable < 3 && drains < 30) {
+        q2.processAllAvailable()
+        val n = graft.operators.Ann.committedIvfShardCount(spark, ivfDir)
+        if (n == lastShards) stable += 1 else { stable = 0; lastShards = n }
+        drains += 1
+        Thread.sleep(1000)
+      }
       val total = graft.jobs.DedupIngestJob.survivors(spark, dedupDir).count()
       val shards = graft.operators.Ann.committedIvfShardCount(spark, ivfDir)
+      // completeness before exactness: every seed + survivor vector must
+      // be in the live index (footer-metadata count, no vector decode)
+      val indexed = spark.read.parquet(
+        s"${graft.operators.Ann.resolveIvfDir(spark, ivfDir)}/postings.parquet").count()
       println(s"COMPOSED total_survivors $total ivf_shards $shards " +
-        s"compact_fires ${compactFires.get}")
+        s"compact_fires ${compactFires.get} drains $drains " +
+        s"indexed $indexed expected ${nSeed + total}")
       // the chain's served answer stays exact: full-probe IVF top-k over
-      // a sample equals brute force over seed + survivors
-      val corpus = seed.unionByName(
-          graft.jobs.DedupIngestJob.survivors(spark, dedupDir))
-        .withColumn("embedding", fakeEmb(col("text")))
+      // a sample equals brute force over seed + survivors. The corpus is
+      // MATERIALIZED (localCheckpoint) before the check: optimizing the
+      // embedding lambda (a higher-order transform capturing an outer
+      // column) through the union + the query's join/window tree trips an
+      // attribute-rewrite failure in the optimizer ("key not found:
+      // text#N") — truncating the lineage sidesteps it, and 140k × 8
+      // floats is trivially materializable
+      val corpus = seed.withColumn("embedding", fakeEmb(col("text")))
+        .select("doc_id", "embedding")
+        .unionByName(graft.jobs.DedupIngestJob.survivors(spark, dedupDir)
+          .withColumn("embedding", fakeEmb(col("text")))
+          .select("doc_id", "embedding"))
+        .localCheckpoint(true)
       val queries = corpus.where(col("doc_id") <= lo + 9)
         .select("doc_id", "embedding")
       val tq = System.nanoTime()
