@@ -207,9 +207,12 @@ object DedupIngestJob {
   private def unfoldedBatches(spark: SparkSession, dir: String,
                               fold: Option[FoldState]): Seq[Long] = {
     val floor = fold.map(_.maxBatch).getOrElse(Long.MinValue)
-    Option(fs(spark, dir).listStatus(
+    (try Option(fs(spark, dir).listStatus(
         new org.apache.hadoop.fs.Path(s"$dir/index/banded")))
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus]).toSeq
+    // an un-seeded stream's first batch has no index dir yet
+    catch { case _: java.io.FileNotFoundException =>
+      Seq.empty[org.apache.hadoop.fs.FileStatus] })
       .filter(_.isDirectory).map(_.getPath.getName)
       .flatMap(parseBatchDir)
       .filter(_ > floor)
@@ -235,6 +238,16 @@ object DedupIngestJob {
     val name = s"base-${java.util.UUID.randomUUID().toString}"
     cur.banded.write.parquet(s"$idxDir/$name/banded")
     cur.shingles.write.parquet(s"$idxDir/$name/shingled")
+    // the fold boundary, recorded INSIDE the base generation BEFORE the
+    // flip: it lets loadIndex distinguish a crashed fold (pointer never
+    // written; all source batch dirs still on disk — the batch-dir view
+    // is complete, proceed and let the next fold sweep the orphan) from
+    // a LOST pointer (fold completed, cleanup deleted the folded dirs —
+    // proceeding would silently forget the folded history; fail loudly)
+    val upOut = hfs.create(
+      new org.apache.hadoop.fs.Path(s"$idxDir/$name/_FOLDED_UPTO"), true)
+    try upOut.write(upToBatch.toString.getBytes("UTF-8"))
+    finally upOut.close()
     // FENCED flip (r11 verdict 3): the fold fails loudly if a concurrent
     // maintainer's flip interleaved — a silently lost fold generation
     // would dedup the next batches against a stale boundary
@@ -291,13 +304,20 @@ object DedupIngestJob {
     val hfs = fs(spark, dir)
     readFold(spark, dir) match {
       case None =>
-        // no pointer but a folded base generation on disk = the FOLDED
-        // pointer was LOST (manual deletion, partial restore), not "never
-        // folded": silently deduping against only the unfolded batch dirs
-        // would stop catching every duplicate in the folded history, with
-        // no error, forever. Fail loudly — the IVF analogue
-        // (resolveIvfDir with no CURRENT and no manifest) already does
-        // (r11 advice).
+        // A base generation on disk with NO pointer is one of two states:
+        //  - a CRASHED fold (died before its flip): every source batch
+        //    dir is still on disk, so the batch-dir view is complete and
+        //    correct — proceed; the next successful fold sweeps the
+        //    orphan (the pre-r12 behavior, which a crash window the
+        //    at-least-once design supports must keep);
+        //  - a LOST pointer (fold completed, cleanup deleted the folded
+        //    batch dirs, pointer later destroyed): deduping against only
+        //    the remaining batch dirs silently forgets the folded
+        //    history forever — fail loudly (r11 advice).
+        // Discriminated by the base's _FOLDED_UPTO boundary (written
+        // before the flip): a crashed fold leaves batch dirs AT/BELOW its
+        // boundary; a completed-then-lost fold deleted them all. A base
+        // with no readable boundary is torn mid-write — crashed, safe.
         val bases =
           (try Option(hfs.listStatus(
               new org.apache.hadoop.fs.Path(s"$dir/index")))
@@ -309,13 +329,36 @@ object DedupIngestJob {
           .filter(st => st.isDirectory &&
             st.getPath.getName.startsWith("base-"))
           .map(_.getPath.getName)
-        if (bases.nonEmpty) throw new IllegalStateException(
+        lazy val allBatches = unfoldedBatches(spark, dir, None)
+        val lost = bases.filter { b =>
+          val boundary =
+            try {
+              val in = hfs.open(new org.apache.hadoop.fs.Path(
+                s"$dir/index/$b/_FOLDED_UPTO"))
+              val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+                .mkString.trim finally in.close()
+              scala.util.Try(s.toLong).toOption
+            } catch { case _: java.io.IOException => None }
+          boundary match {
+            // boundary with no surviving source dir at/below it = the
+            // fold's cleanup ran = the fold COMMITTED, pointer gone
+            case Some(up) => !allBatches.exists(_ <= up)
+            // no readable boundary: an r12+ fold torn mid-write (its
+            // sources necessarily survive → batch dirs exist → crashed,
+            // safe) or a pre-marker legacy base — for those only the
+            // unambiguous zero-batch-dirs state (everything was folded,
+            // nothing left to dedup against) is called lost
+            case None => allBatches.isEmpty
+          }
+        }
+        if (lost.nonEmpty) throw new IllegalStateException(
           s"dedup index at $dir/index has folded generation(s) " +
-            s"${bases.sorted.mkString(",")} but no FOLDED pointer — the " +
-            "pointer was lost (deletion or partial restore), and deduping " +
-            "against only the unfolded batches would silently miss every " +
-            "duplicate in the folded history. Restore the pointer " +
-            "(content: '<maxFoldedBatch> <baseName>') or rebuild the index.")
+            s"${lost.sorted.mkString(",")} whose source batch dirs were " +
+            "cleaned but no FOLDED pointer — the pointer was lost " +
+            "(deletion or partial restore), and deduping against only " +
+            "the unfolded batches would silently miss every duplicate " +
+            "in the folded history. Restore the pointer (content: " +
+            "'<maxFoldedBatch> <baseName>') or rebuild the index.")
         if (!hfs.exists(banded)) None
         else Some(Dedup.LshIndex(
           spark.read.parquet(s"$dir/index/banded").drop("batch"),

@@ -243,9 +243,10 @@ object ServeJob {
       gate: java.util.concurrent.locks.ReentrantLock,
       build: (RecommenderModel.Fitted, DataFrame) => Generation,
       warmup: Generation => Unit,
-      retire: Generation => Unit) {
-    private[ServeJob] val closed =
-      new java.util.concurrent.atomic.AtomicBoolean(false)
+      retire: Generation => Unit,
+      // shared with the deployment's retire/termination hooks, which
+      // need it BEFORE the handle exists (no forward reference)
+      private[ServeJob] val closed: java.util.concurrent.atomic.AtomicBoolean) {
     // `closed` is set by the async termination listener, so a swap()
     // issued right after query.stop() can race the listener bus, pass
     // the require, and waste a full generation build on a dead stream.
@@ -422,11 +423,19 @@ object ServeJob {
     // right at the swap boundary, exactly the window the deferral exists
     // to clear
     val batchesDone = new java.util.concurrent.atomic.AtomicLong(0L)
+    val closedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
     val pendingRelease = new java.util.concurrent.atomic
       .AtomicReference[(Generation, Long)](null)
     def retire(old: Generation): Unit = {
+      // a terminated stream will never run the batch-end drain: release
+      // inline. Checked twice — a termination landing BETWEEN our park
+      // and its own pendingRelease drain would otherwise leak the parked
+      // generation for the session (stop() racing an in-flight swap).
+      if (closedFlag.get()) { old.release(); return }
       val prev = pendingRelease.getAndSet((old, batchesDone.get()))
       if (prev != null) prev._1.release()
+      if (closedFlag.get())
+        Option(pendingRelease.getAndSet(null)).foreach(_._1.release())
     }
     def releasePendingAsync(): Unit = {
       val p = pendingRelease.get()
@@ -437,7 +446,8 @@ object ServeJob {
         t.start()
       }
     }
-    val handle = new ModelHandle(ref, gate, buildGeneration, warmup, retire)
+    val handle =
+      new ModelHandle(ref, gate, buildGeneration, warmup, retire, closedFlag)
     // under the gate: without it, termination could interleave with a
     // swap's pointer exchange — releasing the generation the swap is
     // about to replace while leaking the one it installs. Drains any
@@ -484,10 +494,17 @@ object ServeJob {
               KVWriter.write(kvFrame(recs), kv)
               stageTimer("kv_write", (System.nanoTime() - tw0) / 1e9)
             }
-          } finally gate.unlock()
+          } finally {
+            // incremented UNDER the gate: a swap granted the gate at this
+            // boundary must take its park stamp AFTER this batch counted,
+            // or the batch thread's post-unlock drain would release the
+            // just-parked generation at the exact boundary the stamp
+            // exists to clear (review finding)
+            batchesDone.incrementAndGet()
+            gate.unlock()
+          }
           // the batch is COMPLETE: a generation swapped out before this
           // batch can release now, off-thread (see pendingRelease)
-          batchesDone.incrementAndGet()
           releasePendingAsync()
           ()
         }

@@ -730,7 +730,7 @@ object Ann {
         catch { case _: java.io.FileNotFoundException => null }
       if (entries == null || !entries.exists(n =>
           n.startsWith("gen-") || n == "CURRENT" || n == ".CURRENT.old" ||
-          n == ".CURRENT.tmp" || n == "manifest.json"))
+          n.startsWith(".CURRENT.tmp") || n == "manifest.json"))
         throw new IllegalStateException(
           s"IVF index at $dir ${if (entries == null) "does not exist"
             else "contains no index artifacts"} — unbuilt or mistyped " +

@@ -201,7 +201,7 @@ object BenchServe {
     // (identical work within a family) — the attempt's phase evidence
     val familyTasks = scala.collection.mutable.Map
       .empty[Int, scala.collection.mutable.ArrayBuffer[Double]]
-    def oneBatch(n: Int): Double = {
+    def oneBatch(n: Int, stampFamily: Boolean = true): Double = {
       batchTaskMs.set(0); batchGcMs.set(0)
       val gc0 = driverGcMs; val jit0 = jitBean.getTotalCompilationTime
       val t0 = System.nanoTime()
@@ -209,9 +209,16 @@ object BenchServe {
       q.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9
       drainBus()
-      familyTasks.getOrElseUpdate(n,
-        scala.collection.mutable.ArrayBuffer.empty[Double]) +=
-        batchTaskMs.get / 1e3
+      // stampFamily=false for swap-window batches: the listener sums
+      // EVERY task in the process, so the concurrent generation build's
+      // task time would ride the burst family and a healthy run could
+      // stamp itself degraded (review finding) — the swap batches carry
+      // their own columns (swap_post_max etc.), they just don't vote on
+      // the box's phase
+      if (stampFamily)
+        familyTasks.getOrElseUpdate(n,
+          scala.collection.mutable.ArrayBuffer.empty[Double]) +=
+          batchTaskMs.get / 1e3
       println(f"SERVE_BATCH n=$n wall=$wall%.2f task=${batchTaskMs.get / 1e3}%.1f " +
         f"execGc=${batchGcMs.get / 1e3}%.1f drvGc=${(driverGcMs - gc0) / 1e3}%.1f " +
         f"jit=${(jitBean.getTotalCompilationTime - jit0) / 1e3}%.1f s gen=${handle.generation}")
@@ -295,7 +302,7 @@ object BenchServe {
         var postSeen = 0
         while ((swapT.isAlive || postSeen < 3) && during.size < 24 &&
             swapErr.isEmpty) {
-          val w = oneBatch(burstN)
+          val w = oneBatch(burstN, stampFamily = false)
           val g = handle.generation
           if (g > genBefore) postSeen += 1
           during += ((w, g))

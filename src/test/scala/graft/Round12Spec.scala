@@ -94,6 +94,59 @@ class Round12Spec extends SparkSuite {
     assert(err.getMessage.contains("no FOLDED pointer"), err.getMessage)
   }
 
+  test("a crashed first fold's orphan base self-heals: the stream proceeds on the intact batch dirs and the next fold sweeps it") {
+    // the review counterpart of the lost-pointer check: a fold that died
+    // BEFORE its flip (orphan base on disk, pointer never written, every
+    // source batch dir intact) is a crash window the at-least-once design
+    // supports — it must NOT be read as a lost pointer and kill the
+    // stream; deduping against the batch dirs alone is complete there
+    val dir = java.nio.file.Files.createTempDirectory("dedupfoldcr2").toString
+    graft.jobs.DedupIngestJob.seed(
+      Seq((1L, lorem)).toDF("doc_id", "text"), "doc_id", "text", dir)
+    implicit val sqlCtx = spark.sqlContext
+    val stream1 = MemoryStream[(Long, String)]
+    val q1 = graft.jobs.DedupIngestJob.start(
+      stream1.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      stream1.addData((10L, other))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the crashed fold: base components written, boundary marker written,
+    // flip never happened — seed (-1) and batch 0 dirs are all intact
+    val orphan = new java.io.File(s"$dir/index/base-00000000-dead-beef")
+    assert(new java.io.File(orphan, "banded").mkdirs())
+    assert(new java.io.File(orphan, "shingled").mkdirs())
+    java.nio.file.Files.writeString(
+      orphan.toPath.resolve("_FOLDED_UPTO"), "0")
+    val folds = new java.util.concurrent.atomic.AtomicInteger
+    val stream2 = MemoryStream[(Long, String)]
+    val q2 = graft.jobs.DedupIngestJob.start(
+      stream2.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+      trigger = Trigger.ProcessingTime(0L), foldAfterBatches = 1,
+      onFold = _ => { folds.incrementAndGet(); () })
+    try {
+      // a near-dup of the batch-0 survivor: the (batch-dir) index must
+      // still catch it — nothing folded was forgotten, nothing crashed
+      stream2.addData((20L, other + " y"), (21L, "entirely novel text " +
+        "about wavelet trees and succinct rank select dictionaries"))
+      q2.processAllAvailable()
+      stream2.addData((30L, "fresh unrelated prose describing tidal " +
+        "estuaries and the migratory habits of arctic terns"))
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty,
+        s"crashed-fold orphan must not kill the stream: ${q2.exception}")
+      val ids = graft.jobs.DedupIngestJob.survivors(spark, dir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(!ids.contains(20L), "dedup against batch dirs must still work")
+      assert(ids.contains(21L) && ids.contains(30L))
+      assert(folds.get() >= 1, "the in-loop fold must have fired")
+      assert(!orphan.exists(),
+        "the next successful fold must sweep the crashed fold's orphan")
+      assert(new java.io.File(s"$dir/index/FOLDED").isFile)
+    } finally q2.stop()
+  }
+
   // ---------------------------------------------------------------- advice 3
   test("sweep refuses to delete a superseded generation holding a shard committed after the fold snapshot (lost-append fence)") {
     val dir = java.nio.file.Files.createTempDirectory("ivflost").toString
