@@ -193,13 +193,13 @@ object AtomicPointer {
       pfs.delete(aside, false)
   }
 
-  private def readSmall(fs: FileSystem, p: Path): String = {
+  private[graft] def readSmall(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     finally in.close()
   }
 
-  private def writeSmall(fs: FileSystem, p: Path, content: String): Unit = {
+  private[graft] def writeSmall(fs: FileSystem, p: Path, content: String): Unit = {
     val out = fs.create(p, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }

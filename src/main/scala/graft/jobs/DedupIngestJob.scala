@@ -232,22 +232,28 @@ object DedupIngestJob {
                         upToBatch: Long): Unit = {
     val idxDir = s"$dir/index"
     val hfs = fs(spark, dir)
+    // the batch-dir ids this fold consumes — recorded inside the base so
+    // a pointerless restart can discriminate crashed from lost (below)
+    val srcIds = unfoldedBatches(spark, dir, readFold(spark, dir))
     val cur = loadIndex(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"foldIndex: no index at $idxDir — nothing has been ingested"))
     val name = s"base-${java.util.UUID.randomUUID().toString}"
     cur.banded.write.parquet(s"$idxDir/$name/banded")
     cur.shingles.write.parquet(s"$idxDir/$name/shingled")
-    // the fold boundary, recorded INSIDE the base generation BEFORE the
-    // flip: it lets loadIndex distinguish a crashed fold (pointer never
-    // written; all source batch dirs still on disk — the batch-dir view
-    // is complete, proceed and let the next fold sweep the orphan) from
-    // a LOST pointer (fold completed, cleanup deleted the folded dirs —
-    // proceeding would silently forget the folded history; fail loudly)
-    val upOut = hfs.create(
-      new org.apache.hadoop.fs.Path(s"$idxDir/$name/_FOLDED_UPTO"), true)
-    try upOut.write(upToBatch.toString.getBytes("UTF-8"))
-    finally upOut.close()
+    // the fold's SOURCE batch ids, recorded INSIDE the base generation
+    // BEFORE the flip: they let loadIndex distinguish a crashed fold
+    // (pointer never written; EVERY source dir still on disk — the
+    // batch-dir view is complete, proceed and let the next fold sweep
+    // the orphan) from a LOST pointer (fold completed, cleanup deleted
+    // the sources — proceeding would silently forget the folded
+    // history; fail loudly). The FULL id set, not just the boundary: a
+    // checkpoint replay re-creates a strict SUBSET of the folded dirs,
+    // and boundary-only presence would misread lost-after-replay as
+    // crashed (r12 review finding).
+    graft.io.AtomicPointer.writeSmall(hfs,
+      new org.apache.hadoop.fs.Path(s"$idxDir/$name/_FOLDED_UPTO"),
+      srcIds.sorted.mkString(","))
     // FENCED flip (r11 verdict 3): the fold fails loudly if a concurrent
     // maintainer's flip interleaved — a silently lost fold generation
     // would dedup the next batches against a stale boundary
@@ -305,19 +311,25 @@ object DedupIngestJob {
     readFold(spark, dir) match {
       case None =>
         // A base generation on disk with NO pointer is one of two states:
-        //  - a CRASHED fold (died before its flip): every source batch
-        //    dir is still on disk, so the batch-dir view is complete and
-        //    correct — proceed; the next successful fold sweeps the
-        //    orphan (the pre-r12 behavior, which a crash window the
-        //    at-least-once design supports must keep);
-        //  - a LOST pointer (fold completed, cleanup deleted the folded
+        //  - a CRASHED fold (died before its flip): EVERY source batch
+        //    dir is still on disk (a fold deletes nothing pre-commit),
+        //    so the batch-dir view is complete and correct — proceed;
+        //    the next successful fold sweeps the orphan (a crash window
+        //    the at-least-once design supports must self-heal);
+        //  - a LOST pointer (fold committed, cleanup deleted the folded
         //    batch dirs, pointer later destroyed): deduping against only
         //    the remaining batch dirs silently forgets the folded
         //    history forever — fail loudly (r11 advice).
-        // Discriminated by the base's _FOLDED_UPTO boundary (written
-        // before the flip): a crashed fold leaves batch dirs AT/BELOW its
-        // boundary; a completed-then-lost fold deleted them all. A base
-        // with no readable boundary is torn mid-write — crashed, safe.
+        // Discriminated by the base's _FOLDED_UPTO source-id list
+        // (written before the flip): crashed = ALL listed ids still have
+        // their dirs. Subset presence is NOT crashed — a checkpoint
+        // replay re-creates only the replayed batch's dir, so
+        // lost-after-replay leaves a strict subset (r12 review finding).
+        // A base with NO readable id list (pre-r12 legacy, or torn in
+        // the ms between component writes and the marker write) is not
+        // discriminable and stays LOUD — the fail-safe posture for a
+        // dedup-completeness guard; a legacy crashed-fold orphan needs
+        // one manual delete of the base dir.
         val bases =
           (try Option(hfs.listStatus(
               new org.apache.hadoop.fs.Path(s"$dir/index")))
@@ -329,36 +341,34 @@ object DedupIngestJob {
           .filter(st => st.isDirectory &&
             st.getPath.getName.startsWith("base-"))
           .map(_.getPath.getName)
-        lazy val allBatches = unfoldedBatches(spark, dir, None)
+        lazy val batchSet = unfoldedBatches(spark, dir, None).toSet
         val lost = bases.filter { b =>
-          val boundary =
+          val srcIds: Option[Seq[Long]] =
             try {
-              val in = hfs.open(new org.apache.hadoop.fs.Path(
-                s"$dir/index/$b/_FOLDED_UPTO"))
-              val s = try scala.io.Source.fromInputStream(in, "UTF-8")
-                .mkString.trim finally in.close()
-              scala.util.Try(s.toLong).toOption
+              val toks = graft.io.AtomicPointer.readSmall(hfs,
+                  new org.apache.hadoop.fs.Path(
+                    s"$dir/index/$b/_FOLDED_UPTO"))
+                .split(",").map(_.trim).filter(_.nonEmpty)
+              val ids = toks.flatMap(t => scala.util.Try(t.toLong).toOption)
+              if (ids.nonEmpty && ids.length == toks.length)
+                Some(ids.toSeq)
+              else None
             } catch { case _: java.io.IOException => None }
-          boundary match {
-            // boundary with no surviving source dir at/below it = the
-            // fold's cleanup ran = the fold COMMITTED, pointer gone
-            case Some(up) => !allBatches.exists(_ <= up)
-            // no readable boundary: an r12+ fold torn mid-write (its
-            // sources necessarily survive → batch dirs exist → crashed,
-            // safe) or a pre-marker legacy base — for those only the
-            // unambiguous zero-batch-dirs state (everything was folded,
-            // nothing left to dedup against) is called lost
-            case None => allBatches.isEmpty
+          srcIds match {
+            case Some(ids) => !ids.forall(batchSet.contains)
+            case None => true
           }
         }
         if (lost.nonEmpty) throw new IllegalStateException(
           s"dedup index at $dir/index has folded generation(s) " +
-            s"${lost.sorted.mkString(",")} whose source batch dirs were " +
-            "cleaned but no FOLDED pointer — the pointer was lost " +
-            "(deletion or partial restore), and deduping against only " +
-            "the unfolded batches would silently miss every duplicate " +
-            "in the folded history. Restore the pointer (content: " +
-            "'<maxFoldedBatch> <baseName>') or rebuild the index.")
+            s"${lost.sorted.mkString(",")} but no FOLDED pointer, and " +
+            "their source batch dirs are not (fully) on disk — the " +
+            "pointer was lost (deletion or partial restore), and deduping " +
+            "against only the unfolded batches would silently miss every " +
+            "duplicate in the folded history. Restore the pointer " +
+            "(content: '<maxFoldedBatch> <baseName>'), or — if the fold " +
+            "provably never committed (legacy pre-marker orphan) — " +
+            "delete the base dir; otherwise rebuild the index.")
         if (!hfs.exists(banded)) None
         else Some(Dedup.LshIndex(
           spark.read.parquet(s"$dir/index/banded").drop("batch"),

@@ -302,7 +302,11 @@ object BenchServe {
         var postSeen = 0
         while ((swapT.isAlive || postSeen < 3) && during.size < 24 &&
             swapErr.isEmpty) {
-          val w = oneBatch(burstN, stampFamily = false)
+          // only build-overlapped batches are excluded from the phase
+          // stamp (their task sums carry the concurrent generation
+          // build); once the swap thread is done, the tail batches vote
+          // again so the swap columns ship WITH phase evidence
+          val w = oneBatch(burstN, stampFamily = !swapT.isAlive)
           val g = handle.generation
           if (g > genBefore) postSeen += 1
           during += ((w, g))

@@ -76,7 +76,12 @@ class Round12Spec extends SparkSuite {
     assert(idx.listFiles().exists(_.getName.startsWith("base-")),
       "fixture must have folded")
     // the failure mode: pointer lost (manual deletion / partial restore),
-    // base generation still on disk
+    // base generation still on disk — AND a replay leftover: a checkpoint
+    // replay re-created ONE of the folded batch dirs. Subset presence
+    // must NOT read as "crashed fold" (which requires ALL source dirs) —
+    // the r12 review's counterexample to a boundary-only marker
+    assert(new java.io.File(s"$dir/index/banded/batch=0").mkdirs() ||
+      new java.io.File(s"$dir/index/banded/batch=0").isDirectory)
     assert(new java.io.File(idx, "FOLDED").delete())
     new java.io.File(idx, ".FOLDED.old").delete()
     val stream2 = MemoryStream[(Long, String)]
@@ -112,13 +117,14 @@ class Round12Spec extends SparkSuite {
       stream1.addData((10L, other))
       q1.processAllAvailable()
     } finally q1.stop()
-    // the crashed fold: base components written, boundary marker written,
-    // flip never happened — seed (-1) and batch 0 dirs are all intact
+    // the crashed fold: base components written, source-id marker
+    // written, flip never happened — seed (-1) and batch 0 dirs, the
+    // fold's full source set, are all intact
     val orphan = new java.io.File(s"$dir/index/base-00000000-dead-beef")
     assert(new java.io.File(orphan, "banded").mkdirs())
     assert(new java.io.File(orphan, "shingled").mkdirs())
     java.nio.file.Files.writeString(
-      orphan.toPath.resolve("_FOLDED_UPTO"), "0")
+      orphan.toPath.resolve("_FOLDED_UPTO"), "-1,0")
     val folds = new java.util.concurrent.atomic.AtomicInteger
     val stream2 = MemoryStream[(Long, String)]
     val q2 = graft.jobs.DedupIngestJob.start(
