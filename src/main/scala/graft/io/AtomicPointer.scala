@@ -165,17 +165,45 @@ object AtomicPointer {
     * of a multi-step maintenance op (flip, then cleanup, then verify the
     * pointer STILL names our generation). Throws when the pointer reads a
     * foreign value — the caller's generation was superseded or clobbered
-    * by a concurrent maintainer and must not be reported as installed. */
+    * by a concurrent maintainer and must not be reported as installed.
+    *
+    * Reads the PRIMARY only, never the aside (r12 ADVICE): on the
+    * non-atomic path a foreign flip that has renamed our primary aside
+    * but not yet installed its own primary would let this maintainer read
+    * its own content back through the aside and falsely pass the fence —
+    * both maintainers then believe they are installed, the exact state
+    * the fence exists to detect. After our own successful flip the
+    * primary must exist, so a missing primary is itself evidence of a
+    * concurrent flip mid-sequence and raises the same exception. */
   def verifyOwn(fs: FileSystem, dir: String, name: String,
                 content: String): Unit = {
-    val got = read(fs, dir, name)
-    if (!got.contains(content))
+    val pfs = pointerIoFs(fs)
+    val primary = new Path(s"$dir/$name")
+    val got =
+      try { if (pfs.exists(primary)) Some(readSmall(pfs, primary)) else None }
+      catch {
+        // lost the exists/open race — only a concurrent flip can remove
+        // the primary we just installed, so this too is breach evidence
+        case _: java.io.FileNotFoundException => None
+      }
+    if (!got.contains(content)) {
+      // Breach-residue cleanup (r12 verdict 6): this maintainer's failed
+      // flip left its aside snapshot (superseded content) on disk; if the
+      // winner's primary were ever lost, read() would resolve through it.
+      // Clear it NOW, while a verified foreign primary exists — the only
+      // state where deleting the aside cannot orphan readers (clearAside
+      // re-checks the primary). Best-effort under an already-detected
+      // breach: a third concurrent flipper could recreate an aside in the
+      // same instant, but every such flipper's own fence reports the
+      // breach loudly, and the pointer itself is never torn.
+      if (got.isDefined) clearAside(fs, dir, name)
       throw new ConcurrentFlipException(
         s"pointer $dir/$name reads '${got.getOrElse("<missing>")}' after " +
           s"this maintainer flipped it to '$content' — a concurrent " +
           "maintainer raced this flip (single-writer contract breached). " +
           "This generation is NOT installed; run maintenance serially and " +
           "rerun the op.")
+    }
   }
 
   /** A detected single-writer breach: two maintainers flipped the same

@@ -293,6 +293,14 @@ object ServeJob {
 
   /** [[start]] plus the hot-refresh [[ModelHandle]]. The returned query is
     * identical to [[start]]'s when the handle is never used. */
+  /** `parkedReleaseGraceMs`: the time-based fallback for the deferred
+    * generation release (r12 ADVICE). The swapped-out generation normally
+    * parks until the NEXT batch completes, but an idle/trickle stream may
+    * never fire that batch — without a fallback the retired generation's
+    * broadcasts and persists are held indefinitely (double model memory
+    * until the next event). A daemon timer releases the parked generation
+    * after this grace period when no batch has drained it first; 0
+    * disables the fallback. */
   def startSwappable(frames: DataFrame, fitted0: RecommenderModel.Fitted,
             collect: DataFrame, kv: KVSink,
             filterCollected: Boolean = true,
@@ -300,7 +308,8 @@ object ServeJob {
             trigger: Trigger = Trigger.AvailableNow(),
             checkpointLocation: Option[String] = None,
             stageTimer: (String, Double) => Unit = (_, _) => (),
-            serveBudgetBytes: Long = graft.rank.Scoring.DefaultServeBudgetBytes)
+            serveBudgetBytes: Long = graft.rank.Scoring.DefaultServeBudgetBytes,
+            parkedReleaseGraceMs: Long = 30000L)
       : (StreamingQuery, ModelHandle) = {
     val decoded = EventSource.decode(frames)
     // Build the SERVE INDEX once per deployment: every batch-invariant
@@ -432,10 +441,31 @@ object ServeJob {
       // and its own pendingRelease drain would otherwise leak the parked
       // generation for the session (stop() racing an in-flight swap).
       if (closedFlag.get()) { old.release(); return }
-      val prev = pendingRelease.getAndSet((old, batchesDone.get()))
+      val stamped = (old, batchesDone.get())
+      val prev = pendingRelease.getAndSet(stamped)
       if (prev != null) prev._1.release()
       if (closedFlag.get())
         Option(pendingRelease.getAndSet(null)).foreach(_._1.release())
+      else if (parkedReleaseGraceMs > 0L) {
+        // time-based fallback (r12 ADVICE): on an idle/trickle stream no
+        // further foreachBatch ever fires to run the batch-end drain, so
+        // the parked generation would be held for hours — double model
+        // memory on a stream doing nothing. Release is safe at ANY point
+        // after the swap (the gate already guaranteed no in-flight batch
+        // reads the old generation; the park is purely about WHERE the
+        // reclamation cost lands), so after the grace period the idle
+        // case takes it immediately. The CAS on the exact parked tuple
+        // makes the drain single-shot against the batch path and the
+        // termination drain — whoever wins the CAS releases, everyone
+        // else no-ops (and Generation.release is itself idempotent).
+        val t = new Thread(() => {
+          try Thread.sleep(parkedReleaseGraceMs)
+          catch { case _: InterruptedException => () }
+          if (pendingRelease.compareAndSet(stamped, null)) stamped._1.release()
+        }, "graft-gen-release-grace")
+        t.setDaemon(true)
+        t.start()
+      }
     }
     def releasePendingAsync(): Unit = {
       val p = pendingRelease.get()

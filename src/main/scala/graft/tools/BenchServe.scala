@@ -59,12 +59,17 @@ object BenchServe {
   /** Stamp one attempt from its per-family per-batch summed task seconds
     * (a family = batches of identical work, e.g. all 250-event steady
     * batches). Families with fewer than 2 samples carry no ratio and are
-    * skipped. */
+    * skipped. The median is the LOWER middle element (r12 ADVICE): with
+    * the upper middle, a 2-sample family's median IS its max, so
+    * max/median is structurally 1.0 and the family can never vote
+    * degraded even when one batch inflated 30× — the lower middle keeps
+    * every admitted family able to detect inflation (for n=2 the ratio
+    * degrades to max/min, strictly more sensitive, never less). */
   def phaseStamp(families: Seq[Seq[Double]],
                  threshold: Double = PhaseThreshold): PhaseStamp = {
     val ratios = families.filter(_.size >= 2).map { f =>
       val s = f.sorted
-      val med = s(s.size / 2)
+      val med = s((s.size - 1) / 2)
       (if (med > 0) s.last / med else 1.0, med)
     }
     val worst = if (ratios.isEmpty) 1.0 else ratios.map(_._1).max

@@ -36,6 +36,14 @@ class BenchServeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(s.phase == "clean", s.toString)
   }
 
+  test("a 2-sample family CAN vote degraded (lower-middle median, r12 advice)") {
+    // with the upper-middle median a 2-sample family's median IS its max,
+    // so max/median was structurally 1.0 — a 30x-inflated batch hid
+    assert(BenchServe.phaseStamp(Seq(Seq(10.0, 300.0))).phase == "degraded")
+    // honest 2-sample jitter still stamps clean (ratio = max/min there)
+    assert(BenchServe.phaseStamp(Seq(Seq(10.0, 12.5))).phase == "clean")
+  }
+
   test("degenerate families (singleton, empty, zero-median) do not crash or false-positive") {
     assert(BenchServe.phaseStamp(Seq(Seq(5.0), Seq.empty)).phase == "clean")
     assert(BenchServe.phaseStamp(Seq(Seq(0.0, 0.0, 0.0))).phase == "clean")

@@ -185,6 +185,46 @@ class HotSwapSpec extends SparkSuite {
       "termination must release the live AND any parked generation")
   }
 
+  test("an idle stream releases the parked generation after the grace period — no double model footprint until the next event (r12 advice)") {
+    // the deferred release normally drains at the NEXT batch end; on an
+    // idle/trickle stream that batch may be hours away, and the retired
+    // generation's persists/broadcasts would be held the whole time. The
+    // time-based fallback releases it after parkedReleaseGraceMs with NO
+    // further batch ever firing.
+    InMemoryKV.clear()
+    val kv = new InMemoryKV
+    val coll1 = Fixtures.collects(spark)
+    val f1 = fit(coll1)
+    val f2 = fit(collects2)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def extraPersists: Int =
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val (q, handle) = ServeJob.startSwappable(stream.toDF(), f1, coll1, kv,
+      trigger = Trigger.ProcessingTime(0L), serveBudgetBytes = 1L,
+      parkedReleaseGraceMs = 400L)
+    try {
+      stream.addData("""{"userId": 101}""")
+      q.processAllAvailable()
+      assert(extraPersists == 1)
+      handle.swap(f2, collects2)
+      assert(extraPersists == 2,
+        "old generation parked right after the swap")
+      // NO further batch: the grace timer alone must drain the park
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (extraPersists > 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(extraPersists == 1,
+        "idle stream must release the parked generation after the grace " +
+          "period without waiting for a batch")
+      // the stream still serves correctly on the new generation
+      stream.addData("""{"userId": 101}""")
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"post-grace batch failed: ${q.exception}")
+    } finally q.stop()
+  }
+
   test("swap is not starved by back-to-back batches (fair gate, r10 advice)") {
     // a feeder thread keeps the stream CONTINUOUSLY busy — with a non-fair
     // gate the foreachBatch thread can barge and reacquire at every batch
