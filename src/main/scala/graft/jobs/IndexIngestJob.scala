@@ -67,14 +67,28 @@ object IndexIngestJob {
             checkpointLocation: Option[String] = None,
             onShard: (Long, Int) => Unit = (_, _) => (),
             compactAfterShards: Int = 0,
-            onCompact: Long => Unit = _ => ()): StreamingQuery = {
+            onCompact: Long => Unit = _ => (),
+            compactBaseRatio: Double = 0.0,
+            maxLiveGens: Int = 8): StreamingQuery = {
     val base = vectors.writeStream.outputMode("append")
     checkpointLocation.foreach(base.option("checkpointLocation", _))
     // the shared serial-loop maintenance scaffolding ([[MaintenanceCycle]]):
-    // compact-on-budget with the sweep deferred one trigger interval
+    // compact-on-budget with the sweep deferred one trigger interval.
+    // `compactBaseRatio` > 0 switches the budgeted fire to TIERED
+    // compaction ([[graft.operators.Ann.compactIvfIndexTiered]]) — the
+    // base ≫ batch deployment shape, where a flat compact would rewrite
+    // the whole corpus every `compactAfterShards` appends (quadratic
+    // lifetime write volume); tiered fires cost O(appends since the last
+    // fire) and rewrite the base only geometrically. The default 0 keeps
+    // the flat compact — correct while base ≈ batches, and what every
+    // pre-r13 deployment ran.
     val cycle = new MaintenanceCycle(compactAfterShards,
       maintain = (spark, batchId) => {
-        Ann.compactIvfIndex(spark, dir, retainSuperseded = true)
+        if (compactBaseRatio > 0.0)
+          Ann.compactIvfIndexTiered(spark, dir, compactBaseRatio,
+            maxLiveGens, retainSuperseded = true)
+        else
+          Ann.compactIvfIndex(spark, dir, retainSuperseded = true)
         onCompact(batchId)
       },
       sweep = spark => {

@@ -632,7 +632,7 @@ object Ann {
     // retainSuperseded the old generation stays for in-flight readers;
     // [[sweepIvfIndex]] finishes the cycle once they drain.
     if (!retainSuperseded) cleanupAfterFlip(fs, dir, gen)
-    finalizeMaintenance(fs, dir, gen, buildId)
+    finalizeMaintenance(fs, dir, gen, Seq((gen, buildId, false)))
   }
 
   /** End-of-maintenance self-check (detection, not locking — r11
@@ -649,38 +649,56 @@ object Ann {
     * maintainer superseded or destroyed the result, and the caller must
     * not report its generation as installed. */
   private def finalizeMaintenance(fs: org.apache.hadoop.fs.FileSystem,
-                                  dir: String, gen: String,
-                                  buildId: String): Unit = {
-    graft.io.AtomicPointer.verifyOwn(fs, dir, "CURRENT", gen)
-    val m = readIvfManifest(fs, s"$dir/$gen")
-    if (m.buildId != buildId)
-      throw new IllegalStateException(
-        s"IVF maintenance at $dir: generation $gen now carries buildId " +
-          s"${m.buildId}, not this maintainer's $buildId — a concurrent " +
-          "maintainer rewrote it (single-writer contract breached)")
-    requireMarkersMatch(fs, s"$dir/$gen", buildId)
-    // markers/manifest alone are not proof of life: a concurrent
-    // maintainer's cleanup can delete this generation's DATA mid-write,
-    // after which our own marker/manifest writes recreate the dir as a
-    // husk (fs.create makes parents) that passes the checks above —
-    // caught by the concurrent-compaction race spec (both threads
-    // "succeeded", the pointer named a generation whose components held
-    // only underscore files). Require at least one data entry per
-    // component; a husk fails here, loudly.
-    Seq("centroids.parquet", "postings.parquet").foreach { comp =>
-      val st =
-        try fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$gen/$comp"))
-        catch { case _: java.io.FileNotFoundException => null }
-      val hasData = st != null && st.exists { s =>
-        val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
+                                  dir: String, pointerContent: String,
+                                  checks: Seq[(String, String, Boolean)],
+                                  retainedGens: Seq[String] = Nil): Unit = {
+    graft.io.AtomicPointer.verifyOwn(fs, dir, "CURRENT", pointerContent)
+    checks.foreach { case (gen, buildId, allowEmptyPostings) =>
+      val m = readIvfManifest(fs, s"$dir/$gen")
+      if (m.buildId != buildId)
+        throw new IllegalStateException(
+          s"IVF maintenance at $dir: generation $gen now carries buildId " +
+            s"${m.buildId}, not this maintainer's $buildId — a concurrent " +
+            "maintainer rewrote it (single-writer contract breached)")
+      requireMarkersMatch(fs, s"$dir/$gen", buildId)
+      // markers/manifest alone are not proof of life: a concurrent
+      // maintainer's cleanup can delete this generation's DATA mid-write,
+      // after which our own marker/manifest writes recreate the dir as a
+      // husk (fs.create makes parents) that passes the checks above —
+      // caught by the concurrent-compaction race spec (both threads
+      // "succeeded", the pointer named a generation whose components held
+      // only underscore files). Require at least one data entry per
+      // component; a husk fails here, loudly. A tiered layout's fresh
+      // tail is EMPTY by construction — its postings check is skipped,
+      // its centroids check is not.
+      Seq("centroids.parquet", "postings.parquet").foreach { comp =>
+        if (!(comp == "postings.parquet" && allowEmptyPostings)) {
+          val st =
+            try fs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$dir/$gen/$comp"))
+            catch { case _: java.io.FileNotFoundException => null }
+          val hasData = st != null && st.exists { s =>
+            val n = s.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }
+          if (!hasData) throw new IllegalStateException(
+            s"IVF maintenance at $dir: generation $gen's $comp holds no " +
+              "data files — a concurrent maintainer's cleanup destroyed " +
+              "this generation mid-commit (single-writer contract " +
+              "breached); this maintainer's result is NOT installed, " +
+              "rerun maintenance serially")
+        }
       }
-      if (!hasData) throw new IllegalStateException(
-        s"IVF maintenance at $dir: generation $gen's $comp holds no data " +
-          "files — a concurrent maintainer's cleanup destroyed this " +
-          "generation mid-commit (single-writer contract breached); this " +
-          "maintainer's result is NOT installed, rerun maintenance " +
-          "serially")
+    }
+    // generations this maintenance RETAINED (a minor fold's base + frozen
+    // siblings) must still be on disk — a concurrent maintainer's cleanup
+    // deleting one as "superseded" would silently lose its rows
+    retainedGens.foreach { g =>
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$g/manifest.json")))
+        throw new IllegalStateException(
+          s"IVF maintenance at $dir: retained generation $g lost its " +
+            "manifest after the flip — a concurrent maintainer's cleanup " +
+            "destroyed it (single-writer contract breached); rebuild")
     }
   }
 
@@ -691,13 +709,33 @@ object Ann {
     * On filesystems whose overwrite-rename is delete-then-rename rather
     * than atomic (the local FS; HDFS rename2 IS atomic), a read can race
     * the two metadata ops of a flip — absorbed by a bounded retry; a
-    * persistent miss fails loudly. */
+    * persistent miss fails loudly.
+    *
+    * TIERED indexes (r12 verdict 1) carry a comma-separated generation
+    * LIST in CURRENT — base first, append-target TAIL last. This
+    * single-dir resolver returns the TAIL (the generation appends land
+    * in); queries go through [[resolveIvfDirs]] and union every listed
+    * generation. A single-generation pointer (every pre-tiering index)
+    * behaves exactly as before. */
   def resolveIvfDir(spark: SparkSession, dir: String): String =
     resolveIvfDir(new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
 
+  /** All live generation directories, ordered base → tail. One element
+    * for every pre-tiering index. */
+  def resolveIvfDirs(spark: SparkSession, dir: String): Seq[String] =
+    resolveIvfGens(new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+
   private def resolveIvfDir(fs: org.apache.hadoop.fs.FileSystem,
-                            dir: String): String = {
+                            dir: String): String =
+    resolveIvfGens(fs, dir).last
+
+  private def validIvfGenName(n: String): Boolean =
+    n.startsWith("gen-") && !n.contains("/") && !n.contains("..")
+
+  private def resolveIvfGens(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: String): Seq[String] = {
     var attempt = 0
     while (attempt < 20) {
       // read() covers primary + crashed-fallback aside with its own
@@ -705,15 +743,15 @@ object Ann {
       // completed between the two existence probes (pointer momentarily
       // unseen) on a filesystem without atomic replace
       graft.io.AtomicPointer.read(fs, dir, "CURRENT") match {
-        case Some(gen) =>
-          require(gen.startsWith("gen-") && !gen.contains("/") &&
-              !gen.contains(".."),
-            s"corrupt CURRENT pointer at $dir: '$gen'")
-          return s"$dir/$gen"
+        case Some(content) =>
+          val gens = content.split(",").toSeq.filter(_.nonEmpty)
+          require(gens.nonEmpty && gens.forall(validIvfGenName),
+            s"corrupt CURRENT pointer at $dir: '$content'")
+          return gens.map(g => s"$dir/$g")
         case None =>
           if (fs.exists(
               new org.apache.hadoop.fs.Path(s"$dir/manifest.json")))
-            return dir // legacy in-place layout
+            return Seq(dir) // legacy in-place layout
       }
       // the retry budget exists for ONE state: a non-atomic flip's
       // mid-rename window, in which index artifacts (a gen-* dir, an
@@ -743,50 +781,56 @@ object Ann {
         "manifest.json — torn, empty, or pre-manifest; rerun buildIvfIndex")
   }
 
-  /** The live generation's buildId, after the same manifest + marker
-    * consistency checks every query runs — the cheap ops probe for "what
-    * is serving right now" (three tiny file reads, no Spark job). */
+  /** The live buildId(s), after the same manifest + marker consistency
+    * checks every query runs — the cheap ops probe for "what is serving
+    * right now" (tiny file reads, no Spark job). A tiered index returns
+    * every live generation's buildId, base → tail, comma-joined (any
+    * maintenance op changes the string, so swap detection keeps
+    * working). */
   def liveIvfGeneration(spark: SparkSession, dir: String): String = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    resolveAndReadManifest(fs, dir)._2.buildId
+    resolveAndReadManifests(fs, dir).map(_._2.buildId).mkString(",")
   }
 
   /** The number of shards a query scans right now (manifest base plus
-    * marker-committed appends) — the fragmentation probe an
-    * auto-compaction policy keys on. One listStatus, no Spark job; read
-    * cost grows with this number ([[compactIvfIndex]] resets it to 1). */
+    * marker-committed appends, summed over live generations) — the
+    * fragmentation probe an auto-compaction policy keys on. One
+    * listStatus per generation, no Spark job; read cost grows with this
+    * number ([[compactIvfIndex]] resets it to 1). */
   def committedIvfShardCount(spark: SparkSession, dir: String): Int = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (g, m) = resolveAndReadManifest(fs, dir)
-    committedShards(fs, g, m).size
+    resolveAndReadManifests(fs, dir)
+      .map { case (g, m) => committedShards(fs, g, m).size }.sum
   }
 
-  /** Resolve the live generation and read + check its manifest, retrying
-    * through SUPERSESSION: between reading CURRENT and reading the
-    * manifest, a maintenance flip can delete the generation we resolved —
+  /** Resolve the live generation list and read + check every manifest,
+    * retrying through SUPERSESSION: between reading CURRENT and reading a
+    * manifest, a maintenance flip can delete a generation we resolved —
     * that is not corruption, the pointer has simply moved on, so
-    * re-resolve and read the new generation. The retry fires ONLY when a
-    * fresh resolution disagrees with the generation that failed; a
-    * genuinely torn or tampered index (markers missing, manifest
-    * malformed, pointer dangling) still fails loudly on the spot. This is
-    * what makes the metadata phase of a query genuinely zero-blip for
-    * readers, not just for the writer's commit. */
-  private def resolveAndReadManifest(
+    * re-resolve and read the new list. The retry fires ONLY when a fresh
+    * resolution disagrees with the list that failed; a genuinely torn or
+    * tampered index (markers missing, manifest malformed, pointer
+    * dangling) still fails loudly on the spot. This is what makes the
+    * metadata phase of a query genuinely zero-blip for readers, not just
+    * for the writer's commit. */
+  private def resolveAndReadManifests(
       fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): (String, IvfManifest) = {
+      dir: String): Seq[(String, IvfManifest)] = {
     var attempt = 0
     while (true) {
-      val g = resolveIvfDir(fs, dir)
+      val gens = resolveIvfGens(fs, dir)
       try {
-        val m = readIvfManifest(fs, g)
-        requireMarkersMatch(fs, g, m.buildId)
-        return (g, m)
+        return gens.map { g =>
+          val m = readIvfManifest(fs, g)
+          requireMarkersMatch(fs, g, m.buildId)
+          (g, m)
+        }
       } catch {
         case scala.util.control.NonFatal(e) =>
           val superseded =
-            try resolveIvfDir(fs, dir) != g
+            try resolveIvfGens(fs, dir) != gens
             catch { case scala.util.control.NonFatal(_) => false }
           attempt += 1
           if (!superseded || attempt >= 5) throw e
@@ -816,7 +860,12 @@ object Ann {
     * concurrent build's in-flight generation dir would be deleted as an
     * orphan by the winner's cleanup. Returns the deleted names. */
   private def cleanupAfterFlip(fs: org.apache.hadoop.fs.FileSystem,
-                               dir: String, keepGen: String): Seq[String] = {
+                               dir: String, keepGen: String): Seq[String] =
+    cleanupAfterFlip(fs, dir, Set(keepGen))
+
+  private def cleanupAfterFlip(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String,
+                               keepGens: Set[String]): Seq[String] = {
     // the aside pointer from a crashed fallback flip is only garbage when
     // the primary pointer exists — after a crash RECOVERY it may be the
     // sole pointer readers resolve through, and deleting it would orphan
@@ -827,12 +876,11 @@ object Ann {
     // deleting the fold's SOURCE is fenced against appends that committed
     // into it after the fold snapshot (r11 advice — those rows are in no
     // live generation; see IvfManifest.srcBuildId)
-    val prov: Option[(String, Set[Int])] =
-      try {
-        val m = readIvfManifest(fs, s"$dir/$keepGen")
-        m.srcBuildId.map(b => (b, m.srcShards.toSet))
-      } catch { case scala.util.control.NonFatal(_) => None }
-    def fenceLostAppends(postings: String): Unit = prov.foreach {
+    val provs: Seq[(String, Set[Int])] = keepGens.toSeq.flatMap { kg =>
+      try readIvfManifest(fs, s"$dir/$kg").provenance
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    }
+    def fenceLostAppends(postings: String): Unit = provs.foreach {
       case (srcBuildId, srcShards) =>
         val re = ("^_SHARD_COMMIT_" +
           java.util.regex.Pattern.quote(srcBuildId) + "_(\\d+)$").r
@@ -856,7 +904,7 @@ object Ann {
       .toSeq.flatMap { s =>
         val n = s.getPath.getName
         val stale =
-          (n.startsWith("gen-") && n != keepGen) ||
+          (n.startsWith("gen-") && !keepGens.contains(n)) ||
           n == "manifest.json" || n == "centroids.parquet" ||
           n == "postings.parquet" ||
           n.startsWith(".staging") || n.startsWith(".trash-") ||
@@ -887,12 +935,13 @@ object Ann {
   def sweepIvfIndex(spark: SparkSession, dir: String): Seq[String] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val g = resolveIvfDir(fs, dir)
-    require(g != dir,
+    val gens = resolveIvfGens(fs, dir)
+    require(gens != Seq(dir),
       s"sweepIvfIndex: $dir is a legacy in-place index — nothing is " +
         "superseded; its next rebuild/compact migrates it to the pointer " +
         "layout")
-    cleanupAfterFlip(fs, dir, new org.apache.hadoop.fs.Path(g).getName)
+    cleanupAfterFlip(fs, dir,
+      gens.map(g => new org.apache.hadoop.fs.Path(g).getName).toSet)
   }
 
   /** Compact an incrementally-grown IVF index IN PLACE: fold every
@@ -926,18 +975,94 @@ object Ann {
                       retainSuperseded: Boolean = false): Long = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val src = resolveIvfDir(fs, dir)
-    val m = readIvfManifest(fs, src)
-    requireMarkersMatch(fs, src, m.buildId)
-    val committed = committedShards(fs, src, m)
-    val post = spark.read.parquet(s"$src/postings.parquet")
-      .where(col("shard").isin(committed: _*))
-    val cents = spark.read.parquet(s"$src/centroids.parquet")
+    // every live generation folds in — on a TIERED index the legacy
+    // entry point is simply a full (major) collapse to one generation
+    compactGensInto(spark, fs, dir, resolveAndReadManifests(fs, dir),
+      keepPrefix = Seq.empty, freshTail = false,
+      retainSuperseded = retainSuperseded)
+  }
+
+  /** TIERED compaction (r12 verdict 1) — the base ≫ batch form of
+    * [[compactIvfIndex]]. The flat compact rewrites the ENTIRE index per
+    * fire, so a count-budgeted maintenance loop pays O(corpus) every
+    * `compactAfterShards` appends and lifetime maintenance write volume
+    * is quadratic in corpus. Tiered maintenance keeps the CURRENT
+    * pointer on an ordered generation LIST — big base first, an
+    * append-target TAIL last:
+    *
+    *  - a MINOR fire folds ONLY the tail's committed shards into a
+    *    frozen sibling generation and opens a fresh empty tail — cost
+    *    O(appends since the last fire), independent of the base;
+    *  - a MAJOR fire (when the non-base generations reach `baseRatio`
+    *    of the base's bytes, or the list hits `maxGens`) collapses
+    *    everything into a new base + fresh tail — O(corpus), but fired
+    *    geometrically, so total base rewrites over an ingest's life are
+    *    ~(1 + 1/baseRatio)× the corpus, LINEAR rather than quadratic.
+    *
+    * Queries ([[queryIvfIndex]]) union every listed generation's
+    * committed postings (all assigned against the same frozen centroid
+    * family — checked); appends land in the tail; the per-query listing
+    * cost is bounded by maxGens + the tail's shard budget. Same commit
+    * protocol as everything else here: new generations fully
+    * materialized, ONE fenced pointer flip, cleanup off the commit
+    * path, end-of-maintenance completeness re-check. Returns the rows
+    * folded by this fire (0 when the tail was empty — a no-op fire). */
+  def compactIvfIndexTiered(spark: SparkSession, dir: String,
+                            baseRatio: Double = 0.3, maxGens: Int = 8,
+                            retainSuperseded: Boolean = false): Long = {
+    require(maxGens >= 2, s"compactIvfIndexTiered: maxGens=$maxGens — the" +
+      " tiered layout needs room for at least a base and a tail")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gms = resolveAndReadManifests(fs, dir)
+    def genBytes(g: String): Long =
+      try fs.getContentSummary(new org.apache.hadoop.fs.Path(g)).getLength
+      catch { case _: java.io.FileNotFoundException => 0L }
+    val major = gms.size <= 1 || baseRatio <= 0.0 ||
+      gms.size >= maxGens || {
+        val bs = gms.map(gm => genBytes(gm._1))
+        bs.tail.sum.toDouble >= baseRatio * bs.head
+      }
+    if (major)
+      compactGensInto(spark, fs, dir, gms, keepPrefix = Seq.empty,
+        freshTail = true, retainSuperseded = retainSuperseded)
+    else if (!hasPostingData(fs, gms.last._1)) 0L
+    else compactGensInto(spark, fs, dir, Seq(gms.last),
+      keepPrefix = gms.init.map(gm =>
+        new org.apache.hadoop.fs.Path(gm._1).getName),
+      freshTail = true, retainSuperseded = retainSuperseded)
+  }
+
+  /** Fold `srcGms`'s committed postings into ONE fresh generation
+    * (optionally followed by a fresh EMPTY tail generation — the tiered
+    * layout's append target), then commit `keepPrefix ++ merged ++ tail`
+    * with a single fenced pointer flip. The shared kernel behind
+    * [[compactIvfIndex]] (all gens, no tail) and
+    * [[compactIvfIndexTiered]] (minor: tail only, keep the rest). */
+  private def compactGensInto(spark: SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              dir: String,
+                              srcGms: Seq[(String, IvfManifest)],
+                              keepPrefix: Seq[String],
+                              freshTail: Boolean,
+                              retainSuperseded: Boolean): Long = {
+    val m0 = srcGms.head._2
+    val srcCommitted = srcGms.map { case (g, m) =>
+      (g, m, committedShards(fs, g, m)) }
+    val post = srcCommitted.flatMap { case (g, _, committed) =>
+      if (!hasPostingData(fs, g)) None
+      else Some(spark.read.parquet(s"$g/postings.parquet")
+        .where(col("shard").isin(committed: _*)))
+    }.reduceOption(_ unionByName _).getOrElse(
+      throw new IllegalStateException(
+        s"compactIvfIndex: no posting data to fold at $dir — torn build " +
+          "or an empty index; rerun buildIvfIndex"))
+    val cents = spark.read.parquet(s"${srcGms.head._1}/centroids.parquet")
     val buildId = java.util.UUID.randomUUID().toString
     val gen = s"gen-$buildId"
     val genDir = s"$dir/$gen"
     val nCentsInt = math.max(1,
-      math.min(m.nCentroids, Int.MaxValue.toLong).toInt)
+      math.min(m0.nCentroids, Int.MaxValue.toLong).toInt)
     // materializing actions FIRST — both new-generation components exist
     // in full before cleanup deletes the live dirs they were read from
     cents.write.mode("overwrite").parquet(s"$genDir/centroids.parquet")
@@ -953,25 +1078,57 @@ object Ann {
     val rows = spark.read.parquet(s"$genDir/postings.parquet").count()
     writeSmallFile(fs, s"$genDir/centroids.parquet/_BUILD_ID", buildId)
     writeSmallFile(fs, s"$genDir/postings.parquet/_BUILD_ID", buildId)
-    // fold provenance: exactly which source shards this generation holds,
-    // so post-flip cleanup can DETECT a shard that an append committed
-    // into the source generation after this snapshot (r11 advice — that
-    // shard's rows are in no live generation; deleting its dir silently
-    // would turn a single-writer breach into data loss)
+    // fold provenance for EVERY source generation: exactly which shards
+    // this generation holds, so post-flip cleanup can DETECT a shard an
+    // append committed into a source generation after this snapshot (r11
+    // advice — that shard's rows are in no live generation; deleting its
+    // dir silently would turn a single-writer breach into data loss).
+    // Legacy single-source fields kept alongside for single-source folds.
+    val srcsField = srcCommitted.map { case (_, m, committed) =>
+      s"${m.buildId}:${committed.sorted.mkString("|")}" }.mkString(",")
+    val legacyProv = if (srcCommitted.size == 1)
+      s""""srcBuildId":"${m0.buildId}",""" +
+        s""""srcShards":[${srcCommitted.head._3.sorted.mkString(",")}],"""
+      else ""
     writeSmallFile(fs, s"$genDir/.manifest.json.tmp",
-      s"""{"seed":${m.seed},"nCentroids":${m.nCentroids},""" +
-        s""""requested":${m.requested},""" +
+      s"""{"seed":${m0.seed},"nCentroids":${m0.nCentroids},""" +
+        s""""requested":${m0.requested},""" +
         s""""buildId":"$buildId","shards":[0],""" +
-        s""""srcBuildId":"${m.buildId}",""" +
-        s""""srcShards":[${committed.sorted.mkString(",")}]}""")
+        legacyProv + s""""srcs":"$srcsField"}""")
     require(fs.rename(
       new org.apache.hadoop.fs.Path(s"$genDir/.manifest.json.tmp"),
       new org.apache.hadoop.fs.Path(s"$genDir/manifest.json")),
       s"compactIvfIndex: manifest rename inside $genDir failed — the new " +
         "generation is uncommitted and the live one untouched; rerun")
-    flipCurrent(fs, spark.sparkContext.hadoopConfiguration, dir, gen)
-    if (!retainSuperseded) cleanupAfterFlip(fs, dir, gen)
-    finalizeMaintenance(fs, dir, gen, buildId)
+    // the fresh tail, created BEFORE the flip so the pointer never names
+    // a missing generation: centroids copy (appends assign against them)
+    // + generation markers + manifest; postings intentionally EMPTY (the
+    // phantom manifest shard 0 anchors the append id sequence — queries
+    // skip the generation entirely until a cell dir exists)
+    val tail = if (!freshTail) Seq.empty else {
+      val tId = java.util.UUID.randomUUID().toString
+      val tGen = s"gen-$tId"
+      val tDir = s"$dir/$tGen"
+      cents.write.mode("overwrite").parquet(s"$tDir/centroids.parquet")
+      writeSmallFile(fs, s"$tDir/centroids.parquet/_BUILD_ID", tId)
+      writeSmallFile(fs, s"$tDir/postings.parquet/_BUILD_ID", tId)
+      writeSmallFile(fs, s"$tDir/.manifest.json.tmp",
+        s"""{"seed":${m0.seed},"nCentroids":${m0.nCentroids},""" +
+          s""""requested":${m0.requested},"buildId":"$tId","shards":[0]}""")
+      require(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$tDir/.manifest.json.tmp"),
+        new org.apache.hadoop.fs.Path(s"$tDir/manifest.json")),
+        s"compactIvfIndexTiered: manifest rename inside $tDir failed — " +
+          "the tail is uncommitted and the live pointer untouched; rerun")
+      Seq((tGen, tId))
+    }
+    val newGens = keepPrefix ++ Seq(gen) ++ tail.map(_._1)
+    val content = newGens.mkString(",")
+    flipCurrent(fs, spark.sparkContext.hadoopConfiguration, dir, content)
+    if (!retainSuperseded) cleanupAfterFlip(fs, dir, newGens.toSet)
+    finalizeMaintenance(fs, dir, content,
+      Seq((gen, buildId, false)) ++ tail.map(t => (t._1, t._2, true)),
+      retainedGens = keepPrefix)
     rows
   }
 
@@ -1158,6 +1315,14 @@ object Ann {
     * otherwise pay ~365 serial round trips per query batch); stale
     * markers from other generations and stray non-protocol names simply
     * don't match the anchored pattern. */
+  /** Whether a generation's postings tree holds ANY partition dir — a
+    * tiered index's fresh tail is created empty (manifest + centroids +
+    * _BUILD_ID, zero cells) and readers skip it until appends land. */
+  private def hasPostingData(fs: org.apache.hadoop.fs.FileSystem,
+                             gen: String): Boolean =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$gen/postings.parquet/cell=*"))).exists(_.nonEmpty)
+
   private def committedShards(fs: org.apache.hadoop.fs.FileSystem,
                               dir: String, m: IvfManifest): Seq[Int] = {
     val re = ("^_SHARD_COMMIT_" +
@@ -1228,7 +1393,17 @@ object Ann {
                                  requested: Long, buildId: String,
                                  shards: Seq[Int],
                                  srcBuildId: Option[String] = None,
-                                 srcShards: Seq[Int] = Nil)
+                                 srcShards: Seq[Int] = Nil,
+                                 srcs: Seq[(String, Seq[Int])] = Nil) {
+    /** Every source generation this one was folded from, as
+      * buildId -> snapshot shard set — the lost-append fence's input.
+      * Unifies the legacy single-source fields with the tiered
+      * multi-source `srcs` list. */
+    def provenance: Seq[(String, Set[Int])] =
+      (srcBuildId.map(b => (b, srcShards.toSet)).toSeq ++
+        srcs.map { case (b, sh) => (b, sh.toSet) })
+        .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSet).toSeq
+  }
 
   private def readIvfManifest(fs: org.apache.hadoop.fs.FileSystem,
                               dir: String): IvfManifest = {
@@ -1256,8 +1431,16 @@ object Ann {
     val srcShards = """"srcShards":\[([0-9, ]*)\]""".r.findFirstMatchIn(mtext)
       .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
         .map(_.toInt).toSeq).getOrElse(Seq.empty)
+    // tiered multi-source provenance: "srcs":"buildA:0|1,buildB:0"
+    val srcs = """"srcs":"([^"]*)"""".r.findFirstMatchIn(mtext)
+      .map(_.group(1).split(",").toSeq.filter(_.nonEmpty).map { tok =>
+        val i = tok.indexOf(':')
+        require(i > 0, s"malformed srcs token '$tok' in IVF manifest $dir")
+        (tok.substring(0, i), tok.substring(i + 1).split("\\|").toSeq
+          .filter(_.nonEmpty).map(_.toInt))
+      }).getOrElse(Seq.empty)
     IvfManifest(num("seed"), num("nCentroids"), num("requested"),
-      buildId, shards, srcBuildId, srcShards)
+      buildId, shards, srcBuildId, srcShards, srcs)
   }
 
   private def requireMarkersMatch(fs: org.apache.hadoop.fs.FileSystem,
@@ -1273,18 +1456,16 @@ object Ann {
           s"declares $buildId — mixed-generation index; rebuild")
     }
 
+  // tiny-file IO delegates to the pointer layer's single implementation
+  // (r12 verdict 5: three hand-rolled copies existed; this is now the one)
   private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
-                             path: String, content: String): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-  }
+                             path: String, content: String): Unit =
+    graft.io.AtomicPointer.writeSmall(fs,
+      new org.apache.hadoop.fs.Path(path), content)
 
   private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
-                            path: org.apache.hadoop.fs.Path): String = {
-    val in = fs.open(path)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-  }
+                            path: org.apache.hadoop.fs.Path): String =
+    graft.io.AtomicPointer.readSmall(fs, path)
 
   /** Query a [[buildIvfIndex]] index: assign each query to its `nProbe`
     * nearest centroids (broadcast of the centroid table — no corpus
@@ -1309,14 +1490,35 @@ object Ann {
     // loudly if the superseded tree is deleted mid-scan).
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (g, m) = resolveAndReadManifest(fs, dir)
-    val cents = spark.read.parquet(s"$g/centroids.parquet")
+    val gms = resolveAndReadManifests(fs, dir)
+    val (g0, m0) = gms.head
+    // tiered generations were all assigned against the SAME frozen
+    // centroid family (minor compacts copy centroids verbatim) — checked,
+    // not trusted: probing cell ids against foreign centroids would be
+    // silently wrong, the worst failure class
+    gms.tail.foreach { case (g, m) =>
+      require(m.seed == m0.seed && m.nCentroids == m0.nCentroids,
+        s"IVF index at $dir: generation $g (seed=${m.seed}, " +
+          s"nCentroids=${m.nCentroids}) is not from the base's centroid " +
+          s"family (seed=${m0.seed}, nCentroids=${m0.nCentroids}) — " +
+          "mixed-family tier; rebuild")
+    }
+    val cents = spark.read.parquet(s"$g0/centroids.parquet")
     // only committed shards are scanned — the manifest's base list plus
     // current-generation _SHARD_COMMIT_ markers ([[appendIvfShard]]); an
     // append that crashed before its commit marker left files no query
-    // reads (partition filter — pruned, not filtered row-by-row)
-    val post = spark.read.parquet(s"$g/postings.parquet")
-      .where(col("shard").isin(committedShards(fs, g, m): _*))
+    // reads (partition filter — pruned, not filtered row-by-row). A
+    // tiered index unions every live generation's committed postings; a
+    // fresh (still-empty) tail generation has no partition dirs to read
+    // and is skipped by the listing probe.
+    val post = gms.flatMap { case (g, m) =>
+      if (!hasPostingData(fs, g)) None
+      else Some(spark.read.parquet(s"$g/postings.parquet")
+        .where(col("shard").isin(committedShards(fs, g, m): _*)))
+    }.reduceOption(_ unionByName _).getOrElse(
+      throw new IllegalStateException(
+        s"IVF index at $dir has no posting data in any live generation — " +
+          "torn build; rerun buildIvfIndex"))
     val qcells = assignCells(queries, idCol, vecCol, cents, nProbe)
       .select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
     val cand = qcells
