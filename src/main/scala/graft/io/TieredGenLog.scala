@@ -1,0 +1,333 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The tiered generation-log protocol shared by the engine's GROWING
+  * parquet-component index families — the third extraction of the serial
+  * ingest-loop scaffolding (r11 verdict 7 gave the loops one
+  * [[graft.jobs.MaintenanceCycle]]; this gives their on-disk index the
+  * one fold/commit protocol the dedup LSH index hand-rolled and a third
+  * family would have copied again).
+  *
+  * An index under this protocol is a directory `idxDir` holding, per
+  * logical component (e.g. the dedup index's `banded` + `shingled`, the
+  * lexical index's `postings` + `docs`):
+  *
+  *   idxDir/<comp>/batch=N       — per-micro-batch append shards
+  *   idxDir/base-<uuid>/<comp>   — folded generations
+  *   idxDir/FOLDED               — atomic pointer: "maxBatch gen1,gen2,…"
+  *
+  * The pointer carries an ordered generation LIST — base first, newest
+  * minor-fold sibling last (r12 verdict 1, tiered maintenance); a
+  * single-name pointer is the classic fully-folded state and parses as a
+  * one-element list. The EFFECTIVE view of a component is the union of
+  * every live generation's copy plus strictly-newer batch shards; dirs at
+  * or below the fold boundary are replay leftovers the view ignores
+  * (partition-pruned, never scanned).
+  *
+  * [[fold]] is tiered: a MINOR fire reads only the unfolded batch shards
+  * and APPENDS a sibling generation — the base is never read or written,
+  * so per-fire cost is O(batches since the last fire); a MAJOR fire
+  * (forced when `baseRatio <= 0`, the list hits `maxGens`, or the
+  * accumulated non-base bytes reach `baseRatio` of the base) collapses
+  * every live generation plus the batches into ONE — lifetime maintenance
+  * write volume stays ~(1+1/ratio)× corpus instead of quadratic.
+  *
+  * Commit protocol (every step spec-pinned on the dedup family, which
+  * this class was extracted from verbatim):
+  *  1. the new generation's `_FOLDED_UPTO` marker — its FULL source
+  *     batch-id set plus, for a major fold, the consumed generation
+  *     names — is written FIRST (r12 ADVICE), so a crash anywhere
+  *     mid-fold leaves a discriminable 'crashed' orphan;
+  *  2. the component parquet writes;
+  *  3. a FENCED pointer flip ([[AtomicPointer.flipFenced]]) — a
+  *     concurrent maintainer's interleaved flip fails this fold loudly;
+  *  4. cleanup of superseded generations + folded batch dirs — inline
+  *     when the caller is the index's only reader (`retainSuperseded =
+  *     false`, the dedup loop), or deferred to [[sweep]] when external
+  *     queries may be scanning the old generations (`retainSuperseded =
+  *     true`: the caller sweeps one trigger interval later, the same
+  *     reader-drain contract the IVF loop's deferred sweep gives
+  *     [[graft.operators.Ann.sweepIvfIndex]]);
+  *  5. the end-of-maintenance self-check: the pointer must still name
+  *     OUR generation list and every live generation must still hold
+  *     every component — a concurrent maintainer's cleanup destroying
+  *     them is caught here, not three batches later.
+  *
+  * Crashed-vs-lost discrimination (r11 advice + r12 review): a base
+  * generation on disk with NO pointer is 'crashed' (fold died before its
+  * flip — every marker-listed source still on disk, the batch-dir view is
+  * complete, proceed and let the next fold sweep the orphan) or a LOST
+  * pointer (sources deleted by the completed fold's cleanup — proceeding
+  * would silently forget the folded history; fail loudly). Subset
+  * presence is NOT crashed: a checkpoint replay re-creates a strict
+  * subset of the folded dirs. Marker-less bases stay loud — the
+  * fail-safe posture for a completeness guard.
+  *
+  * Single-writer: every mutating call must come from one serial thread
+  * per index (the streaming foreachBatch deployment both ingest loops
+  * document); the fence turns a breach into a loud error, not a lock. */
+final class TieredGenLog(val idxDir: String, components: Seq[String],
+                         kind: String) {
+  require(components.nonEmpty, "TieredGenLog needs at least one component")
+
+  /** The FOLDED pointer's parsed content: the highest batch id folded
+    * into the live generation list (ordered oldest/base first). */
+  final case class FoldState(maxBatch: Long, gens: Seq[String])
+
+  private def fs(spark: SparkSession): FileSystem =
+    new Path(idxDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def validGenName(n: String): Boolean =
+    n.startsWith("base-") && !n.contains("/") && !n.contains("..")
+
+  def readState(spark: SparkSession): Option[FoldState] =
+    AtomicPointer.read(fs(spark), idxDir, "FOLDED").map { c =>
+      val parts = c.split("\\s+")
+      // the numeric field parses via Try so a digit string beyond Long
+      // range still dies with the descriptive message, not a bare
+      // NumberFormatException
+      val maxB = if (parts.length == 2)
+        scala.util.Try(parts(0).toLong).toOption else None
+      // pre-tiering pointers hold one name; tiered pointers a
+      // comma-separated ordered list — both parse here
+      val gens = if (parts.length == 2)
+        parts(1).split(",").toSeq.filter(_.nonEmpty) else Seq.empty
+      require(maxB.isDefined && gens.nonEmpty && gens.forall(validGenName),
+        s"corrupt FOLDED pointer at $idxDir: '$c'")
+      FoldState(maxB.get, gens)
+    }
+
+  /** Anchored `batch=N` dir-name parse: stray near-protocol names (an
+    * editor backup `batch=3.bak`, a mis-copied dir) are NOT protocol
+    * state and must be ignored, not crash the stream inside foreachBatch
+    * with a bare NumberFormatException. */
+  private val BatchDirName = "^batch=(-?\\d+)$".r
+  private def parseBatchDir(name: String): Option[Long] =
+    BatchDirName.findFirstMatchIn(name)
+      .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+
+  private def list(hfs: FileSystem, p: String): Seq[FileStatus] =
+    (try Option(hfs.listStatus(new Path(p)))
+      .getOrElse(Array.empty[FileStatus]).toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty[FileStatus] })
+
+  /** Unfolded `batch=N` shard ids (all components move in lockstep; the
+    * first is listed). Ids at or below the fold boundary are replay
+    * leftovers the effective view ignores. */
+  def unfoldedBatches(spark: SparkSession,
+                      state: Option[FoldState]): Seq[Long] = {
+    val floor = state.map(_.maxBatch).getOrElse(Long.MinValue)
+    list(fs(spark), s"$idxDir/${components.head}")
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .flatMap(parseBatchDir)
+      .filter(_ > floor)
+  }
+
+  def unfoldedBatchCount(spark: SparkSession): Int =
+    unfoldedBatches(spark, readState(spark)).size
+
+  /** Write one micro-batch's component frames (aligned with the
+    * constructor's component order) as `batch=N` shards. Mode overwrite
+    * keyed by the deterministic micro-batch id — the at-least-once
+    * replay's idempotence anchor: a replayed batch rewrites the same
+    * dirs with the same rows rather than appending duplicates. */
+  def writeShard(frames: Seq[DataFrame], batchId: Long): Unit = {
+    require(frames.length == components.length,
+      s"writeShard: ${frames.length} frames for ${components.length} components")
+    components.zip(frames).foreach { case (comp, df) =>
+      df.write.mode("overwrite").parquet(s"$idxDir/$comp/batch=$batchId")
+    }
+  }
+
+  /** Recursive byte size of one path (0 when absent) — the tier
+    * decision's input. One getContentSummary RPC per live dir; the live
+    * set is bounded by `maxGens` + the unfolded budget. */
+  private def pathBytes(hfs: FileSystem, p: String): Long = {
+    val hp = new Path(p)
+    try { if (hfs.exists(hp)) hfs.getContentSummary(hp).getLength else 0L }
+    catch { case _: java.io.FileNotFoundException => 0L }
+  }
+
+  /** The EFFECTIVE component views (aligned with the constructor's
+    * component order): live generations plus strictly-newer batch shards
+    * — never a replayed dir at or below the fold boundary. None when
+    * nothing has been ingested. Runs the crashed-vs-lost discrimination
+    * described on the class. */
+  def effective(spark: SparkSession): Option[Seq[DataFrame]] = {
+    val hfs = fs(spark)
+    readState(spark) match {
+      case None =>
+        val bases = list(hfs, idxDir)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("base-"))
+          .map(_.getPath.getName)
+        lazy val batchSet = unfoldedBatches(spark, None).toSet
+        val baseSet = bases.toSet
+        val lost = bases.filter { b =>
+          // marker tokens: batch ids always; a MAJOR tiered fold also
+          // lists the generation names it consumed — "crashed" requires
+          // EVERY listed source (dir or generation) still on disk
+          val srcs: Option[(Seq[Long], Seq[String])] =
+            try {
+              val toks = AtomicPointer.readSmall(hfs,
+                  new Path(s"$idxDir/$b/_FOLDED_UPTO"))
+                .split(",").map(_.trim).filter(_.nonEmpty)
+              val (genToks, idToks) = toks.partition(_.startsWith("base-"))
+              val ids = idToks.flatMap(t => scala.util.Try(t.toLong).toOption)
+              if (toks.nonEmpty && ids.length == idToks.length &&
+                  genToks.forall(validGenName))
+                Some((ids.toSeq, genToks.toSeq))
+              else None
+            } catch { case _: java.io.IOException => None }
+          srcs match {
+            case Some((ids, gs)) =>
+              !(ids.forall(batchSet.contains) && gs.forall(baseSet.contains))
+            case None => true
+          }
+        }
+        if (lost.nonEmpty) throw new IllegalStateException(
+          s"$kind at $idxDir has folded generation(s) " +
+            s"${lost.sorted.mkString(",")} but no FOLDED pointer, and " +
+            "their source batch dirs are not (fully) on disk — the " +
+            "pointer was lost (deletion or partial restore), and reading " +
+            "only the unfolded batches would silently forget the folded " +
+            "history. Restore the pointer (content: '<maxFoldedBatch> " +
+            "<gen1>,<gen2>,...'), or — if the fold provably never " +
+            "committed (legacy pre-marker orphan) — delete the base dir; " +
+            "otherwise rebuild the index.")
+        if (!hfs.exists(new Path(s"$idxDir/${components.head}"))) None
+        else Some(components.map(c =>
+          spark.read.parquet(s"$idxDir/$c").drop("batch")))
+      case Some(f) =>
+        // all live generations (base + minor-fold siblings) union equally
+        val gens = components.map(c =>
+          f.gens.map(g => spark.read.parquet(s"$idxDir/$g/$c"))
+            .reduce(_ unionByName _))
+        if (unfoldedBatches(spark, Some(f)).isEmpty) Some(gens)
+        else Some(components.zip(gens).map { case (c, g) =>
+          // the batch > boundary predicate is a partition filter — the
+          // replay-leftover dirs are pruned, not scanned
+          g.unionByName(spark.read.parquet(s"$idxDir/$c")
+            .where(col("batch") > f.maxBatch).drop("batch"))
+        })
+    }
+  }
+
+  /** Fold unfolded batch shards into a fresh `base-<uuid>` generation
+    * and flip the FOLDED pointer (the commit protocol on the class doc).
+    * With `retainSuperseded` the cleanup is deferred to [[sweep]] —
+    * external readers planned against the old generations finish their
+    * scans first; without it (the caller is the only reader) cleanup
+    * runs inline. */
+  def fold(spark: SparkSession, upToBatch: Long, baseRatio: Double = 0.3,
+           maxGens: Int = 8, retainSuperseded: Boolean = false): Unit = {
+    val hfs = fs(spark)
+    val state = readState(spark)
+    // the batch-dir ids this fold consumes — recorded inside the base so
+    // a pointerless restart can discriminate crashed from lost
+    val srcIds = unfoldedBatches(spark, state)
+    val gens = state.map(_.gens).getOrElse(Seq.empty)
+    // tier decision, by BYTES (corpus mass, not dir counts): minor while
+    // everything-but-the-base is still small relative to the base
+    val floor = state.map(_.maxBatch).getOrElse(Long.MinValue)
+    val major = gens.isEmpty || baseRatio <= 0.0 ||
+      gens.size >= maxGens || {
+        val baseBytes = pathBytes(hfs, s"$idxDir/${gens.head}")
+        val tailBytes = gens.tail.map(g => pathBytes(hfs, s"$idxDir/$g")).sum +
+          srcIds.map(b => components.map(c =>
+            pathBytes(hfs, s"$idxDir/$c/batch=$b")).sum).sum
+        tailBytes >= baseRatio * baseBytes
+      }
+    val cur: Seq[DataFrame] =
+      if (major) effective(spark).getOrElse(
+        throw new IllegalStateException(
+          s"fold: no index at $idxDir — nothing has been ingested"))
+      else {
+        // minor source: the unfolded batch shards ONLY — the batch >
+        // floor predicate is a partition filter, so folded dirs and
+        // replay leftovers are pruned, never scanned
+        require(srcIds.nonEmpty, "fold: minor fold with no batches")
+        components.map(c => spark.read.parquet(s"$idxDir/$c")
+          .where(col("batch") > floor).drop("batch"))
+      }
+    val name = s"base-${java.util.UUID.randomUUID().toString}"
+    // a minor fold RETAINS the prior generations and appends; a major
+    // fold consumes them all
+    val newGens = if (major) Seq(name) else gens :+ name
+    // sources recorded in the marker: batch ids always; for a major fold
+    // also the consumed generation names (the crashed/lost discriminator
+    // then requires ALL of them on disk to call a pointerless base
+    // "crashed"). Written FIRST — before the multi-second component
+    // writes (r12 ADVICE) — so a crash anywhere mid-fold leaves a
+    // discriminable 'crashed' orphan the next fold sweeps automatically.
+    // The FULL id set, not just the boundary: a checkpoint replay
+    // re-creates a strict SUBSET of the folded dirs, and boundary-only
+    // presence would misread lost-after-replay as crashed.
+    val srcTokens = srcIds.sorted.map(_.toString) ++
+      (if (major) gens else Seq.empty)
+    AtomicPointer.writeSmall(hfs,
+      new Path(s"$idxDir/$name/_FOLDED_UPTO"), srcTokens.mkString(","))
+    components.zip(cur).foreach { case (c, df) =>
+      df.write.parquet(s"$idxDir/$name/$c")
+    }
+    val pointerContent = s"$upToBatch ${newGens.mkString(",")}"
+    // FENCED flip (r11 verdict 3): the fold fails loudly if a concurrent
+    // maintainer's flip interleaved — a silently lost fold generation
+    // would serve the next batches a stale boundary
+    AtomicPointer.flipFenced(hfs,
+      spark.sparkContext.hadoopConfiguration, idxDir, "FOLDED",
+      pointerContent)
+    if (!retainSuperseded) cleanup(hfs, newGens.toSet, upToBatch)
+
+    // end-of-maintenance self-check: the pointer must still name OUR
+    // generation list and every live generation must still exist — a
+    // concurrent folder's cleanup deleting them as "superseded" is
+    // caught here instead of surfacing as a mystery read failure three
+    // batches later (detection, not locking; the serial-foreachBatch
+    // deployment makes this a no-op in practice)
+    AtomicPointer.verifyOwn(hfs, idxDir, "FOLDED", pointerContent)
+    for (g <- newGens; c <- components) {
+      if (!hfs.exists(new Path(s"$idxDir/$g/$c")))
+        throw new IllegalStateException(
+          s"fold: live generation $idxDir/$g lost its $c component " +
+            "after the flip — a concurrent maintainer's cleanup destroyed " +
+            "it (single-writer contract breached); rebuild the index")
+    }
+  }
+
+  /** Delete everything the live pointer supersedes: non-live `base-*`
+    * generations (consumed by a major fold, or orphans of a crashed
+    * one), batch dirs at or below the fold boundary (also catches replay
+    * leftovers), and crash-orphaned per-flip pointer tmps. Stray
+    * non-protocol names (`batch=3.bak`) are not ours to delete. Safe to
+    * call any time from the writer thread; a no-op before the first
+    * fold. This is the deferred half of a `retainSuperseded` fold — run
+    * it one trigger interval later, after external readers' scans have
+    * drained. */
+  def sweep(spark: SparkSession): Unit = readState(spark).foreach { f =>
+    cleanup(fs(spark), f.gens.toSet, f.maxBatch)
+  }
+
+  private def cleanup(hfs: FileSystem, live: Set[String],
+                      upToBatch: Long): Unit = {
+    list(hfs, idxDir).foreach { st =>
+      val n = st.getPath.getName
+      if ((st.isDirectory && n.startsWith("base-") && !live.contains(n)) ||
+          // crash-orphaned per-flip pointer tmps (uuid-suffixed)
+          (!st.isDirectory && n.startsWith(".FOLDED.tmp")))
+        hfs.delete(st.getPath, true)
+    }
+    components.foreach { c =>
+      list(hfs, s"$idxDir/$c").foreach { st =>
+        if (st.isDirectory &&
+            parseBatchDir(st.getPath.getName).exists(_ <= upToBatch))
+          hfs.delete(st.getPath, true)
+      }
+    }
+    AtomicPointer.clearAside(hfs, idxDir, "FOLDED")
+    ()
+  }
+}

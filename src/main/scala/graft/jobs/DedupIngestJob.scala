@@ -164,318 +164,41 @@ object DedupIngestJob {
       sizedParts(spark, n * bands, 65536L))).getOrElse(idx.banded)
     val shingled = nDocs.map(n => idx.shingles.repartition(
       sizedParts(spark, n, 16384L))).getOrElse(idx.shingles)
-    banded.write.mode("overwrite")
-      .parquet(s"$dir/index/banded/batch=$batchId")
-    shingled.write.mode("overwrite")
-      .parquet(s"$dir/index/shingled/batch=$batchId")
+    genLog(dir).writeShard(Seq(banded, shingled), batchId)
   }
 
-  /** The FOLDED pointer's parsed content: the highest batch id folded
-    * into the live generation LIST under `dir/index/` — ordered oldest
-    * (the big base, L2) to newest (minor-fold L1s). One generation is
-    * the classic fully-folded state; multiple generations are the tiered
-    * state minor folds produce (r12 verdict 1): batches fold into
-    * SIBLING generations without rewriting the base, and the base is
-    * rewritten only when the accumulated minor generations reach a fixed
-    * fraction of it — amortizing lifetime maintenance writes from
-    * quadratic-in-corpus to linear. */
-  private final case class FoldState(maxBatch: Long, gens: Seq[String])
-
-  private def fs(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def validGenName(n: String): Boolean =
-    n.startsWith("base-") && !n.contains("/") && !n.contains("..")
-
-  private def readFold(spark: SparkSession, dir: String): Option[FoldState] =
-    graft.io.AtomicPointer.read(fs(spark, dir), s"$dir/index", "FOLDED")
-      .map { c =>
-        val parts = c.split("\\s+")
-        // the numeric field parses via Try so a digit string beyond Long
-        // range still dies with the descriptive message, not a bare
-        // NumberFormatException
-        val maxB = if (parts.length == 2)
-          scala.util.Try(parts(0).toLong).toOption else None
-        // pre-tiering pointers hold one name; tiered pointers a
-        // comma-separated ordered list — both parse here
-        val gens = if (parts.length == 2)
-          parts(1).split(",").toSeq.filter(_.nonEmpty) else Seq.empty
-        require(maxB.isDefined && gens.nonEmpty && gens.forall(validGenName),
-          s"corrupt FOLDED pointer at $dir/index: '$c'")
-        FoldState(maxB.get, gens)
-      }
-
-  /** Anchored `batch=N` dir-name parse: stray near-protocol names (an
-    * editor backup `batch=3.bak`, a mis-copied dir) are NOT protocol
-    * state and must be ignored, not crash the stream inside foreachBatch
-    * with a bare NumberFormatException — the same tolerance the IVF
-    * marker listing applies to non-matching names (r11 advice). */
-  private val BatchDirName = "^batch=(-?\\d+)$".r
-  private def parseBatchDir(name: String): Option[Long] =
-    BatchDirName.findFirstMatchIn(name)
-      .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
-
-  /** Unfolded `batch=N` shard ids under one index component (banded and
-    * shingled move in lockstep; banded is listed). Ids at or below the
-    * fold boundary are replay leftovers the effective view ignores. */
-  private def unfoldedBatches(spark: SparkSession, dir: String,
-                              fold: Option[FoldState]): Seq[Long] = {
-    val floor = fold.map(_.maxBatch).getOrElse(Long.MinValue)
-    (try Option(fs(spark, dir).listStatus(
-        new org.apache.hadoop.fs.Path(s"$dir/index/banded")))
-      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus]).toSeq
-    // an un-seeded stream's first batch has no index dir yet
-    catch { case _: java.io.FileNotFoundException =>
-      Seq.empty[org.apache.hadoop.fs.FileStatus] })
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .flatMap(parseBatchDir)
-      .filter(_ > floor)
-  }
+  /** The index's on-disk protocol — the tiered generation log shared
+    * with every growing index family ([[graft.io.TieredGenLog]]; the
+    * machinery was extracted from this job verbatim in r13, behavior
+    * pinned by DedupStreamSpec/Round12Spec/TieredMaintenanceSpec across
+    * the move): `batch=N` append shards per component, `base-<uuid>`
+    * folded generations, the FOLDED pointer carrying the ordered live
+    * list, marker-first fenced folds, crashed-vs-lost discrimination. */
+  private def genLog(dir: String): graft.io.TieredGenLog =
+    new graft.io.TieredGenLog(s"$dir/index", Seq("banded", "shingled"),
+      "dedup index")
 
   private def unfoldedBatchCount(spark: SparkSession, dir: String): Int =
-    unfoldedBatches(spark, dir, readFold(spark, dir)).size
+    genLog(dir).unfoldedBatchCount(spark)
 
-  /** Recursive byte size of one path (0 when absent) — the tier
-    * decision's input. One getContentSummary RPC per live dir; the live
-    * set is bounded by `maxLiveGens` + the unfolded budget. */
-  private def pathBytes(hfs: org.apache.hadoop.fs.FileSystem,
-                        p: String): Long = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    try { if (hfs.exists(hp)) hfs.getContentSummary(hp).getLength else 0L }
-    catch { case _: java.io.FileNotFoundException => 0L }
-  }
-
-  /** Fold unfolded batch shards into a fresh `base-<uuid>` generation and
-    * flip the FOLDED pointer. TIERED (r12 verdict 1): a MINOR fold reads
-    * only the batch shards and APPENDS the new generation to the live
-    * list — the base is never touched, so per-fire cost is O(batch
-    * window); a MAJOR fold reads every live generation plus the batches
-    * and collapses to ONE generation — O(corpus), but fired only when
-    * the accumulated minor generations + batches reach `baseRatio` of
-    * the base (or the list hits `maxGens`), so base rewrites are
-    * geometric and lifetime maintenance writes are linear in corpus
-    * (amortized ~1/baseRatio extra writes per ingested byte) instead of
-    * quadratic. `baseRatio <= 0` forces every fold major (the
-    * pre-tiering behavior). The new generation is fully materialized
-    * before the flip; superseded dirs (consumed generations, orphan
-    * bases from crashed folds, batch dirs ≤ the new boundary — including
-    * replay leftovers) are deleted AFTER it, off the commit path. No
-    * retain cycle is needed: the index's only reader is this same serial
-    * foreachBatch thread. */
+  /** Fold unfolded batch shards into a fresh generation and flip the
+    * FOLDED pointer — tiered (r12 verdict 1): see [[graft.io.TieredGenLog.fold]].
+    * No retain cycle is needed: the index's only reader is this same
+    * serial foreachBatch thread, so cleanup runs inline. */
   private def foldIndex(spark: SparkSession, dir: String,
                         upToBatch: Long, baseRatio: Double = 0.3,
-                        maxGens: Int = 8): Unit = {
-    val idxDir = s"$dir/index"
-    val hfs = fs(spark, dir)
-    val fold = readFold(spark, dir)
-    // the batch-dir ids this fold consumes — recorded inside the base so
-    // a pointerless restart can discriminate crashed from lost (below)
-    val srcIds = unfoldedBatches(spark, dir, fold)
-    val gens = fold.map(_.gens).getOrElse(Seq.empty)
-    // tier decision, by BYTES (corpus mass, not dir counts): minor while
-    // everything-but-the-base is still small relative to the base
-    val floor = fold.map(_.maxBatch).getOrElse(Long.MinValue)
-    val major = gens.isEmpty || baseRatio <= 0.0 ||
-      gens.size >= maxGens || {
-        val baseBytes = pathBytes(hfs, s"$idxDir/${gens.head}")
-        val tailBytes = gens.tail.map(g => pathBytes(hfs, s"$idxDir/$g")).sum +
-          srcIds.map(b => pathBytes(hfs, s"$idxDir/banded/batch=$b") +
-            pathBytes(hfs, s"$idxDir/shingled/batch=$b")).sum
-        tailBytes >= baseRatio * baseBytes
-      }
-    val cur =
-      if (major) loadIndex(spark, dir).getOrElse(
-        throw new IllegalStateException(
-          s"foldIndex: no index at $idxDir — nothing has been ingested"))
-      else {
-        // minor source: the unfolded batch shards ONLY — the batch >
-        // floor predicate is a partition filter, so folded dirs and
-        // replay leftovers are pruned, never scanned
-        require(srcIds.nonEmpty, "foldIndex: minor fold with no batches")
-        Dedup.LshIndex(
-          spark.read.parquet(s"$idxDir/banded")
-            .where(col("batch") > floor).drop("batch"),
-          spark.read.parquet(s"$idxDir/shingled")
-            .where(col("batch") > floor).drop("batch"))
-      }
-    val name = s"base-${java.util.UUID.randomUUID().toString}"
-    // a minor fold RETAINS the prior generations and appends; a major
-    // fold consumes them all
-    val newGens = if (major) Seq(name) else gens :+ name
-    // sources recorded in the marker: batch ids always; for a major fold
-    // also the consumed generation names (the crashed/lost discriminator
-    // then requires ALL of them on disk to call a pointerless base
-    // "crashed")
-    val srcTokens = srcIds.sorted.map(_.toString) ++
-      (if (major) gens else Seq.empty)
-    // the fold's SOURCE batch ids, recorded INSIDE the base generation
-    // FIRST — before the (multi-second) component writes, not after them
-    // (r12 ADVICE): they let loadIndex distinguish a crashed fold
-    // (pointer never written; EVERY source dir still on disk — the
-    // batch-dir view is complete, proceed and let the next fold sweep
-    // the orphan) from a LOST pointer (fold completed, cleanup deleted
-    // the sources — proceeding would silently forget the folded
-    // history; fail loudly). srcIds are known up-front, so writing the
-    // marker first shrinks the marker-less-orphan window from the whole
-    // parquet-write span to a single tiny file create — a crash anywhere
-    // mid-fold now leaves a discriminable 'crashed' orphan that the next
-    // fold sweeps automatically, instead of a loud restart-blocking base.
-    // The FULL id set, not just the boundary: a checkpoint replay
-    // re-creates a strict SUBSET of the folded dirs, and boundary-only
-    // presence would misread lost-after-replay as crashed (r12 review
-    // finding).
-    graft.io.AtomicPointer.writeSmall(hfs,
-      new org.apache.hadoop.fs.Path(s"$idxDir/$name/_FOLDED_UPTO"),
-      srcTokens.mkString(","))
-    cur.banded.write.parquet(s"$idxDir/$name/banded")
-    cur.shingles.write.parquet(s"$idxDir/$name/shingled")
-    val pointerContent = s"$upToBatch ${newGens.mkString(",")}"
-    // FENCED flip (r11 verdict 3): the fold fails loudly if a concurrent
-    // maintainer's flip interleaved — a silently lost fold generation
-    // would dedup the next batches against a stale boundary
-    graft.io.AtomicPointer.flipFenced(hfs,
-      spark.sparkContext.hadoopConfiguration, idxDir, "FOLDED",
-      pointerContent)
-    // cleanup after the flip: superseded + orphan generations (anything
-    // not in the LIVE list — a minor fold retains its predecessors),
-    // folded batch dirs (also catches replay leftovers at or below the
-    // boundary); stray non-protocol names (batch=3.bak) are not ours to
-    // delete
-    val live = newGens.toSet
-    Option(hfs.listStatus(new org.apache.hadoop.fs.Path(idxDir)))
-      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
-      .foreach { st =>
-        val n = st.getPath.getName
-        if ((st.isDirectory && n.startsWith("base-") && !live.contains(n)) ||
-            // crash-orphaned per-flip pointer tmps (uuid-suffixed)
-            (!st.isDirectory && n.startsWith(".FOLDED.tmp")))
-          hfs.delete(st.getPath, true)
-      }
-    Seq("banded", "shingled").foreach { sub =>
-      Option(hfs.listStatus(
-          new org.apache.hadoop.fs.Path(s"$idxDir/$sub")))
-        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
-        .foreach { st =>
-          if (st.isDirectory &&
-              parseBatchDir(st.getPath.getName).exists(_ <= upToBatch))
-            hfs.delete(st.getPath, true)
-        }
-    }
-    graft.io.AtomicPointer.clearAside(hfs, idxDir, "FOLDED")
+                        maxGens: Int = 8): Unit =
+    genLog(dir).fold(spark, upToBatch, baseRatio, maxGens)
 
-    // end-of-maintenance self-check, the fold analogue of the IVF loop's
-    // finalizeMaintenance: the pointer must still name OUR base and the
-    // base must still exist — a concurrent folder's cleanup deleting it
-    // as "superseded" is caught here instead of surfacing as a mystery
-    // read failure three batches later (detection, not locking; the
-    // serial-foreachBatch deployment makes this a no-op in practice)
-    graft.io.AtomicPointer.verifyOwn(hfs, idxDir, "FOLDED",
-      pointerContent)
-    for (g <- newGens; sub <- Seq("banded", "shingled")) {
-      if (!hfs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/$g/$sub")))
-        throw new IllegalStateException(
-          s"foldIndex: live generation $idxDir/$g lost its $sub component " +
-            "after the flip — a concurrent maintainer's cleanup destroyed " +
-            "it (single-writer contract breached); rebuild the index")
-    }
-  }
-
-  /** The EFFECTIVE index: the folded base generation (when the FOLDED
-    * pointer exists) plus strictly-newer batch shards — never a replayed
-    * dir at or below the fold boundary, whose rows would double-count
-    * bucket sizes against the `maxBucket` skew guard. */
+  /** The EFFECTIVE index: live generations plus strictly-newer batch
+    * shards — never a replayed dir at or below the fold boundary, whose
+    * rows would double-count bucket sizes against the `maxBucket` skew
+    * guard. */
   private def loadIndex(spark: SparkSession,
-                        dir: String): Option[Dedup.LshIndex] = {
-    val banded = new org.apache.hadoop.fs.Path(s"$dir/index/banded")
-    val hfs = fs(spark, dir)
-    readFold(spark, dir) match {
-      case None =>
-        // A base generation on disk with NO pointer is one of two states:
-        //  - a CRASHED fold (died before its flip): EVERY source batch
-        //    dir is still on disk (a fold deletes nothing pre-commit),
-        //    so the batch-dir view is complete and correct — proceed;
-        //    the next successful fold sweeps the orphan (a crash window
-        //    the at-least-once design supports must self-heal);
-        //  - a LOST pointer (fold committed, cleanup deleted the folded
-        //    batch dirs, pointer later destroyed): deduping against only
-        //    the remaining batch dirs silently forgets the folded
-        //    history forever — fail loudly (r11 advice).
-        // Discriminated by the base's _FOLDED_UPTO source-id list
-        // (written before the flip): crashed = ALL listed ids still have
-        // their dirs. Subset presence is NOT crashed — a checkpoint
-        // replay re-creates only the replayed batch's dir, so
-        // lost-after-replay leaves a strict subset (r12 review finding).
-        // A base with NO readable id list (pre-r12 legacy, or torn
-        // inside the single tiny marker create that now PRECEDES the
-        // component writes — r13) is not discriminable and stays LOUD —
-        // the fail-safe posture for a dedup-completeness guard; a legacy
-        // crashed-fold orphan needs one manual delete of the base dir.
-        val bases =
-          (try Option(hfs.listStatus(
-              new org.apache.hadoop.fs.Path(s"$dir/index")))
-            .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus]).toSeq
-          // an un-seeded stream's first batch: no index dir yet — that is
-          // the legitimate "nothing ingested" state, not a lost pointer
-          catch { case _: java.io.FileNotFoundException =>
-            Seq.empty[org.apache.hadoop.fs.FileStatus] })
-          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith("base-"))
-          .map(_.getPath.getName)
-        lazy val batchSet = unfoldedBatches(spark, dir, None).toSet
-        val baseSet = bases.toSet
-        val lost = bases.filter { b =>
-          // marker tokens: batch ids always; a MAJOR tiered fold also
-          // lists the generation names it consumed — "crashed" requires
-          // EVERY listed source (dir or generation) still on disk
-          val srcs: Option[(Seq[Long], Seq[String])] =
-            try {
-              val toks = graft.io.AtomicPointer.readSmall(hfs,
-                  new org.apache.hadoop.fs.Path(
-                    s"$dir/index/$b/_FOLDED_UPTO"))
-                .split(",").map(_.trim).filter(_.nonEmpty)
-              val (genToks, idToks) = toks.partition(_.startsWith("base-"))
-              val ids = idToks.flatMap(t => scala.util.Try(t.toLong).toOption)
-              if (toks.nonEmpty && ids.length == idToks.length &&
-                  genToks.forall(validGenName))
-                Some((ids.toSeq, genToks.toSeq))
-              else None
-            } catch { case _: java.io.IOException => None }
-          srcs match {
-            case Some((ids, gs)) =>
-              !(ids.forall(batchSet.contains) && gs.forall(baseSet.contains))
-            case None => true
-          }
-        }
-        if (lost.nonEmpty) throw new IllegalStateException(
-          s"dedup index at $dir/index has folded generation(s) " +
-            s"${lost.sorted.mkString(",")} but no FOLDED pointer, and " +
-            "their source batch dirs are not (fully) on disk — the " +
-            "pointer was lost (deletion or partial restore), and deduping " +
-            "against only the unfolded batches would silently miss every " +
-            "duplicate in the folded history. Restore the pointer " +
-            "(content: '<maxFoldedBatch> <gen1>,<gen2>,...'), or — if the " +
-            "fold provably never committed (legacy pre-marker orphan) — " +
-            "delete the base dir; otherwise rebuild the index.")
-        if (!hfs.exists(banded)) None
-        else Some(Dedup.LshIndex(
-          spark.read.parquet(s"$dir/index/banded").drop("batch"),
-          spark.read.parquet(s"$dir/index/shingled").drop("batch")))
-      case Some(f) =>
-        // all live generations (base + minor-fold siblings) union equally
-        val baseB = f.gens.map(g =>
-          spark.read.parquet(s"$dir/index/$g/banded")).reduce(_ unionByName _)
-        val baseS = f.gens.map(g =>
-          spark.read.parquet(s"$dir/index/$g/shingled")).reduce(_ unionByName _)
-        if (unfoldedBatches(spark, dir, Some(f)).isEmpty)
-          Some(Dedup.LshIndex(baseB, baseS))
-        else Some(Dedup.LshIndex(
-          // the batch > boundary predicate is a partition filter — the
-          // replay-leftover dirs are pruned, not scanned
-          baseB.unionByName(spark.read.parquet(s"$dir/index/banded")
-            .where(col("batch") > f.maxBatch).drop("batch")),
-          baseS.unionByName(spark.read.parquet(s"$dir/index/shingled")
-            .where(col("batch") > f.maxBatch).drop("batch"))))
+                        dir: String): Option[Dedup.LshIndex] =
+    genLog(dir).effective(spark).map {
+      case Seq(banded, shingled) => Dedup.LshIndex(banded, shingled)
+      case other => throw new IllegalStateException(
+        s"dedup index: expected 2 components, got ${other.length}")
     }
-  }
 }

@@ -1,0 +1,201 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The operational loop for a GROWING lexical (BM25) retrieval index —
+  * the third index family on the shared maintenance seam (r12 verdict:
+  * [[MaintenanceCycle]] is "one seam for the third index family"; this
+  * is that family), joining the IVF vector index ([[IndexIngestJob]])
+  * and the dedup LSH index ([[DedupIngestJob]]). Each micro-batch of
+  * (id, tokens) documents lands as one postings shard; BM25 queries
+  * ([[query]]) score against everything ingested so far the moment the
+  * batch's shard dirs exist. A 100 TB corpus growing daily runs exactly
+  * this shape for its lexical retrieval plane: the day's documents
+  * stream in, index maintenance stays O(delta) under tiered folds, and
+  * the first-stage retrieval a pipeline runs before any embedding model
+  * (the reference's keyword side; the dense side is the IVF family, the
+  * two fused by `r1_rrf_fusion`) never stops or rebuilds.
+  *
+  * Index contents, per the generation-log protocol
+  * ([[graft.io.TieredGenLog]] — `batch=N` shards, `base-<uuid>`
+  * generations, the FOLDED pointer):
+  *
+  *   postings — (term, id, tf): one row per distinct (document, term)
+  *   docs     — (id, dl): document token lengths
+  *
+  * Everything BM25 needs — tf from postings, df/N/avgdl aggregated over
+  * the effective view at query time — derives from those two components,
+  * so folds are pure relayout: scores are IDENTICAL before and after a
+  * fold (LexStreamSpec pins score-exactness against the batch
+  * [[graft.operators.TfIdf.bm25]] at every lifecycle step). Keeping
+  * df/N/avgdl out of the stored index (computed in-plan per query) is
+  * what makes the shards immutable and the merge trivial: corpus-global
+  * statistics would otherwise need rewriting on every append — the
+  * classic reason Lucene-style engines patch segment stats at read time.
+  *
+  * Delivery semantics: at-least-once with result-idempotent replay — a
+  * replayed batch's component frames are deterministic functions of the
+  * batch rows, and [[graft.io.TieredGenLog.writeShard]] overwrites the
+  * same `batch=N` dirs. (Exception: a doc REVISED between attempts is a
+  * different batch payload; replay then reflects the replayed content —
+  * the standard at-least-once caveat, same as the IVF family.)
+  *
+  * Unlike the dedup index (whose only reader is its own loop), this
+  * index SERVES external queries, so a fold retains superseded
+  * generations and defers their sweep one trigger interval
+  * ([[MaintenanceCycle]]'s deferred-sweep contract) — queries planned
+  * against the old generation list finish their scans, exactly the
+  * IVF compact's reader-drain discipline. Batches append serially (one
+  * foreachBatch per query), satisfying the single-writer layout. */
+object LexIngestJob {
+
+  private[jobs] def genLog(dir: String): graft.io.TieredGenLog =
+    new graft.io.TieredGenLog(s"$dir/index", Seq("postings", "docs"),
+      "lexical index")
+
+  /** Per-batch component frames: postings (term, id, tf) + doc lengths
+    * (id, dl). `tf`/`dl` are DoubleType — BM25's arithmetic domain —
+    * so query plans never re-cast per row. Public: the batch
+    * `lx1_postings_bm25` gate builds its index view through this exact
+    * function, so the DuckDB oracle certifies the shard construction the
+    * streaming loop writes. */
+  def componentsOf(docs: DataFrame, idCol: String,
+                   tokensCol: String): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).as("id"), col(tokensCol).as("toks"))
+    val postings = base
+      .select(col("id"), explode(col("toks")).as("term"))
+      .groupBy("term", "id").agg(count(lit(1)).cast("double").as("tf"))
+    val lens = base.select(col("id"),
+      size(col("toks")).cast("double").as("dl"))
+    (postings, lens)
+  }
+
+  /** Index an existing corpus as the stream's starting state
+    * (`batch=-1`), the [[DedupIngestJob.seed]] analogue. */
+  def seed(corpus: DataFrame, idCol: String, tokensCol: String,
+           dir: String): Unit = {
+    val (postings, lens) = componentsOf(corpus, idCol, tokensCol)
+    genLog(dir).writeShard(Seq(postings, lens), -1L)
+  }
+
+  /** Start the ingest loop. `docs`: a streaming frame carrying `idCol`
+    * (unique document ids — dedup upstream, e.g. behind
+    * [[DedupIngestJob]] in the composed chain) and `tokensCol`
+    * (array&lt;string&gt;, the engine's tokenizer output). Empty
+    * micro-batches are skipped.
+    *
+    * `foldAfterBatches` > 0 bounds the index's READ cost exactly as the
+    * sibling families do: past that many unfolded shard dirs the loop
+    * folds them behind the FOLDED pointer — TIERED by `foldBaseRatio`
+    * (minor fires never touch the base; see
+    * [[graft.io.TieredGenLog.fold]]) — with superseded generations
+    * retained until the NEXT batch's sweep so concurrent queries drain.
+    * A crash between fold and sweep leaves stale generations the
+    * restarted stream's first batch sweeps: restarts self-heal by
+    * construction ([[MaintenanceCycle]] arms the sweep at startup). */
+  def start(docs: DataFrame, idCol: String, tokensCol: String, dir: String,
+            trigger: Trigger = Trigger.AvailableNow(),
+            checkpointLocation: Option[String] = None,
+            onBatch: (Long, Long) => Unit = (_, _) => (),
+            foldAfterBatches: Int = 0,
+            onFold: Long => Unit = _ => (),
+            foldBaseRatio: Double = 0.3,
+            maxLiveGens: Int = 8): StreamingQuery = {
+    val base = docs.writeStream.outputMode("append")
+    checkpointLocation.foreach(base.option("checkpointLocation", _))
+    val log = genLog(dir)
+    val cycle = new MaintenanceCycle(foldAfterBatches,
+      maintain = (spark, batchId) => {
+        log.fold(spark, batchId, foldBaseRatio, maxLiveGens,
+          retainSuperseded = true)
+        onFold(batchId)
+      },
+      sweep = spark => log.sweep(spark))
+    base
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        cycle.beforeBatch(spark)
+        if (!batch.isEmpty) {
+          val (postings, lens) = componentsOf(batch, idCol, tokensCol)
+          // one materialization feeds both component writes and the
+          // count (explode+agg is the batch's real work; recomputing it
+          // per action would double the batch)
+          val p = postings.persist()
+          try {
+            val nPost = p.count()
+            // size the writes by row count (the DedupIngestJob
+            // discipline): at the session setting every micro-batch
+            // leaves one file per shuffle partition per component
+            log.writeShard(Seq(
+              p.repartition(sizedParts(spark, nPost, 65536L)),
+              lens.repartition(1)), batchId)
+            onBatch(batchId, nPost)
+          } finally { p.unpersist(); () }
+          // by-name load: the unfolded-count listing only runs when a
+          // fold budget is configured
+          cycle.afterBatch(spark, batchId)(log.unfoldedBatchCount(spark))
+        }
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  private def sizedParts(spark: SparkSession, rows: Long,
+                         rowsPerFile: Long): Int =
+    math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (rows + rowsPerFile - 1) / rowsPerFile)).toInt
+
+  /** BM25 scores of every matching document for `terms` over the
+    * effective index (live generations + unfolded shards): columns
+    * (id, score), Robertson k1/b form — numerically identical to the
+    * batch [[graft.operators.TfIdf.bm25]] over the same corpus (the
+    * fold-is-pure-relayout gate). Wrap with orderBy/limit for top-k
+    * retrieval; left unlimited here so callers compose (top-k, RRF
+    * fusion with the dense side, score thresholds) without re-scoring.
+    *
+    * Scale shape: postings prune to the query terms FIRST (broadcast
+    * semi-join — the scan reads only `term`-matching row groups after
+    * pushdown), df/N/avgdl are in-plan aggregations broadcast back, and
+    * the per-(id, term) score never shuffles wider than the pruned
+    * postings. The unpruned components are touched only by the two
+    * corpus-stat aggregates (count + avg over `docs`), which read the
+    * skinny length component, never the postings. */
+  def query(spark: SparkSession, dir: String, terms: Seq[String],
+            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "lexical query needs at least one term")
+    val view = genLog(dir).effective(spark).getOrElse(
+      throw new IllegalStateException(
+        s"no lexical index at $dir — nothing has been ingested"))
+    val Seq(postings, lens) = view: @unchecked
+    scoreBm25(postings, lens, terms, k1, b)
+  }
+
+  /** The scorer itself, callable on any (postings, doc-length) pair —
+    * the serving path above and the batch `lx1_postings_bm25` gate query
+    * share this plan, so the DuckDB oracle certifies the exact code the
+    * streaming index serves. */
+  def scoreBm25(postings: DataFrame, lens: DataFrame, terms: Seq[String],
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = postings.sparkSession
+    val stats = lens.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val q = broadcast(
+      spark.createDataFrame(terms.distinct.map(Tuple1(_))).toDF("term"))
+    val tf = postings.join(q, Seq("term"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf: Column =
+      log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    tf.join(broadcast(df), "term")
+      .join(lens, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        idf * col("tf") * (k1 + 1.0) /
+          (col("tf") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("id").agg(sum(col("s")).as("score"))
+  }
+}

@@ -781,6 +781,46 @@ object Text {
         .orderBy(col("score").desc, col("doc_id"))
     },
 
+    // BM25 through the POSTINGS-INDEX representation — the serving plan
+    // of the streaming lexical index family (jobs/LexIngestJob, r13):
+    // the corpus is first materialized as the index's two immutable
+    // components ((term, id, tf) postings + (id, dl) doc lengths, the
+    // exact frames the ingest loop writes as batch=N shards), then
+    // scored by the same scoreBm25 the live index serves — df/N/avgdl
+    // stay OUT of the stored index and aggregate in-plan, which is what
+    // makes shards immutable and generation folds pure relayout. Same
+    // Robertson formula as t15 (whose plan scores straight off the
+    // documents), different terms, and the oracle certifies the
+    // two-phase representation end to end.
+    Q("lx1_postings_bm25",
+      """WITH base AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+        |          FROM lens),
+        |postings AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+        |  GROUP BY doc_id, term),
+        |tf AS (SELECT doc_id, term, tf FROM postings
+        |       WHERE term IN ('scan', 'merge', 'stream')),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |s AS (SELECT doc_id,
+        |    ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+        |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id)
+        |  CROSS JOIN stats)
+        |SELECT doc_id, round(sum(s), 6) AS score FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokenize(col("text")).as("toks"))
+      val (postings, lens) =
+        graft.jobs.LexIngestJob.componentsOf(docs, "doc_id", "toks")
+      graft.jobs.LexIngestJob.scoreBm25(postings, lens,
+          Seq("scan", "merge", "stream"))
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    },
+
     // Real BPE subword segmentation (merge-table application — the
     // algorithm t2's regex heuristic approximates): token counts + the
     // leading tokens per document under a fixed English-digraph merge
