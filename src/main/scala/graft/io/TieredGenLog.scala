@@ -70,8 +70,12 @@ import org.apache.spark.sql.functions.col
   * per index (the streaming foreachBatch deployment both ingest loops
   * document); the fence turns a breach into a loud error, not a lock. */
 final class TieredGenLog(val idxDir: String, components: Seq[String],
-                         kind: String) {
+                         kind: String,
+                         foldWriteLayout: Map[String, DataFrame => DataFrame] =
+                           Map.empty) {
   require(components.nonEmpty, "TieredGenLog needs at least one component")
+  require(foldWriteLayout.keySet.subsetOf(components.toSet),
+    "foldWriteLayout names a component not in the component list")
 
   /** The FOLDED pointer's parsed content: the highest batch id folded
     * into the live generation list (ordered oldest/base first). */
@@ -271,7 +275,13 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
     AtomicPointer.writeSmall(hfs,
       new Path(s"$idxDir/$name/_FOLDED_UPTO"), srcTokens.mkString(","))
     components.zip(cur).foreach { case (c, df) =>
-      df.write.parquet(s"$idxDir/$name/$c")
+      // a fold is the one write that pays for read-side layout: the
+      // caller's per-component layout hook (e.g. range-cluster postings
+      // by term so point queries skip row groups on min/max stats) runs
+      // here, where its cost amortizes over every query until the next
+      // fold — batch shards stay write-cheap
+      foldWriteLayout.getOrElse(c, identity[DataFrame] _)(df)
+        .write.parquet(s"$idxDir/$name/$c")
     }
     val pointerContent = s"$upToBatch ${newGens.mkString(",")}"
     // FENCED flip (r11 verdict 3): the fold fails loudly if a concurrent

@@ -53,7 +53,20 @@ object LexIngestJob {
 
   private[jobs] def genLog(dir: String): graft.io.TieredGenLog =
     new graft.io.TieredGenLog(s"$dir/index", Seq("postings", "docs"),
-      "lexical index")
+      "lexical index",
+      // generation layout: postings range-clustered by term + sorted
+      // within partitions, so [[query]]'s pushed `term IN (...)`
+      // predicate skips whole files (range bounds) and row groups
+      // (parquet min/max stats) — posting-list locality from plain
+      // parquet, paid once per fold instead of per query. The count
+      // prices the layout shuffle (one extra skinny-column scan per
+      // fold — folds are rare; queries are not).
+      foldWriteLayout = Map("postings" -> { df =>
+        val spark = df.sparkSession
+        val n = df.count()
+        df.repartitionByRange(sizedParts(spark, n, 262144L), col("term"))
+          .sortWithinPartitions("term")
+      }))
 
   /** Per-batch component frames: postings (term, id, tf) + doc lengths
     * (id, dl). `tf`/`dl` are DoubleType — BM25's arithmetic domain —
@@ -129,7 +142,12 @@ object LexIngestJob {
             // discipline): at the session setting every micro-batch
             // leaves one file per shuffle partition per component
             log.writeShard(Seq(
-              p.repartition(sizedParts(spark, nPost, 65536L)),
+              // shards get the cheap half of the term layout (sorted
+              // within sized partitions — row-group stats still skip);
+              // the full range-clustering runs at fold time, where it
+              // amortizes (see genLog's foldWriteLayout)
+              p.repartition(sizedParts(spark, nPost, 65536L))
+                .sortWithinPartitions("term"),
               lens.repartition(1)), batchId)
             onBatch(batchId, nPost)
           } finally { p.unpersist(); () }
@@ -171,7 +189,12 @@ object LexIngestJob {
       throw new IllegalStateException(
         s"no lexical index at $dir — nothing has been ingested"))
     val Seq(postings, lens) = view: @unchecked
-    scoreBm25(postings, lens, terms, k1, b)
+    // explicit IN predicate (not just the scorer's semi-join): a join
+    // never reaches the parquet scan, so without this every query reads
+    // the full postings index; as a pushed filter it skips whole files
+    // and row groups against the fold layout's term clustering
+    scoreBm25(postings.where(col("term").isin(terms.distinct: _*)),
+      lens, terms, k1, b)
   }
 
   /** The scorer itself, callable on any (postings, doc-length) pair —

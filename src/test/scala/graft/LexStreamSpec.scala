@@ -202,6 +202,19 @@ class LexStreamSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("query pushes the term predicate to the postings scan (file/row-group skip against the fold layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("lexpush").toString
+    LexIngestJob.seed(tokenized(corpusA), "doc_id", "toks", dir)
+    val plan = LexIngestJob.query(spark, dir, terms)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the scorer's semi-join alone never reaches the scan; the explicit
+    // IN must — it is what turns a full postings read into a term-local
+    // one against the range-clustered generation layout
+    assert(plan.contains("In(term"),
+      s"postings scan must carry the pushed term filter:\n$plan")
+  }
+
   test("a lost FOLDED pointer with swept sources fails queries loudly") {
     val dir = java.nio.file.Files.createTempDirectory("lexlost").toString
     LexIngestJob.seed(tokenized(corpusA), "doc_id", "toks", dir)
