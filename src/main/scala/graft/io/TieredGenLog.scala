@@ -210,12 +210,23 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
         val gens = components.map(c =>
           f.gens.map(g => spark.read.parquet(s"$idxDir/$g/$c"))
             .reduce(_ unionByName _))
-        if (unfoldedBatches(spark, Some(f)).isEmpty) Some(gens)
+        val unfolded = unfoldedBatches(spark, Some(f))
+        if (unfolded.isEmpty) Some(gens)
         else Some(components.zip(gens).map { case (c, g) =>
-          // the batch > boundary predicate is a partition filter — the
-          // replay-leftover dirs are pruned, not scanned
-          g.unionByName(spark.read.parquet(s"$idxDir/$c")
-            .where(col("batch") > f.maxBatch).drop("batch"))
+          // EXPLICIT live dirs, never the component root: a root read's
+          // partition discovery lists EVERY batch dir — including
+          // replay leftovers at/below the boundary that a concurrent
+          // sweep is deleting — and a reader whose query needs none of
+          // those rows still dies on the listing race (caught live by
+          // LexIngestScale at 50×: an empty-looking root between a
+          // sweep and the next shard write threw
+          // UNABLE_TO_INFER_SCHEMA into an innocent reader). Explicit
+          // paths keep a new-pointer reader's footprint disjoint from
+          // everything a sweep may touch; only a reader still scanning
+          // under the OLD pointer races deletion, and that window is
+          // what the retain + aged-sweep drain contract bounds.
+          g.unionByName(spark.read.parquet(
+            unfolded.map(b => s"$idxDir/$c/batch=$b"): _*))
         })
     }
   }
@@ -316,10 +327,31 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
     * call any time from the writer thread; a no-op before the first
     * fold. This is the deferred half of a `retainSuperseded` fold — run
     * it one trigger interval later, after external readers' scans have
-    * drained. */
-  def sweep(spark: SparkSession): Unit = readState(spark).foreach { f =>
-    cleanup(fs(spark), f.gens.toSet, f.maxBatch)
-  }
+    * drained.
+    *
+    * `minAgeMs` > 0 additionally TIME-bounds the drain window: when the
+    * live pointer's flip (its file mtime) is younger than that, the
+    * sweep deletes nothing this cycle — with a near-zero trigger
+    * interval, "one trigger later" alone can race a reader that planned
+    * against the old pointer and is still scanning (the 50× harness
+    * measured reader queries of 1–3 s against a sub-second fold→sweep
+    * gap). A skipped sweep costs only disk until the next armed sweep —
+    * every subsequent fold re-arms one, and the startup self-heal sweeps
+    * a restarted stream — so superseded state is always collected by
+    * the first sweep that finds it old enough. */
+  def sweep(spark: SparkSession, minAgeMs: Long = 0L): Unit =
+    readState(spark).foreach { f =>
+      val hfs = fs(spark)
+      val youngFlip = minAgeMs > 0L && {
+        val pfs = AtomicPointer.pointerIoFs(hfs)
+        val primary = new Path(s"$idxDir/FOLDED")
+        try pfs.exists(primary) &&
+          System.currentTimeMillis() -
+            pfs.getFileStatus(primary).getModificationTime < minAgeMs
+        catch { case _: java.io.IOException => false }
+      }
+      if (!youngFlip) cleanup(hfs, f.gens.toSet, f.maxBatch)
+    }
 
   private def cleanup(hfs: FileSystem, live: Set[String],
                       upToBatch: Long): Unit = {

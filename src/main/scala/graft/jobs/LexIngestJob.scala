@@ -51,7 +51,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * foreachBatch per query), satisfying the single-writer layout. */
 object LexIngestJob {
 
-  private[jobs] def genLog(dir: String): graft.io.TieredGenLog =
+  private[graft] def genLog(dir: String): graft.io.TieredGenLog =
     new graft.io.TieredGenLog(s"$dir/index", Seq("postings", "docs"),
       "lexical index",
       // generation layout: postings range-clustered by term + sorted
@@ -115,7 +115,8 @@ object LexIngestJob {
             foldAfterBatches: Int = 0,
             onFold: Long => Unit = _ => (),
             foldBaseRatio: Double = 0.3,
-            maxLiveGens: Int = 8): StreamingQuery = {
+            maxLiveGens: Int = 8,
+            sweepMinAgeMs: Long = 10000L): StreamingQuery = {
     val base = docs.writeStream.outputMode("append")
     checkpointLocation.foreach(base.option("checkpointLocation", _))
     val log = genLog(dir)
@@ -125,7 +126,10 @@ object LexIngestJob {
           retainSuperseded = true)
         onFold(batchId)
       },
-      sweep = spark => log.sweep(spark))
+      // the sweep is age-gated as well as batch-deferred: with a short
+      // trigger interval, "next batch" alone under-bounds the reader
+      // drain (see [[graft.io.TieredGenLog.sweep]])
+      sweep = spark => log.sweep(spark, sweepMinAgeMs))
     base
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession

@@ -104,6 +104,8 @@ class LexStreamSpec extends SparkSuite {
       "doc_id", "toks", dir, trigger = Trigger.ProcessingTime(0L),
       foldAfterBatches = 1, foldBaseRatio = 1e6,
       maxLiveGens = 3,
+      // age gate off: this test pins the immediate next-batch sweep
+      sweepMinAgeMs = 0L,
       onFold = b => folds.synchronized { folds += b; () })
     var corpus = corpusA
     def push(rows: Seq[(Long, String)], clue: String): Unit = {
@@ -223,7 +225,7 @@ class LexStreamSpec extends SparkSuite {
     val q = LexIngestJob.start(
       tokCols(stream.toDF().toDF("doc_id", "text")),
       "doc_id", "toks", dir, trigger = Trigger.ProcessingTime(0L),
-      foldAfterBatches = 1)
+      foldAfterBatches = 1, sweepMinAgeMs = 0L)
     try {
       stream.addData(corpusB: _*)
       q.processAllAvailable()     // fold fires (retained)
