@@ -4,6 +4,19 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
+object TieredGenLog {
+  /** Partition count for a write of `rows` rows at ~`rowsPerFile` each,
+    * floored at 1 and capped at the session setting (never raises) —
+    * the shard-write sizing discipline shared by the ingest loops: at
+    * the session setting every micro-batch would leave one file per
+    * shuffle partition per component, and a year of batches is tens of
+    * thousands of near-empty files before the first fold. */
+  def sizedParts(spark: SparkSession, rows: Long, rowsPerFile: Long): Int =
+    math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (rows + rowsPerFile - 1) / rowsPerFile)).toInt
+}
+
 /** The tiered generation-log protocol shared by the engine's GROWING
   * parquet-component index families — the third extraction of the serial
   * ingest-loop scaffolding (r11 verdict 7 gave the loops one
@@ -77,6 +90,20 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
   require(foldWriteLayout.keySet.subsetOf(components.toSet),
     "foldWriteLayout names a component not in the component list")
 
+  /** Single-writer in-memory record of WHEN each retained item (a
+    * generation name, or a `batch=N` key covering that id's dirs in
+    * every component) became superseded — the flip that superseded it.
+    * The aged sweep measures each item against ITS OWN clock: measuring
+    * against the latest flip's age would never collect anything when
+    * the fold cadence outpaces the drain window (review finding — every
+    * fold refreshed the clock the check read). Items found superseded
+    * on disk but absent here are pre-restart leftovers whose readers
+    * are long gone: treated as infinitely old, which is also what makes
+    * the startup self-heal sweep collect a crashed cycle's garbage
+    * immediately. */
+  private val supersededAt =
+    scala.collection.mutable.Map.empty[String, Long]
+
   /** The FOLDED pointer's parsed content: the highest batch id folded
     * into the live generation list (ordered oldest/base first). */
   final case class FoldState(maxBatch: Long, gens: Seq[String])
@@ -132,6 +159,22 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
 
   def unfoldedBatchCount(spark: SparkSession): Int =
     unfoldedBatches(spark, readState(spark)).size
+
+  /** The unfolded batch ids whose shard dirs exist in EVERY component —
+    * the only ones a reader or fold may consume. [[writeShard]] writes
+    * components in order, so a crash mid-shard leaves a torn dir set;
+    * the old root-read silently served the torn half, and a naive
+    * explicit-path read dies on the missing dir — either way the torn
+    * window must simply be INVISIBLE until the at-least-once replay
+    * rewrites it (review finding: a restart's index load runs BEFORE
+    * the replay, so a hard failure here is a permanent crash loop). */
+  private def completeBatches(spark: SparkSession,
+                              state: Option[FoldState]): Seq[Long] = {
+    val hfs = fs(spark)
+    unfoldedBatches(spark, state).filter(b =>
+      components.tail.forall(c =>
+        hfs.exists(new Path(s"$idxDir/$c/batch=$b"))))
+  }
 
   /** Write one micro-batch's component frames (aligned with the
     * constructor's component order) as `batch=N` shards. Mode overwrite
@@ -202,15 +245,16 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
             "<gen1>,<gen2>,...'), or — if the fold provably never " +
             "committed (legacy pre-marker orphan) — delete the base dir; " +
             "otherwise rebuild the index.")
-        if (!hfs.exists(new Path(s"$idxDir/${components.head}"))) None
-        else Some(components.map(c =>
-          spark.read.parquet(s"$idxDir/$c").drop("batch")))
+        val complete = completeBatches(spark, None)
+        if (complete.isEmpty) None
+        else Some(components.map(c => spark.read.parquet(
+          complete.map(b => s"$idxDir/$c/batch=$b"): _*)))
       case Some(f) =>
         // all live generations (base + minor-fold siblings) union equally
         val gens = components.map(c =>
           f.gens.map(g => spark.read.parquet(s"$idxDir/$g/$c"))
             .reduce(_ unionByName _))
-        val unfolded = unfoldedBatches(spark, Some(f))
+        val unfolded = completeBatches(spark, Some(f))
         if (unfolded.isEmpty) Some(gens)
         else Some(components.zip(gens).map { case (c, g) =>
           // EXPLICIT live dirs, never the component root: a root read's
@@ -242,8 +286,11 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
     val hfs = fs(spark)
     val state = readState(spark)
     // the batch-dir ids this fold consumes — recorded inside the base so
-    // a pointerless restart can discriminate crashed from lost
-    val srcIds = unfoldedBatches(spark, state)
+    // a pointerless restart can discriminate crashed from lost. COMPLETE
+    // dirs only: a torn shard (possible only under a foreign writer —
+    // this thread's own replay rewrites before any fold) must not fold
+    // one component's rows without the other's.
+    val srcIds = completeBatches(spark, state)
     val gens = state.map(_.gens).getOrElse(Seq.empty)
     // tier decision, by BYTES (corpus mass, not dir counts): minor while
     // everything-but-the-base is still small relative to the base
@@ -261,12 +308,12 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
         throw new IllegalStateException(
           s"fold: no index at $idxDir — nothing has been ingested"))
       else {
-        // minor source: the unfolded batch shards ONLY — the batch >
-        // floor predicate is a partition filter, so folded dirs and
-        // replay leftovers are pruned, never scanned
+        // minor source: the consumed batch shards ONLY, as explicit
+        // dirs — folded dirs and replay leftovers are never listed,
+        // let alone scanned
         require(srcIds.nonEmpty, "fold: minor fold with no batches")
-        components.map(c => spark.read.parquet(s"$idxDir/$c")
-          .where(col("batch") > floor).drop("batch"))
+        components.map(c => spark.read.parquet(
+          srcIds.map(b => s"$idxDir/$c/batch=$b"): _*))
       }
     val name = s"base-${java.util.UUID.randomUUID().toString}"
     // a minor fold RETAINS the prior generations and appends; a major
@@ -302,6 +349,12 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
       spark.sparkContext.hadoopConfiguration, idxDir, "FOLDED",
       pointerContent)
     if (!retainSuperseded) cleanup(hfs, newGens.toSet, upToBatch)
+    else {
+      // start each newly superseded item's drain clock (see supersededAt)
+      val now = System.currentTimeMillis()
+      (gens.toSet -- newGens.toSet).foreach(g => supersededAt(g) = now)
+      srcIds.foreach(b => supersededAt(s"batch=$b") = now)
+    }
 
     // end-of-maintenance self-check: the pointer must still name OUR
     // generation list and every live generation must still exist — a
@@ -329,44 +382,47 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
     * it one trigger interval later, after external readers' scans have
     * drained.
     *
-    * `minAgeMs` > 0 additionally TIME-bounds the drain window: when the
-    * live pointer's flip (its file mtime) is younger than that, the
-    * sweep deletes nothing this cycle — with a near-zero trigger
-    * interval, "one trigger later" alone can race a reader that planned
-    * against the old pointer and is still scanning (the 50× harness
-    * measured reader queries of 1–3 s against a sub-second fold→sweep
-    * gap). A skipped sweep costs only disk until the next armed sweep —
-    * every subsequent fold re-arms one, and the startup self-heal sweeps
-    * a restarted stream — so superseded state is always collected by
-    * the first sweep that finds it old enough. */
+    * `minAgeMs` > 0 additionally TIME-bounds the drain window: each
+    * superseded item is deleted only once its OWN supersession (the
+    * flip that retired it, per [[supersededAt]]) is at least that old —
+    * with a near-zero trigger interval, "one trigger later" alone can
+    * race a reader that planned against the old pointer and is still
+    * scanning (the 50× harness measured reader queries of 1–3 s against
+    * a sub-second fold→sweep gap). Items still too young survive this
+    * sweep and are collected by any later one; safe to call every batch
+    * (it is one listing), and a restarted stream's first sweep collects
+    * pre-crash leftovers immediately (unknown item → infinitely old;
+    * the readers that could have been draining them died with the
+    * previous process's era). */
   def sweep(spark: SparkSession, minAgeMs: Long = 0L): Unit =
     readState(spark).foreach { f =>
-      val hfs = fs(spark)
-      val youngFlip = minAgeMs > 0L && {
-        val pfs = AtomicPointer.pointerIoFs(hfs)
-        val primary = new Path(s"$idxDir/FOLDED")
-        try pfs.exists(primary) &&
-          System.currentTimeMillis() -
-            pfs.getFileStatus(primary).getModificationTime < minAgeMs
-        catch { case _: java.io.IOException => false }
-      }
-      if (!youngFlip) cleanup(hfs, f.gens.toSet, f.maxBatch)
+      cleanup(fs(spark), f.gens.toSet, f.maxBatch, minAgeMs)
     }
 
   private def cleanup(hfs: FileSystem, live: Set[String],
-                      upToBatch: Long): Unit = {
+                      upToBatch: Long, minAgeMs: Long = 0L): Unit = {
+    val now = System.currentTimeMillis()
+    def oldEnough(key: String): Boolean = minAgeMs <= 0L ||
+      now - supersededAt.getOrElse(key, 0L) >= minAgeMs
     list(hfs, idxDir).foreach { st =>
       val n = st.getPath.getName
-      if ((st.isDirectory && n.startsWith("base-") && !live.contains(n)) ||
-          // crash-orphaned per-flip pointer tmps (uuid-suffixed)
-          (!st.isDirectory && n.startsWith(".FOLDED.tmp")))
+      if ((st.isDirectory && n.startsWith("base-") && !live.contains(n) &&
+            oldEnough(n)) ||
+          // crash-orphaned per-flip pointer tmps (uuid-suffixed; never
+          // readable, no drain clock)
+          (!st.isDirectory && n.startsWith(".FOLDED.tmp"))) {
         hfs.delete(st.getPath, true)
+        supersededAt.remove(n); ()
+      }
     }
     components.foreach { c =>
       list(hfs, s"$idxDir/$c").foreach { st =>
+        val key = st.getPath.getName
         if (st.isDirectory &&
-            parseBatchDir(st.getPath.getName).exists(_ <= upToBatch))
+            parseBatchDir(key).exists(_ <= upToBatch) && oldEnough(key)) {
           hfs.delete(st.getPath, true)
+          supersededAt.remove(key); ()
+        }
       }
     }
     AtomicPointer.clearAside(hfs, idxDir, "FOLDED")

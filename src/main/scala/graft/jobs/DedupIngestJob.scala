@@ -142,13 +142,9 @@ object DedupIngestJob {
   def survivors(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/survivors").drop("batch")
 
-  /** Partition count for a write of `rows` rows at ~`rowsPerFile` each,
-    * floored at 1 and capped at the session setting (never raises). */
   private def sizedParts(spark: SparkSession, rows: Long,
                          rowsPerFile: Long): Int =
-    math.max(1L, math.min(
-      spark.sessionState.conf.numShufflePartitions.toLong,
-      (rows + rowsPerFile - 1) / rowsPerFile)).toInt
+    graft.io.TieredGenLog.sizedParts(spark, rows, rowsPerFile)
 
   private def writeIndexShard(docs: DataFrame, idCol: String,
                               textCol: String, dir: String, batchId: Long,

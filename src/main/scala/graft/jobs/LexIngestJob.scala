@@ -64,7 +64,7 @@ object LexIngestJob {
       foldWriteLayout = Map("postings" -> { df =>
         val spark = df.sparkSession
         val n = df.count()
-        df.repartitionByRange(sizedParts(spark, n, 262144L), col("term"))
+        df.repartitionByRange(graft.io.TieredGenLog.sizedParts(spark, n, 262144L), col("term"))
           .sortWithinPartitions("term")
       }))
 
@@ -90,7 +90,20 @@ object LexIngestJob {
   def seed(corpus: DataFrame, idCol: String, tokensCol: String,
            dir: String): Unit = {
     val (postings, lens) = componentsOf(corpus, idCol, tokensCol)
-    genLog(dir).writeShard(Seq(postings, lens), -1L)
+    // the seed is the LARGEST shard of the index's life and serves
+    // until the first fold — it gets the full term layout up front
+    // (review finding: an unsorted seed makes the pushed term filter's
+    // row-group stats useless for exactly the deployment-heavy case)
+    val p = postings.persist()
+    try {
+      val n = p.count()
+      genLog(dir).writeShard(Seq(
+        p.repartitionByRange(
+            graft.io.TieredGenLog.sizedParts(spark = p.sparkSession,
+              rows = n, rowsPerFile = 262144L), col("term"))
+          .sortWithinPartitions("term"),
+        lens), -1L)
+    } finally { p.unpersist(); () }
   }
 
   /** Start the ingest loop. `docs`: a streaming frame carrying `idCol`
@@ -125,15 +138,21 @@ object LexIngestJob {
         log.fold(spark, batchId, foldBaseRatio, maxLiveGens,
           retainSuperseded = true)
         onFold(batchId)
-      },
-      // the sweep is age-gated as well as batch-deferred: with a short
-      // trigger interval, "next batch" alone under-bounds the reader
-      // drain (see [[graft.io.TieredGenLog.sweep]])
-      sweep = spark => log.sweep(spark, sweepMinAgeMs))
+      })
     base
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         cycle.beforeBatch(spark)
+        // the sweep runs EVERY batch (one listing), not once per armed
+        // cycle: it is age-gated per superseded item (see
+        // [[graft.io.TieredGenLog.sweep]]), so items too young at one
+        // batch are collected by a later one — an armed-once sweep
+        // whose age gate skipped would otherwise never retry, and
+        // superseded state would accumulate for as long as the fold
+        // cadence outpaces the drain window (review finding). The
+        // restarted stream's first batch still self-heals: pre-crash
+        // leftovers have no drain clock and sweep immediately.
+        if (foldAfterBatches > 0) log.sweep(spark, sweepMinAgeMs)
         if (!batch.isEmpty) {
           val (postings, lens) = componentsOf(batch, idCol, tokensCol)
           // one materialization feeds both component writes and the
@@ -150,7 +169,7 @@ object LexIngestJob {
               // within sized partitions — row-group stats still skip);
               // the full range-clustering runs at fold time, where it
               // amortizes (see genLog's foldWriteLayout)
-              p.repartition(sizedParts(spark, nPost, 65536L))
+              p.repartition(graft.io.TieredGenLog.sizedParts(spark, nPost, 65536L))
                 .sortWithinPartitions("term"),
               lens.repartition(1)), batchId)
             onBatch(batchId, nPost)
@@ -165,11 +184,6 @@ object LexIngestJob {
       .start()
   }
 
-  private def sizedParts(spark: SparkSession, rows: Long,
-                         rowsPerFile: Long): Int =
-    math.max(1L, math.min(
-      spark.sessionState.conf.numShufflePartitions.toLong,
-      (rows + rowsPerFile - 1) / rowsPerFile)).toInt
 
   /** BM25 scores of every matching document for `terms` over the
     * effective index (live generations + unfolded shards): columns

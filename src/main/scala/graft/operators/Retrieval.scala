@@ -45,8 +45,6 @@ object Retrieval {
     val q = Seq((-1L, queryVec)).toDF("qid", "qv")
     val dense = Ann.queryIvfIndex(q, "qid", "qv", ivfDir, k, nProbe)
       .select(col("neighbor_id").as("doc_id"), col("rank").as("r"))
-    lex.unionByName(dense)
-      .groupBy("doc_id")
-      .agg(sum(lit(1.0) / (lit(kRrf) + col("r"))).as("rrf"))
+    graft.rank.Fusion.rrf(Seq(lex, dense), "doc_id", "r", kRrf)
   }
 }
