@@ -217,6 +217,55 @@ class LexStreamSpec extends SparkSuite {
       s"postings scan must carry the pushed term filter:\n$plan")
   }
 
+  test("a torn shard (first component written, second missing) is invisible until the replay rewrites it") {
+    val dir = java.nio.file.Files.createTempDirectory("lextorn").toString
+    LexIngestJob.seed(tokenized(corpusA), "doc_id", "toks", dir)
+    // simulate the mid-writeShard crash window: postings/batch=0 exists,
+    // docs/batch=0 does not (components write in order)
+    val (p, _) = LexIngestJob.componentsOf(tokenized(corpusB),
+      "doc_id", "toks")
+    p.write.parquet(s"$dir/index/postings/batch=0")
+    // the torn batch must neither serve half a shard nor crash the
+    // load (a restart's index load runs BEFORE the replay rewrites the
+    // dirs — a hard failure here is a permanent crash loop)
+    assertScoresMatch(dir, corpusA, "torn shard invisible")
+    // the replay rewrites both dirs (overwrite-keyed) — now it serves
+    val (p2, l2) = LexIngestJob.componentsOf(tokenized(corpusB),
+      "doc_id", "toks")
+    LexIngestJob.genLog(dir).writeShard(Seq(p2, l2), 0L)
+    assertScoresMatch(dir, corpusA ++ corpusB, "after replay rewrite")
+  }
+
+  test("per-item drain clocks: a young fold's garbage survives in-process sweeps; a restarted log collects it immediately") {
+    val dir = java.nio.file.Files.createTempDirectory("lexage").toString
+    LexIngestJob.seed(tokenized(corpusA), "doc_id", "toks", dir)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    // a drain window far longer than the test: the fold's superseded
+    // shards must survive every subsequent in-process sweep
+    val q = LexIngestJob.start(
+      tokCols(stream.toDF().toDF("doc_id", "text")),
+      "doc_id", "toks", dir, trigger = Trigger.ProcessingTime(0L),
+      foldAfterBatches = 1, sweepMinAgeMs = 3600000L)
+    try {
+      stream.addData(corpusB: _*)
+      q.processAllAvailable()   // fold fires; sources retained
+      stream.addData(corpusC: _*)
+      q.processAllAvailable()   // per-batch sweep runs but everything is young
+      assert(batchDirs(dir).exists(_ != "batch=1"),
+        s"young superseded shards must survive the sweep: ${batchDirs(dir)}")
+      assertScoresMatch(dir, corpusA ++ corpusB ++ corpusC,
+        "retained garbage never pollutes the effective view")
+    } finally q.stop()
+    // a NEW process (fresh TieredGenLog — no in-memory clocks): its
+    // items are pre-restart leftovers whose readers died with the old
+    // era, collected by the first sweep regardless of the age gate
+    LexIngestJob.genLog(dir).sweep(spark, 3600000L)
+    assert(batchDirs(dir).forall(_ == "batch=1"),
+      s"restart sweep must collect pre-crash leftovers: ${batchDirs(dir)}")
+    assertScoresMatch(dir, corpusA ++ corpusB ++ corpusC, "after restart sweep")
+  }
+
   test("a lost FOLDED pointer with swept sources fails queries loudly") {
     val dir = java.nio.file.Files.createTempDirectory("lexlost").toString
     LexIngestJob.seed(tokenized(corpusA), "doc_id", "toks", dir)
