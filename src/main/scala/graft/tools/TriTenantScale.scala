@@ -20,8 +20,18 @@ import org.apache.spark.sql.streaming.Trigger
   * deployment shape — re-proving zero-blip over the multi-generation
   * pointer protocol.
   *
+  * With `lex=1` (r13) the envelope grows a FOURTH tenant: the lexical
+  * postings index ([[graft.jobs.LexIngestJob]]) ingesting the same
+  * survivors handoff, with its tiered folds firing in-loop — and the
+  * reader pool gains HYBRID threads running
+  * [[graft.operators.Retrieval.hybridRrf]], so every hybrid query
+  * spans BOTH serving families while all three maintenance surfaces
+  * (dedup fold, IVF compact, lex fold) flip pointers under it. End
+  * gates: reader_errors = 0 (plain + hybrid), IVF full-probe == brute,
+  * and served BM25 == batch BM25 over seed + survivors.
+  *
   * Usage: TriTenantScale <srcDir> [batches=5] [foldAfter=2]
-  *        [compactAfter=2] [tiered=0|1] [readers=2] */
+  *        [compactAfter=2] [tiered=0|1] [readers=2] [lex=0|1] */
 object TriTenantScale {
   private val Dims = 8
   private def fakeEmb(c: Column): Column =
@@ -37,6 +47,7 @@ object TriTenantScale {
     val compactAfter = if (args.length > 3) args(3).toInt else 2
     val tiered = args.length > 4 && args(4) == "1"
     val nReaders = if (args.length > 5) args(5).toInt else 2
+    val withLex = args.length > 6 && args(6) == "1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -50,6 +61,8 @@ object TriTenantScale {
     val mid = lo + (hi - lo) / 2
     val root = java.nio.file.Files.createTempDirectory("tritenant").toString
     val dedupDir = s"$root/dedup"; val ivfDir = s"$root/ivf"
+    val lexDir = s"$root/lex"
+    def tokCol(c: Column) = split(trim(c), "\\s+")
     val seed = docs.where(col("doc_id") <= mid)
     val nSeed = seed.count()
     val nCents = math.max(4, math.sqrt(nSeed.toDouble).toInt)
@@ -58,7 +71,11 @@ object TriTenantScale {
       seed.withColumn("embedding", fakeEmb(col("text"))),
       "doc_id", "embedding", ivfDir, nCentroids = nCents,
       distributedFit = true)
-    println(s"TRITENANT seeded docs=$nSeed cells=$nCents tiered=$tiered")
+    if (withLex) graft.jobs.LexIngestJob.seed(
+      seed.select(col("doc_id"), tokCol(col("text")).as("toks")),
+      "doc_id", "toks", lexDir)
+    println(s"TRITENANT seeded docs=$nSeed cells=$nCents tiered=$tiered " +
+      s"lex=$withLex")
 
     // ---- the serving tenant: reader threads hammering the live index.
     // Walls are tagged with the driver's current phase label so the
@@ -91,6 +108,36 @@ object TriTenantScale {
       }, s"tritenant-reader-$r")
       t.setDaemon(true); t.start(); t
     }
+    // the hybrid tenant's readers: one query spanning BOTH serving
+    // families per call, through every pointer flip of all three
+    // maintenance surfaces
+    val hybReaders = if (!withLex) Seq.empty else {
+      val terms = seed.select(explode(tokCol(col("text"))).as("term"))
+        .groupBy("term").count().orderBy(desc("count"), col("term"))
+        .limit(3).select("term").as[String].collect().toSeq
+      val qVec = seed.where(col("doc_id") === lo)
+        .withColumn("embedding", fakeEmb(col("text")))
+        .select("embedding").as[Array[Float]].head()
+      (0 until nReaders).map { r =>
+        val t = new Thread(() => {
+          while (!stop.get()) {
+            val p = "hyb-" + phase
+            val t0 = System.nanoTime()
+            try {
+              graft.operators.Retrieval.hybridRrf(spark, lexDir, ivfDir,
+                terms, qVec, k = 10, nProbe = 4)
+                .orderBy(desc("rrf"), col("doc_id")).limit(10).collect()
+              walls.add((p, (System.nanoTime() - t0) / 1e9)); ()
+            } catch {
+              case e: Throwable =>
+                readerErrors.incrementAndGet()
+                firstError.compareAndSet(null, e); ()
+            }
+          }
+        }, s"tritenant-hybrid-$r")
+        t.setDaemon(true); t.start(); t
+      }
+    }
 
     // ---- the ingest tenants: dedup loop → survivors handoff → index loop
     implicit val sqlCtx = spark.sqlContext
@@ -117,6 +164,16 @@ object TriTenantScale {
       compactAfterShards = compactAfter,
       compactBaseRatio = if (tiered) 0.3 else 0.0,
       onCompact = _ => { compactFires.incrementAndGet(); () })
+    val lexFires = new java.util.concurrent.atomic.AtomicInteger
+    val q3 = if (!withLex) None else Some(graft.jobs.LexIngestJob.start(
+      spark.readStream.schema(survivorSchema)
+        .parquet(s"$dedupDir/survivors")
+        .select(col("doc_id"), tokCol(col("text")).as("toks")),
+      "doc_id", "toks", lexDir,
+      trigger = Trigger.ProcessingTime(500L),
+      foldAfterBatches = foldAfter,
+      foldBaseRatio = if (tiered) 0.3 else 0.0,
+      onFold = _ => { lexFires.incrementAndGet(); () }))
     try {
       val step = math.max(1L, (hi - mid) / nBatches)
       (0 until nBatches).foreach { d =>
@@ -130,16 +187,19 @@ object TriTenantScale {
         q1.processAllAvailable()
         val t1 = System.nanoTime()
         q2.processAllAvailable()
+        q3.foreach(_.processAllAvailable())
         val t2 = System.nanoTime()
         println(f"TRITENANT batch${d + 1} chain=${(t2 - td) / 1e9}%.1f s " +
-          f"(dedup=${(t1 - td) / 1e9}%.1f embed_index=${(t2 - t1) / 1e9}%.1f " +
+          f"(dedup=${(t1 - td) / 1e9}%.1f index=${(t2 - t1) / 1e9}%.1f " +
           s"in=${rows.size} folds=${foldFires.get} " +
-          s"compacts=${compactFires.get} reader_errors=${readerErrors.get})")
+          s"compacts=${compactFires.get} lexfolds=${lexFires.get} " +
+          s"reader_errors=${readerErrors.get})")
       }
       phase = "drain"
       var stable = 0; var lastShards = -1; var drains = 0
       while (stable < 3 && drains < 30) {
         q2.processAllAvailable()
+        q3.foreach(_.processAllAvailable())
         val n = graft.operators.Ann.committedIvfShardCount(spark, ivfDir)
         if (n == lastShards) stable += 1 else { stable = 0; lastShards = n }
         drains += 1
@@ -148,7 +208,7 @@ object TriTenantScale {
       phase = "steady2"
       Thread.sleep(8000) // post-ingest steady window for the baseline band
       stop.set(true)
-      readers.foreach(_.join(30000))
+      (readers ++ hybReaders).foreach(_.join(30000))
       // per-phase reader percentiles
       import scala.jdk.CollectionConverters._
       val byPhase = walls.asScala.toSeq.groupBy(_._1)
@@ -192,7 +252,24 @@ object TriTenantScale {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"TRITENANT exactness ${if (ivf == brute) "OK"
         else s"MISMATCH ${ivf.diff(brute).size}/${brute.diff(ivf).size}"}")
-    } finally { stop.set(true); q1.stop(); q2.stop() }
+      if (withLex) {
+        val terms = seed.select(explode(tokCol(col("text"))).as("term"))
+          .groupBy("term").count().orderBy(desc("count"), col("term"))
+          .limit(3).select("term").as[String].collect().toSeq
+        val lexCorpus = seed
+          .unionByName(graft.jobs.DedupIngestJob.survivors(spark, dedupDir))
+          .select(col("doc_id"), tokCol(col("text")).as("toks"))
+        val want = graft.operators.TfIdf.bm25(lexCorpus, "doc_id", "toks",
+          terms).as[(Long, Double)].collect().toMap
+        val got = graft.jobs.LexIngestJob.query(spark, lexDir, terms)
+          .as[(Long, Double)].collect().toMap
+        val lexOk = got.keySet == want.keySet &&
+          want.forall { case (id, w) => math.abs(got(id) - w) < 1e-6 }
+        println(s"TRITENANT lex_exactness ${if (lexOk) "OK"
+          else s"MISMATCH got=${got.size} want=${want.size}"} " +
+          s"matched=${got.size}")
+      }
+    } finally { stop.set(true); q1.stop(); q2.stop(); q3.foreach(_.stop()) }
     spark.stop()
   }
 }
