@@ -62,7 +62,9 @@ object TriTenantScale {
     val root = java.nio.file.Files.createTempDirectory("tritenant").toString
     val dedupDir = s"$root/dedup"; val ivfDir = s"$root/ivf"
     val lexDir = s"$root/lex"
-    def tokCol(c: Column) = split(trim(c), "\\s+")
+    // the engine's canonical whitespace tokenizer — the harness must
+    // tokenize exactly like the product paths it measures
+    def tokCol(c: Column) = graft.functions.TextFunctions.tokenize(c)
     val seed = docs.where(col("doc_id") <= mid)
     val nSeed = seed.count()
     val nCents = math.max(4, math.sqrt(nSeed.toDouble).toInt)
@@ -111,10 +113,14 @@ object TriTenantScale {
     // the hybrid tenant's readers: one query spanning BOTH serving
     // families per call, through every pointer flip of all three
     // maintenance surfaces
-    val hybReaders = if (!withLex) Seq.empty else {
-      val terms = seed.select(explode(tokCol(col("text"))).as("term"))
+    // the shared term set: hybrid readers query it, the end gate
+    // verifies it — one computation so the two can never diverge
+    val lexTerms = if (!withLex) Seq.empty[String] else
+      seed.select(explode(tokCol(col("text"))).as("term"))
         .groupBy("term").count().orderBy(desc("count"), col("term"))
         .limit(3).select("term").as[String].collect().toSeq
+    val hybReaders = if (!withLex) Seq.empty else {
+      val terms = lexTerms
       val qVec = seed.where(col("doc_id") === lo)
         .withColumn("embedding", fakeEmb(col("text")))
         .select("embedding").as[Array[Float]].head()
@@ -173,6 +179,11 @@ object TriTenantScale {
       trigger = Trigger.ProcessingTime(500L),
       foldAfterBatches = foldAfter,
       foldBaseRatio = if (tiered) 0.3 else 0.0,
+      // drain window sized to the WORST hybrid reader tail this harness
+      // has measured (p95 up to ~12 s under co-tenant contention), not
+      // the 10 s default — the age gate is only a guarantee when it
+      // covers the readers actually running (review finding)
+      sweepMinAgeMs = 30000L,
       onFold = _ => { lexFires.incrementAndGet(); () }))
     try {
       val step = math.max(1L, (hi - mid) / nBatches)
@@ -253,9 +264,7 @@ object TriTenantScale {
       println(s"TRITENANT exactness ${if (ivf == brute) "OK"
         else s"MISMATCH ${ivf.diff(brute).size}/${brute.diff(ivf).size}"}")
       if (withLex) {
-        val terms = seed.select(explode(tokCol(col("text"))).as("term"))
-          .groupBy("term").count().orderBy(desc("count"), col("term"))
-          .limit(3).select("term").as[String].collect().toSeq
+        val terms = lexTerms
         val lexCorpus = seed
           .unionByName(graft.jobs.DedupIngestJob.survivors(spark, dedupDir))
           .select(col("doc_id"), tokCol(col("text")).as("toks"))

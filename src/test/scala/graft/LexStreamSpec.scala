@@ -252,8 +252,8 @@ class LexStreamSpec extends SparkSuite {
       q.processAllAvailable()   // fold fires; sources retained
       stream.addData(corpusC: _*)
       q.processAllAvailable()   // per-batch sweep runs but everything is young
-      assert(batchDirs(dir).exists(_ != "batch=1"),
-        s"young superseded shards must survive the sweep: ${batchDirs(dir)}")
+      assert(Set("batch=-1", "batch=0").subsetOf(batchDirs(dir)),
+        s"EVERY young superseded shard must survive the sweep: ${batchDirs(dir)}")
       assertScoresMatch(dir, corpusA ++ corpusB ++ corpusC,
         "retained garbage never pollutes the effective view")
     } finally q.stop()
