@@ -15,8 +15,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * this shape for its lexical retrieval plane: the day's documents
   * stream in, index maintenance stays O(delta) under tiered folds, and
   * the first-stage retrieval a pipeline runs before any embedding model
-  * (the reference's keyword side; the dense side is the IVF family, the
-  * two fused by `r1_rrf_fusion`) never stops or rebuilds.
+  * (the reference's keyword side — guessLike_u_first_select.py:50-63
+  * builds tag/author term documents and :90 rebuilds an IN-MEMORY
+  * gensim SparseMatrixSimilarity over them on every deploy; here the
+  * postings persist and grow incrementally instead. The dense side is
+  * the IVF family; `r1_rrf_fusion` / [[graft.operators.Retrieval]]
+  * fuse the two) never stops or rebuilds.
   *
   * Index contents, per the generation-log protocol
   * ([[graft.io.TieredGenLog]] — `batch=N` shards, `base-<uuid>`

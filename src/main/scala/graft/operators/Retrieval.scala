@@ -5,11 +5,13 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** First-stage hybrid retrieval SERVED FROM THE STREAMING INDEXES — the
-  * shape the reference's recommend pipeline runs (keyword candidates +
-  * embedding candidates, fused; hainan reference: the keyword side of
-  * guessLike's candidate pull + the gensim-similarity side, merged
-  * before ranking — re-expressed as one declarative plan over the two
-  * index families instead of two sequential scans).
+  * shape the reference's recommend pipeline runs: lexical candidates
+  * from the tag/author bag-of-words documents
+  * (guessLike_u_first_select.py:50-63 builds them; :90 queries a
+  * SparseMatrixSimilarity over the same term space) merged with the
+  * vector-similarity side before ranking — re-expressed as one
+  * declarative plan over the two streaming index families instead of
+  * in-memory gensim matrices rebuilt per deploy.
   *
   * The batch math is gated by `r1_rrf_fusion` (DuckDB hash-match); this
   * operator is the SERVING twin: the lexical leg reads the tiered
