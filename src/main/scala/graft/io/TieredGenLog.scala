@@ -97,10 +97,11 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
     * against the latest flip's age would never collect anything when
     * the fold cadence outpaces the drain window (review finding — every
     * fold refreshed the clock the check read). Items found superseded
-    * on disk but absent here are pre-restart leftovers whose readers
-    * are long gone: treated as infinitely old, which is also what makes
-    * the startup self-heal sweep collect a crashed cycle's garbage
-    * immediately. */
+    * on disk but absent here are pre-restart leftovers; their clock is
+    * the POINTER's mtime (the flip that superseded them happened at or
+    * before it), so cross-process readers keep their drain window
+    * across a writer restart, and an unaged sweep (`minAgeMs = 0`, the
+    * classic self-heal) still collects them immediately. */
   private val supersededAt =
     scala.collection.mutable.Map.empty[String, Long]
 
@@ -171,9 +172,18 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
   private def completeBatches(spark: SparkSession,
                               state: Option[FoldState]): Seq[Long] = {
     val hfs = fs(spark)
+    // committed = the _SUCCESS marker in EVERY component dir, head
+    // included — dir existence is NOT commit: an output dir exists from
+    // the moment its write job starts (holding only _temporary), so an
+    // existence gate admits a mid-write last component and serves
+    // postings whose doc lengths are absent (review finding). The
+    // marker lands at job commit (Spark's default committer; this
+    // protocol requires success markers enabled, the default), so a
+    // mid-write, torn, or mid-overwrite-rewrite dir is invisible and
+    // the reader view is always some committed prefix of the batch set.
     unfoldedBatches(spark, state).filter(b =>
-      components.tail.forall(c =>
-        hfs.exists(new Path(s"$idxDir/$c/batch=$b"))))
+      components.forall(c =>
+        hfs.exists(new Path(s"$idxDir/$c/batch=$b/_SUCCESS"))))
   }
 
   /** Write one micro-batch's component frames (aligned with the
@@ -291,10 +301,18 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
     // this thread's own replay rewrites before any fold) must not fold
     // one component's rows without the other's.
     val srcIds = completeBatches(spark, state)
+    // the pointer boundary must cover everything this fold consumes: a
+    // caller-supplied upToBatch below the max complete id would fold
+    // batches the boundary still marks unfolded — every such row served
+    // twice, forever (review finding; latent, current callers pass the
+    // loop's latest batch id)
+    require(srcIds.forall(_ <= upToBatch),
+      s"fold: upToBatch=$upToBatch below complete batch ids " +
+        s"${srcIds.filter(_ > upToBatch).mkString(",")} — pass the " +
+        "latest appended batch id")
     val gens = state.map(_.gens).getOrElse(Seq.empty)
     // tier decision, by BYTES (corpus mass, not dir counts): minor while
     // everything-but-the-base is still small relative to the base
-    val floor = state.map(_.maxBatch).getOrElse(Long.MinValue)
     val major = gens.isEmpty || baseRatio <= 0.0 ||
       gens.size >= maxGens || {
         val baseBytes = pathBytes(hfs, s"$idxDir/${gens.head}")
@@ -390,10 +408,11 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
     * scanning (the 50× harness measured reader queries of 1–3 s against
     * a sub-second fold→sweep gap). Items still too young survive this
     * sweep and are collected by any later one; safe to call every batch
-    * (it is one listing), and a restarted stream's first sweep collects
-    * pre-crash leftovers immediately (unknown item → infinitely old;
-    * the readers that could have been draining them died with the
-    * previous process's era). */
+    * (it is one listing). After a writer restart, pre-crash leftovers
+    * have no in-process clock and age against the pointer's mtime —
+    * an unaged sweep (`minAgeMs = 0`) collects them immediately, an
+    * aged one waits out the drain window first, so readers in OTHER
+    * processes keep their guarantee across the restart. */
   def sweep(spark: SparkSession, minAgeMs: Long = 0L): Unit =
     readState(spark).foreach { f =>
       cleanup(fs(spark), f.gens.toSet, f.maxBatch, minAgeMs)
@@ -402,8 +421,25 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
   private def cleanup(hfs: FileSystem, live: Set[String],
                       upToBatch: Long, minAgeMs: Long = 0L): Unit = {
     val now = System.currentTimeMillis()
+    // items with no in-process clock were superseded by a flip at or
+    // before the CURRENT pointer's (they only arise after a writer
+    // restart — steady-state folds record every item) — their drain
+    // clock is the pointer file's mtime. Readers in OTHER processes
+    // survive a writer restart that way: the old code deleted unknowns
+    // immediately, which is only safe when every reader died with the
+    // writer (review finding). Indeterminate age fails CLOSED (skip
+    // this cycle; a later sweep collects) — deletion on a transient
+    // error is the one wrong default for a drain guard.
+    lazy val ptrAgeOk: Boolean = {
+      val pfs = AtomicPointer.pointerIoFs(hfs)
+      val primary = new Path(s"$idxDir/FOLDED")
+      try pfs.exists(primary) &&
+        now - pfs.getFileStatus(primary).getModificationTime >= minAgeMs
+      catch { case _: java.io.IOException => false }
+    }
     def oldEnough(key: String): Boolean = minAgeMs <= 0L ||
-      now - supersededAt.getOrElse(key, 0L) >= minAgeMs
+      supersededAt.get(key).map(t => now - t >= minAgeMs)
+        .getOrElse(ptrAgeOk)
     list(hfs, idxDir).foreach { st =>
       val n = st.getPath.getName
       if ((st.isDirectory && n.startsWith("base-") && !live.contains(n) &&

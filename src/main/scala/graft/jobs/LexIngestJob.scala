@@ -65,12 +65,20 @@ object LexIngestJob {
       // parquet, paid once per fold instead of per query. The count
       // prices the layout shuffle (one extra skinny-column scan per
       // fold — folds are rare; queries are not).
-      foldWriteLayout = Map("postings" -> { df =>
-        val spark = df.sparkSession
-        val n = df.count()
-        df.repartitionByRange(graft.io.TieredGenLog.sizedParts(spark, n, 262144L), col("term"))
-          .sortWithinPartitions("term")
-      }))
+      foldWriteLayout = Map("postings" -> (df =>
+        termLayout(df, df.count()))))
+
+  /** The postings term layout: range-clustered by term in sized
+    * partitions + sorted within them, so the pushed `term IN (...)`
+    * filter skips whole files (range bounds) and row groups (parquet
+    * min/max stats). ONE definition for the two writes that pay for it
+    * — fold generations and the seed shard (the largest of an index's
+    * life) — so a layout tuning can never leave one on a stale form. */
+  private def termLayout(df: DataFrame, nRows: Long): DataFrame =
+    df.repartitionByRange(
+        graft.io.TieredGenLog.sizedParts(df.sparkSession, nRows, 262144L),
+        col("term"))
+      .sortWithinPartitions("term")
 
   /** Per-batch component frames: postings (term, id, tf) + doc lengths
     * (id, dl). `tf`/`dl` are DoubleType — BM25's arithmetic domain —
@@ -102,11 +110,12 @@ object LexIngestJob {
     try {
       val n = p.count()
       genLog(dir).writeShard(Seq(
-        p.repartitionByRange(
-            graft.io.TieredGenLog.sizedParts(spark = p.sparkSession,
-              rows = n, rowsPerFile = 262144L), col("term"))
-          .sortWithinPartitions("term"),
-        lens), -1L)
+        termLayout(p, n),
+        // lens rows = doc count <= postings rows: the bound sizes the
+        // skinny component without a second count
+        lens.repartition(
+          graft.io.TieredGenLog.sizedParts(p.sparkSession, n, 262144L))),
+        -1L)
     } finally { p.unpersist(); () }
   }
 
@@ -123,8 +132,9 @@ object LexIngestJob {
     * [[graft.io.TieredGenLog.fold]]) — with superseded generations
     * retained until the NEXT batch's sweep so concurrent queries drain.
     * A crash between fold and sweep leaves stale generations the
-    * restarted stream's first batch sweeps: restarts self-heal by
-    * construction ([[MaintenanceCycle]] arms the sweep at startup). */
+    * restarted stream's sweeps collect once their drain window (aged
+    * against the pointer's flip time) has passed: restarts self-heal
+    * without ever under-cutting readers in other processes. */
   def start(docs: DataFrame, idCol: String, tokensCol: String, dir: String,
             trigger: Trigger = Trigger.AvailableNow(),
             checkpointLocation: Option[String] = None,
@@ -137,6 +147,10 @@ object LexIngestJob {
     val base = docs.writeStream.outputMode("append")
     checkpointLocation.foreach(base.option("checkpointLocation", _))
     val log = genLog(dir)
+    // MaintenanceCycle provides only the fold budget here; its
+    // armed-once deferred sweep is deliberately NOT used (the per-item
+    // age gate below needs to retry young items every batch, which the
+    // once-per-cycle arm cannot), so there is no beforeBatch call
     val cycle = new MaintenanceCycle(foldAfterBatches,
       maintain = (spark, batchId) => {
         log.fold(spark, batchId, foldBaseRatio, maxLiveGens,
@@ -146,7 +160,6 @@ object LexIngestJob {
     base
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        cycle.beforeBatch(spark)
         // the sweep runs EVERY batch (one listing), not once per armed
         // cycle: it is age-gated per superseded item (see
         // [[graft.io.TieredGenLog.sweep]]), so items too young at one
@@ -175,7 +188,11 @@ object LexIngestJob {
               // amortizes (see genLog's foldWriteLayout)
               p.repartition(graft.io.TieredGenLog.sizedParts(spark, nPost, 65536L))
                 .sortWithinPartitions("term"),
-              lens.repartition(1)), batchId)
+              // lens rows = doc count <= postings rows: sized by the
+              // same bound, never a single-task funnel for a big batch
+              lens.repartition(
+                graft.io.TieredGenLog.sizedParts(spark, nPost, 262144L))),
+              batchId)
             onBatch(batchId, nPost)
           } finally { p.unpersist(); () }
           // by-name load: the unfolded-count listing only runs when a

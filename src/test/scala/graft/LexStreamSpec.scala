@@ -257,12 +257,17 @@ class LexStreamSpec extends SparkSuite {
       assertScoresMatch(dir, corpusA ++ corpusB ++ corpusC,
         "retained garbage never pollutes the effective view")
     } finally q.stop()
-    // a NEW process (fresh TieredGenLog — no in-memory clocks): its
-    // items are pre-restart leftovers whose readers died with the old
-    // era, collected by the first sweep regardless of the age gate
+    // a NEW process (fresh TieredGenLog — no in-memory clocks): unknown
+    // items age against the POINTER's flip time, so a configured drain
+    // window keeps protecting readers in OTHER processes across the
+    // writer restart (the flip just happened; nothing may vanish yet)...
     LexIngestJob.genLog(dir).sweep(spark, 3600000L)
+    assert(batchDirs(dir).exists(_ != "batch=1"),
+      s"cross-process drain window must hold across restart: ${batchDirs(dir)}")
+    // ...while the unaged sweep (the classic self-heal) collects now
+    LexIngestJob.genLog(dir).sweep(spark, 0L)
     assert(batchDirs(dir).forall(_ == "batch=1"),
-      s"restart sweep must collect pre-crash leftovers: ${batchDirs(dir)}")
+      s"unaged restart sweep must collect leftovers: ${batchDirs(dir)}")
     assertScoresMatch(dir, corpusA ++ corpusB ++ corpusC, "after restart sweep")
   }
 
