@@ -224,11 +224,10 @@ object CorpusPrep {
     }
     (dsirTarget, dsirKeep) match {
       case (Some(target), keep) if keep > 0 =>
-        val weights = graft.operators.Dsir.importanceWeights(
+        val weights = graft.operators.Dsir.importanceWeightsTokens(
           decontaminated.withColumn("__toks",
             TextFunctions.tokenize(lower(col(textCol)))),
-          idCol, graft.operators.Dsir.unigramBigram(col("__toks")),
-          target, dsirBuckets)
+          idCol, col("__toks"), target, dsirBuckets)
         val u = (pmod(xxhash64(col(idCol), lit(cfg.splitSeed)),
           lit(1L << 52)) + 0.5) / lit((1L << 52).toDouble)
         val selected = graft.operators.Dsir.resampleTopK(

@@ -42,13 +42,17 @@ object BpeTrain {
       var exhausted = false
       while (!exhausted && merges.length < numMerges) {
         val syms = column(BpeTokenize(expression(col("word")), merges))
+        // native AdjacentPairs (r14): one primitive pass per word instead
+        // of the interpreted transform+element_at lambda, and no size>=2
+        // pre-filter — the filter referenced the BpeTokenize column and
+        // could double-evaluate the (expensive, merge-list-long) segmenter
+        // per row (guide §4.4's duplicated-expression trap); exploding an
+        // empty pair array yields no rows, so results are identical.
         val best = words
           .select(col("cnt"), syms.as("s"))
-          .where(size(col("s")) >= 2)
           .select(col("cnt"),
-            explode(transform(sequence(lit(1), size(col("s")) - 1),
-              i => struct(element_at(col("s"), i).as("w1"),
-                element_at(col("s"), i + 1).as("w2")))).as("p"))
+            explode(column(graft.expressions.AdjacentPairs(
+              expression(col("s")), padded = false))).as("p"))
           .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
           .agg(sum(col("cnt")).as("n"))
           // a pair occurring once can be merged but never reused — stop at

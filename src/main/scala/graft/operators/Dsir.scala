@@ -54,6 +54,38 @@ object Dsir {
       .select(col(idCol).as("__id"), isTarget.as("__t"), gramsCol.as("__gs"))
       .select(col("__id"), col("__t"), explode(col("__gs")).as("__g"))
       .select(col("__id"), col("__t"), bkt(col("__g")).as("__b"))
+    weightsFromBuckets(g, idCol, buckets)
+  }
+
+  /** [[importanceWeights]] specialized to the standard token-array +
+    * unigram∪bigram feature set: gram hashing runs in ONE native pass per
+    * row ([[graft.expressions.TokenGramHashes]] — no interpreted
+    * `transform` lambda, no intermediate gram strings on the FNV path)
+    * and only 8-byte hashes ride the explode. Exactly the same buckets,
+    * counts and weights as `importanceWeights(docs, id,
+    * unigramBigram(toks), …)` with the matching `bucketOf` (`fnv = true` ⇒
+    * the [[graft.expressions.Fnv1a64]] replayable form, `false` ⇒ the
+    * default `xxhash64`); DsirSpec pins the equivalence. */
+  def importanceWeightsTokens(docs: DataFrame, idCol: String, toksCol: Column,
+                              isTarget: Column, buckets: Int,
+                              fnv: Boolean = false): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val hashes =
+      column(graft.expressions.TokenGramHashes(expression(toksCol), fnv))
+    val g = docs
+      .select(col(idCol).as("__id"), isTarget.as("__t"), hashes.as("__hs"))
+      .select(col("__id"), col("__t"), explode(col("__hs")).as("__h"))
+      .select(col("__id"), col("__t"),
+        pmod(col("__h"), lit(buckets.toLong)).as("__b"))
+    weightsFromBuckets(g, idCol, buckets)
+  }
+
+  /** Shared aggregation tail: per-(doc, bucket) counts → corpus/target
+    * bucket LMs → smoothed log-ratio → per-doc weight (see
+    * [[importanceWeights]]'s scaladoc for the plan-shape invariants). */
+  private def weightsFromBuckets(g: DataFrame, idCol: String,
+                                 buckets: Int): DataFrame = {
     val docb = g.groupBy("__id", "__t", "__b").agg(count(lit(1)).as("__c"))
     val bc = docb.groupBy("__b").agg(
       sum(col("__c")).as("__cr"),

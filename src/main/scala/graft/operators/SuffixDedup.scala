@@ -85,14 +85,17 @@ object SuffixDedup {
     // (off > len − w0) are never emitted, matching the inner-join
     // induction below.
     val w0 = math.min(8L, minLength.toLong)
+    // native SlidingWindows (r14): one primitive loop per row builds the
+    // window array — the interpreted transform+substring lambda this
+    // replaces was a measurable slice of the seed round's task time, and
+    // the too-short guard is folded into the kernel (len < w0 ⇒ empty).
     val wins = docs
       .select(col(idCol).as("__doc"), col(textCol).as("__t"))
       .select(col("__doc"),
-        posexplode(
-          when(length(col("__t")) >= w0,
-            transform(sequence(lit(1), length(col("__t")) - lit(w0 - 1)),
-              i => substring(col("__t"), i, lit(w0.toInt))))
-            .otherwise(array().cast("array<string>")))
+        posexplode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.expressions.SlidingWindows(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              col("__t")), w0.toInt)))
           .as(Seq("__off", "__c")))
       .select(col("__doc"), col("__off").cast("long").as("__off"), col("__c"))
     // PRUNE-UNIQUE invariant (the scale property): after every round, only

@@ -44,15 +44,18 @@ object Lm {
         |  CAST(count(*) AS BIGINT) AS n_bigrams
         |FROM gg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY gg.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
       val toks = tokenize(lower(col("text")))
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), toks.as("toks"))
         .where(size(col("toks")) >= 2)
-      // only (doc_id, w1, w2) rides the explode — never the text
+      // only (doc_id, w1, w2) rides the explode — never the text; native
+      // AdjacentPairs (r14) replaces the interpreted transform+element_at
+      // lambda (this subtree is instantiated three times in the plan:
+      // c2, c1 and the final join)
       val g = docs.select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("toks")) - 1),
-            i => struct(element_at(col("toks"), i).as("w1"),
-              element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+          explode(column(graft.expressions.AdjacentPairs(
+            expression(col("toks")), padded = false))).as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val c2 = g.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       val c1 = g.groupBy("w1").agg(count(lit(1)).as("c1"))
@@ -151,14 +154,13 @@ object Lm {
         |  CAST(sum(c) AS BIGINT) AS n_grams
         |FROM db JOIN lr USING (b)
         |GROUP BY db.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
       val docs = Tables.documents(s, d)
         .withColumn("toks", tokenize(lower(col("text"))))
-      graft.operators.Dsir.importanceWeights(docs, "doc_id",
-          graft.operators.Dsir.unigramBigram(col("toks")),
-          col("lang") === "en", buckets = 1024,
-          bucketOf = g => pmod(
-            column(graft.expressions.Fnv1a64(expression(g))), lit(1024L)))
+      // one native gram-hash pass (TokenGramHashes fnv) — identical FNV
+      // buckets to the unigramBigram + Fnv1a64 chain, no interpreted
+      // transform and no gram strings in the plan (r14, DsirSpec-pinned)
+      graft.operators.Dsir.importanceWeightsTokens(docs, "doc_id",
+          col("toks"), col("lang") === "en", buckets = 1024, fnv = true)
         .select(col("doc_id"), round(col("logw"), 6).as("logw"),
           col("n_grams"))
         .orderBy("doc_id")

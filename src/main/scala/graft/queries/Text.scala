@@ -1211,11 +1211,16 @@ object Text {
         |SELECT gram, CAST(count(*) AS BIGINT) AS n
         |FROM b GROUP BY gram
         |ORDER BY n DESC, gram LIMIT 50""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      // ONE native pass builds the "w1 w2" gram strings
+      // (TokenGramStrings) — replaces the interpreted transform+slice+
+      // array_join lambda AND the separate size>=2 pre-filter, which cost
+      // a second full tokenize of the corpus (short docs now simply yield
+      // an empty gram array). Same grams, same counts (r14).
       val toks = tokenize(col("text"))
       Tables.documents(s, d)
-        .where(size(toks) >= 2)
-        .select(explode(transform(sequence(lit(1), size(toks) - 1),
-          i => array_join(slice(toks, i, lit(2)), " "))).as("gram"))
+        .select(explode(column(graft.expressions.TokenGramStrings(
+          expression(toks), 2))).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram").asc).limit(50)
     },
@@ -1247,16 +1252,33 @@ object Text {
         |      WHERE cab >= 5)
         |SELECT w1, w2, round(ln(ratio), 6) AS pmi
         |FROM r ORDER BY ratio DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
       val docs = Tables.documents(s, d)
       val toks = tokenize(col("text"))
-      val uni = docs.select(explode(toks).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-      val bi = docs.where(size(toks) >= 2)
-        .select(explode(transform(sequence(lit(1), size(toks) - 1),
-          i => struct(element_at(toks, i).as("w1"),
-            element_at(toks, i + 1).as("w2")))).as("g"))
+      // ONE corpus pass (r14; was five explode+tokenize subtrees — uni on
+      // each join side, bi, and the n/m totals each re-scanned): PADDED
+      // adjacent pairs (native AdjacentPairs — every token appears exactly
+      // once as w1; the terminal entry carries w2 = null) aggregate once,
+      // and everything else derives from those counts — unigram counts =
+      // sum over the padded groups by w1 (exact: each token position is
+      // one padded row), bigram counts = the non-null-w2 groups, totals =
+      // re-aggregates. Same integer counts ⇒ bit-identical ratios. The
+      // five downstream subtrees (bi, uni×2, n, m) do NOT dedup via
+      // ReusedExchange — each join pushes different isnotnull filters
+      // below the aggregate, so the exchanges diverge — hence the
+      // aggregated counts are persisted EAGERLY (the d5/minHashLsh
+      // caller-owned-cache idiom; Bench clears the session cache per run,
+      // so every timed run still computes from parquet): one corpus pass
+      // feeds all five consumers from the (small) count table.
+      val bc = docs
+        .select(explode(column(graft.expressions.AdjacentPairs(
+          expression(toks), padded = true))).as("g"))
         .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bc.count()   // materialize before the five consumers race to build it
+      val uni = bc.groupBy(col("w1").as("w")).agg(sum(col("cab")).as("c"))
+      val bi = bc.where(col("w2").isNotNull)
       val n = uni.agg(sum(col("c")).cast("double").as("n"))
       val m = bi.agg(sum(col("cab")).cast("double").as("m"))
       val ratio = col("cab").cast("double") * col("n") * col("n") /
