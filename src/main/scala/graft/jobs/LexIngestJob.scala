@@ -26,18 +26,27 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * ([[graft.io.TieredGenLog]] — `batch=N` shards, `base-<uuid>`
   * generations, the FOLDED pointer):
   *
-  *   postings — (term, id, tf): one row per distinct (document, term)
-  *   docs     — (id, dl): document token lengths
+  *   postings — (term, id, tf, dl): one row per distinct (document,
+  *              term), with the document length denormalized onto it
+  *              (the Lucene-norms layout — scoring needs dl for exactly
+  *              the pruned posting rows, never a docs-component join)
+  *   docs     — (id, dl): document token lengths (corpus bookkeeping)
+  *   stats    — (n, sum_dl): ONE row per shard — the corpus-stat
+  *              sidecar; N/avgdl at query time are sums over these rows
+  *              (exact integral doubles ⇒ bit-identical to a full
+  *              count/avg scan), so per-query cost no longer grows with
+  *              the corpus (r13 verdict's last O(corpus) serving term)
   *
-  * Everything BM25 needs — tf from postings, df/N/avgdl aggregated over
-  * the effective view at query time — derives from those two components,
-  * so folds are pure relayout: scores are IDENTICAL before and after a
-  * fold (LexStreamSpec pins score-exactness against the batch
+  * Everything BM25 needs — tf/dl from the pruned postings, df aggregated
+  * in-plan, N/avgdl from the sidecar sums — stays PER-SHARD-immutable,
+  * so folds are pure relayout (the stats fold-layout combines rows by
+  * summing, aggregate-preserving): scores are IDENTICAL before and after
+  * a fold (LexStreamSpec pins score-exactness against the batch
   * [[graft.operators.TfIdf.bm25]] at every lifecycle step). Keeping
-  * df/N/avgdl out of the stored index (computed in-plan per query) is
-  * what makes the shards immutable and the merge trivial: corpus-global
-  * statistics would otherwise need rewriting on every append — the
-  * classic reason Lucene-style engines patch segment stats at read time.
+  * df and the COMBINED N/avgdl out of the stored rows is what makes
+  * shards immutable and the merge trivial: corpus-global statistics
+  * would otherwise need rewriting on every append — the classic reason
+  * Lucene-style engines patch segment stats at read time.
   *
   * Delivery semantics: at-least-once with result-idempotent replay — a
   * replayed batch's component frames are deterministic functions of the
@@ -56,17 +65,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object LexIngestJob {
 
   private[graft] def genLog(dir: String): graft.io.TieredGenLog =
-    new graft.io.TieredGenLog(s"$dir/index", Seq("postings", "docs"),
-      "lexical index",
+    new graft.io.TieredGenLog(s"$dir/index",
+      Seq("postings", "docs", "stats"), "lexical index",
       // generation layout: postings range-clustered by term + sorted
       // within partitions, so [[query]]'s pushed `term IN (...)`
       // predicate skips whole files (range bounds) and row groups
       // (parquet min/max stats) — posting-list locality from plain
       // parquet, paid once per fold instead of per query. The count
       // prices the layout shuffle (one extra skinny-column scan per
-      // fold — folds are rare; queries are not).
-      foldWriteLayout = Map("postings" -> (df =>
-        termLayout(df, df.count()))))
+      // fold — folds are rare; queries are not). The stats sidecar
+      // folds to its single combined row (sums of exact integral
+      // doubles — aggregate-preserving, so scores stay fold-invariant).
+      foldWriteLayout = Map(
+        "postings" -> (df => termLayout(df, df.count())),
+        "stats" -> (df => df.coalesce(1).groupBy().agg(
+          sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl")))))
 
   /** The postings term layout: range-clustered by term in sized
     * partitions + sorted within them, so the pushed `term IN (...)`
@@ -80,22 +93,45 @@ object LexIngestJob {
         col("term"))
       .sortWithinPartitions("term")
 
-  /** Per-batch component frames: postings (term, id, tf) + doc lengths
-    * (id, dl). `tf`/`dl` are DoubleType — BM25's arithmetic domain —
-    * so query plans never re-cast per row. Public: the batch
+  /** Per-batch component frames: postings (term, id, tf, dl) + doc
+    * lengths (id, dl). `tf`/`dl` are DoubleType — BM25's arithmetic
+    * domain — so query plans never re-cast per row. Public: the batch
     * `lx1_postings_bm25` gate builds its index view through this exact
     * function, so the DuckDB oracle certifies the shard construction the
-    * streaming loop writes. */
+    * streaming loop writes.
+    *
+    * r14: postings DENORMALIZE the document length (`dl` rides every
+    * posting row, attached in the same explode+aggregate — no join).
+    * This is the Lucene-norms layout: at query time the score needs dl
+    * for exactly the pruned posting rows, and carrying it in the
+    * postings removes the per-query full scan of the docs component the
+    * old `tf JOIN lens` paid — the one per-query term that grew with
+    * corpus size (r13 verdict). Costs 8 bytes per posting at rest; the
+    * docs component stays (corpus bookkeeping + the stats sidecar's
+    * source), and folds remain pure relayout. */
   def componentsOf(docs: DataFrame, idCol: String,
                    tokensCol: String): (DataFrame, DataFrame) = {
     val base = docs.select(col(idCol).as("id"), col(tokensCol).as("toks"))
     val postings = base
-      .select(col("id"), explode(col("toks")).as("term"))
-      .groupBy("term", "id").agg(count(lit(1)).cast("double").as("tf"))
+      .select(col("id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "id", "dl").agg(count(lit(1)).cast("double").as("tf"))
+      .select("term", "id", "tf", "dl")
     val lens = base.select(col("id"),
       size(col("toks")).cast("double").as("dl"))
     (postings, lens)
   }
+
+  /** The per-shard corpus-stat sidecar row: (n = doc count, sum_dl =
+    * total token count), both exact integral doubles — sums of shard
+    * sidecars therefore reproduce the corpus-wide `count`/`avg(dl)`
+    * BIT-identically (integer-valued doubles sum exactly below 2^53),
+    * which is what lets [[query]] price N/avgdl from a handful of
+    * one-row files instead of scanning the docs component per query
+    * (r13 verdict: the last per-query O(corpus) term). */
+  def statsOf(lens: DataFrame): DataFrame =
+    lens.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).as("sum_dl"))
 
   /** Index an existing corpus as the stream's starting state
     * (`batch=-1`), the [[DedupIngestJob.seed]] analogue. */
@@ -114,7 +150,8 @@ object LexIngestJob {
         // lens rows = doc count <= postings rows: the bound sizes the
         // skinny component without a second count
         lens.repartition(
-          graft.io.TieredGenLog.sizedParts(p.sparkSession, n, 262144L))),
+          graft.io.TieredGenLog.sizedParts(p.sparkSession, n, 262144L)),
+        statsOf(lens)),
         -1L)
     } finally { p.unpersist(); () }
   }
@@ -191,7 +228,8 @@ object LexIngestJob {
               // lens rows = doc count <= postings rows: sized by the
               // same bound, never a single-task funnel for a big batch
               lens.repartition(
-                graft.io.TieredGenLog.sizedParts(spark, nPost, 262144L))),
+                graft.io.TieredGenLog.sizedParts(spark, nPost, 262144L)),
+              statsOf(lens)),
               batchId)
             onBatch(batchId, nPost)
           } finally { p.unpersist(); () }
@@ -214,37 +252,42 @@ object LexIngestJob {
     * retrieval; left unlimited here so callers compose (top-k, RRF
     * fusion with the dense side, score thresholds) without re-scoring.
     *
-    * Scale shape: postings prune to the query terms FIRST (broadcast
-    * semi-join — the scan reads only `term`-matching row groups after
-    * pushdown), df/N/avgdl are in-plan aggregations broadcast back, and
-    * the per-(id, term) score never shuffles wider than the pruned
-    * postings. The unpruned components are touched only by the two
-    * corpus-stat aggregates (count + avg over `docs`), which read the
-    * skinny length component, never the postings. */
+    * Scale shape (r14 — NOTHING here scans with the corpus per query):
+    * postings prune to the query terms FIRST (pushed `IN` + broadcast
+    * semi-join — the scan reads only `term`-matching row groups), `dl`
+    * rides the pruned posting rows themselves (denormalized at shard
+    * write), and N/avgdl come from the one-row-per-shard stats sidecar —
+    * sums of exact integral doubles, bit-identical to the old full-scan
+    * `count`/`avg` (LexStreamSpec pins serving == batch BM25). The docs
+    * component is not touched at all at query time. */
   def query(spark: SparkSession, dir: String, terms: Seq[String],
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "lexical query needs at least one term")
     val view = genLog(dir).effective(spark).getOrElse(
       throw new IllegalStateException(
         s"no lexical index at $dir — nothing has been ingested"))
-    val Seq(postings, lens) = view: @unchecked
+    val Seq(postings, _, statsRows) = view: @unchecked
     // explicit IN predicate (not just the scorer's semi-join): a join
     // never reaches the parquet scan, so without this every query reads
     // the full postings index; as a pushed filter it skips whole files
     // and row groups against the fold layout's term clustering
-    scoreBm25(postings.where(col("term").isin(terms.distinct: _*)),
-      lens, terms, k1, b)
+    scoreBm25Pruned(
+      postings.where(col("term").isin(terms.distinct: _*)),
+      statsRows.agg(sum(col("n")).as("n"),
+        (sum(col("sum_dl")) / sum(col("n"))).as("avgdl")),
+      terms, k1, b)
   }
 
-  /** The scorer itself, callable on any (postings, doc-length) pair —
-    * the serving path above and the batch `lx1_postings_bm25` gate query
-    * share this plan, so the DuckDB oracle certifies the exact code the
-    * streaming index serves. */
-  def scoreBm25(postings: DataFrame, lens: DataFrame, terms: Seq[String],
-                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** The scorer over (postings-with-dl, corpus stats), callable on any
+    * such pair — the serving path above and the batch `lx1_postings_bm25`
+    * gate query share this plan tail, so the DuckDB oracle certifies the
+    * exact scoring code the streaming index serves. `stats` is ONE row
+    * (n, avgdl) from any exactness-preserving source: the sidecar sums
+    * (serving) or a direct `count`/`avg` over the doc lengths (batch). */
+  def scoreBm25Pruned(postings: DataFrame, stats: DataFrame,
+                      terms: Seq[String], k1: Double = 1.2,
+                      b: Double = 0.75): DataFrame = {
     val spark = postings.sparkSession
-    val stats = lens.agg(count(lit(1)).cast("double").as("n"),
-      avg(col("dl")).as("avgdl"))
     val q = broadcast(
       spark.createDataFrame(terms.distinct.map(Tuple1(_))).toDF("term"))
     val tf = postings.join(q, Seq("term"))
@@ -252,7 +295,6 @@ object LexIngestJob {
     val idf: Column =
       log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     tf.join(broadcast(df), "term")
-      .join(lens, "id")
       .crossJoin(broadcast(stats))
       .withColumn("s",
         idf * col("tf") * (k1 + 1.0) /
@@ -260,4 +302,14 @@ object LexIngestJob {
             lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("id").agg(sum(col("s")).as("score"))
   }
+
+  /** Batch-form scorer: stats from a direct aggregate over the doc
+    * lengths (the lx1 gate's shape — no index on disk, so no sidecar),
+    * then the same [[scoreBm25Pruned]] tail the serving path runs. */
+  def scoreBm25(postings: DataFrame, lens: DataFrame, terms: Seq[String],
+                k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreBm25Pruned(postings,
+      lens.agg(count(lit(1)).cast("double").as("n"),
+        avg(col("dl")).as("avgdl")),
+      terms, k1, b)
 }

@@ -49,9 +49,38 @@ object LexServeBench {
     val raw = terms.map(t => time {
       graft.operators.TfIdf.bm25(docs, "doc_id", "toks", t)
         .orderBy(desc("score"), col("id")).limit(10).collect(); () })
+    // the r13 serving shape, reconstructed against the same index: corpus
+    // stats from a full count/avg scan of the docs component + dl
+    // attached by joining the full docs component — the two per-query
+    // O(corpus-docs) terms the r14 sidecar/denormalization removed.
+    // Timed here so one run prices old-vs-new on identical data; scores
+    // are identical by construction.
+    val view = graft.jobs.LexIngestJob.genLog(indexDir)
+      .effective(spark).get
+    val (postings, lens) = (view(0), view(1))
+    val legacy = terms.map(t => time {
+      val pruned = postings.drop("dl")
+        .where(col("term").isin(t.distinct: _*))
+      val stats = lens.agg(count(lit(1)).cast("double").as("n"),
+        avg(col("dl")).as("avgdl"))
+      val q = org.apache.spark.sql.functions.broadcast(
+        spark.createDataFrame(t.distinct.map(Tuple1(_))).toDF("term"))
+      val tf = pruned.join(q, Seq("term"))
+      val dfc = tf.groupBy("term")
+        .agg(count(lit(1)).cast("double").as("df"))
+      val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+      tf.join(org.apache.spark.sql.functions.broadcast(dfc), "term")
+        .join(lens, "id")
+        .crossJoin(org.apache.spark.sql.functions.broadcast(stats))
+        .withColumn("s", idf * col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("id").agg(sum(col("s")).as("score"))
+        .orderBy(desc("score"), col("id")).limit(10).collect(); () })
     println(f"LEXBENCH queries=${terms.size} " +
-      f"index_p50=${median(idx)}%.2f raw_p50=${median(raw)}%.2f " +
-      f"speedup=${median(raw) / median(idx)}%.1fx")
+      f"index_p50=${median(idx)}%.2f legacy_docscan_p50=${median(legacy)}%.2f " +
+      f"raw_p50=${median(raw)}%.2f " +
+      f"speedup_vs_raw=${median(raw) / median(idx)}%.1fx " +
+      f"speedup_vs_legacy=${median(legacy) / median(idx)}%.1fx")
     spark.stop()
   }
 }

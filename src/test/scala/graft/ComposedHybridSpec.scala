@@ -133,7 +133,8 @@ class ComposedHybridSpec extends SparkSuite {
     val (cp, cl) = graft.jobs.LexIngestJob.componentsOf(
       finalSurvivors.select(col("doc_id"), tok(col("text")).as("toks")),
       "doc_id", "toks")
-    graft.jobs.LexIngestJob.genLog(lexCtl).writeShard(Seq(cp, cl), 0L)
+    graft.jobs.LexIngestJob.genLog(lexCtl).writeShard(
+      Seq(cp, cl, graft.jobs.LexIngestJob.statsOf(cl)), 0L)
 
     // ---- the composed claim: the HYBRID FUSION served from the
     // crash-replayed, folded live indexes equals the clean control

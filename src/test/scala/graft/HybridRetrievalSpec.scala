@@ -88,7 +88,8 @@ class HybridRetrievalSpec extends SparkSuite {
     val rest = docs.where(col("doc_id") >= 250)
     LexIngestJob.seed(first, "doc_id", "toks", lexDir)
     LexIngestJob.componentsOf(rest, "doc_id", "toks") match {
-      case (p, l) => LexIngestJob.genLog(lexDir).writeShard(Seq(p, l), 0L)
+      case (p, l) => LexIngestJob.genLog(lexDir).writeShard(
+        Seq(p, l, LexIngestJob.statsOf(l)), 0L)
     }
     Ann.buildIvfIndex(emb.where(col("vec_id") < 250), "vec_id",
       "embedding", ivfDir, nCentroids = 8)

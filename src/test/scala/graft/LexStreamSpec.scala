@@ -217,6 +217,22 @@ class LexStreamSpec extends SparkSuite {
       s"postings scan must carry the pushed term filter:\n$plan")
   }
 
+  test("query never scans the docs component: dl rides the pruned postings, N/avgdl the one-row stats sidecar (r14)") {
+    val dir = java.nio.file.Files.createTempDirectory("lexstat").toString
+    LexIngestJob.seed(tokenized(corpusA), "doc_id", "toks", dir)
+    val q = LexIngestJob.query(spark, dir, terms)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the old shape scanned docs twice per query (count/avg stats + the
+    // dl join) — both O(corpus docs); the new plan must not touch it
+    assert(!plan.contains("/docs"),
+      s"query plan must not read the docs component:\n$plan")
+    assert(plan.contains("/stats"),
+      s"query plan must read the stats sidecar:\n$plan")
+    // and the sidecar path must be value-exact vs the full-scan form
+    assertScoresMatch(dir, corpusA, "sidecar stats exact")
+  }
+
   test("a torn shard (first component written, second missing) is invisible until the replay rewrites it") {
     val dir = java.nio.file.Files.createTempDirectory("lextorn").toString
     LexIngestJob.seed(tokenized(corpusA), "doc_id", "toks", dir)
@@ -232,7 +248,8 @@ class LexStreamSpec extends SparkSuite {
     // the replay rewrites both dirs (overwrite-keyed) — now it serves
     val (p2, l2) = LexIngestJob.componentsOf(tokenized(corpusB),
       "doc_id", "toks")
-    LexIngestJob.genLog(dir).writeShard(Seq(p2, l2), 0L)
+    LexIngestJob.genLog(dir).writeShard(
+      Seq(p2, l2, LexIngestJob.statsOf(l2)), 0L)
     assertScoresMatch(dir, corpusA ++ corpusB, "after replay rewrite")
   }
 
