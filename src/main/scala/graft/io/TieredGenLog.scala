@@ -190,10 +190,35 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
     * constructor's component order) as `batch=N` shards. Mode overwrite
     * keyed by the deterministic micro-batch id — the at-least-once
     * replay's idempotence anchor: a replayed batch rewrites the same
-    * dirs with the same rows rather than appending duplicates. */
+    * dirs with the same rows rather than appending duplicates.
+    *
+    * Known window (r13 ADVICE): a restart replay of an ALREADY-COMMITTED
+    * batch first deletes the dir (including its _SUCCESS) and rewrites
+    * it — an external reader that planned against that batch dir before
+    * the restart can fail mid-scan during the rewrite. The retain +
+    * aged-sweep drain contract covers fold-superseded dirs, not this
+    * replay-rewrite window; it is bounded by the single replayed batch
+    * immediately after a writer restart (steady state never rewrites a
+    * committed dir). Deployments serving external readers through a
+    * writer restart should treat a reader error in that window as
+    * transient and retry the query. */
   def writeShard(frames: Seq[DataFrame], batchId: Long): Unit = {
     require(frames.length == components.length,
       s"writeShard: ${frames.length} frames for ${components.length} components")
+    // completeness is gated on the committer's _SUCCESS markers
+    // (completeBatches): with marksuccessfuljobs=false — a common
+    // object-store override — every shard would be PERMANENTLY invisible
+    // to reads and folds, and fold's cleanup would delete the unconsumed
+    // batch dirs: silent data loss. Fail loudly up front (r13 ADVICE).
+    val hconf =
+      frames.head.sparkSession.sparkContext.hadoopConfiguration
+    require(hconf.getBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+      "TieredGenLog requires " +
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs=true: shard " +
+        "completeness is gated on _SUCCESS commit markers — with them " +
+        "disabled every shard is invisible and fold cleanup deletes " +
+        "unconsumed batches")
     components.zip(frames).foreach { case (comp, df) =>
       df.write.mode("overwrite").parquet(s"$idxDir/$comp/batch=$batchId")
     }
@@ -310,6 +335,19 @@ final class TieredGenLog(val idxDir: String, components: Seq[String],
       s"fold: upToBatch=$upToBatch below complete batch ids " +
         s"${srcIds.filter(_ > upToBatch).mkString(",")} — pass the " +
         "latest appended batch id")
+    // cleanup deletes EVERY batch dir at/below the boundary — including
+    // an incomplete (marker-less) one this fold did not consume. Under
+    // the single-writer replay-before-fold contract that set is empty;
+    // if a foreign writer (or a marker-disabling config that slipped past
+    // writeShard) left one, deleting it is silent data loss — fail
+    // loudly instead (r13 ADVICE).
+    val incomplete =
+      unfoldedBatches(spark, state).filter(_ <= upToBatch).toSet -- srcIds.toSet
+    require(incomplete.isEmpty,
+      s"fold: incomplete (marker-less) batch dirs at/below the boundary " +
+        s"$upToBatch: ${incomplete.toSeq.sorted.mkString(",")} — a fold " +
+        "would consume nothing from them and cleanup would delete them; " +
+        "replay them first (single-writer contract)")
     val gens = state.map(_.gens).getOrElse(Seq.empty)
     // tier decision, by BYTES (corpus mass, not dir counts): minor while
     // everything-but-the-base is still small relative to the base

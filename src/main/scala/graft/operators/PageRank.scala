@@ -56,11 +56,26 @@ object PageRank {
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1) (got $damping)")
     val spark = edges.sparkSession
+    // Persist the three iteration-invariant frames ONCE (r14): every
+    // iteration's subtree references e twice (contrib join + outd) and
+    // nodes once, and without a materialization point each reference
+    // re-executes the caller's edge DERIVATION — for the g1 gate that is
+    // the orders⋈lineitem join, re-run ~11 times over 3 iterations
+    // (88 parquet scans in the audited plan). Eager MEMORY_AND_DISK
+    // persists (the bfsDistances/connectedComponents contract — lineage
+    // kept, spills to disk, caller-owned release via the Staged hook;
+    // Bench clears the session cache per run, so every timed run still
+    // computes from parquet). Results are bit-identical: a persist is a
+    // pure materialization point.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val outd = e.groupBy("src").agg(count(lit(1)).cast("double").as("outd"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.agg(count(lit(1)).cast("double").as("n"))
     var pr = nodes.crossJoin(broadcast(n))
       .select(col("v"), (lit(1.0) / col("n")).as("pr"))
@@ -85,6 +100,9 @@ object PageRank {
       }
     }
     val retained = barrier
-    Dedup.Staged(pr, () => retained.foreach(_.unpersist()))
+    Dedup.Staged(pr, () => {
+      retained.foreach(_.unpersist())
+      e.unpersist(); nodes.unpersist(); outd.unpersist(); ()
+    })
   }
 }

@@ -173,11 +173,19 @@ object FoldEconScale {
       if (tiered)
         graft.operators.Ann.compactIvfIndexTiered(spark, dir,
           baseRatio = 0.3)
-      val appends = emb.orderBy(org.apache.spark.sql.functions.desc("vec_id"))
-        .limit(batchN)
-      val half = (appends.count() / 2).toInt
+      // a DISJOINT vec_id window per fire (r13 ADVICE): re-appending the
+      // same fixed frame every fire accumulated duplicate ids across
+      // trials — the "steady minor" fires were measured against a base
+      // whose composition drifted from the claimed shape, and leftovers
+      // would skew any exactness probe on the index
+      val pool = emb.orderBy(org.apache.spark.sql.functions.desc("vec_id"))
+        .limit(3 * batchN).orderBy("vec_id")
       (1 to 3).foreach { fire =>
-        graft.operators.Ann.appendIvfShard(appends.limit(half),
+        val appends = pool.offset((fire - 1) * batchN).limit(batchN)
+        val half = (appends.count() / 2).toInt
+        graft.operators.Ann.appendIvfShard(
+          appends.orderBy(org.apache.spark.sql.functions.desc("vec_id"))
+            .limit(half),
           "vec_id", "embedding", dir)
         graft.operators.Ann.appendIvfShard(
           appends.orderBy("vec_id").limit(half),

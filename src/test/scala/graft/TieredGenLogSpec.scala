@@ -108,4 +108,39 @@ class TieredGenLogSpec extends SparkSuite {
     log.writeShard(frames(5 until 8), 1L)
     assert(idsOf(log, 0) == (0L until 8L).toSet)
   }
+
+  test("fold fails loudly on an incomplete batch at/below the boundary instead of deleting it (r14)") {
+    val dir = java.nio.file.Files.createTempDirectory("glinc").toString
+    val log = mk(dir)
+    log.writeShard(frames(0 until 5), 0L)
+    // incomplete batch 1 (head component only, no later components):
+    // under the single-writer replay-before-fold contract this never
+    // exists at fold time — if it does (foreign writer, marker-eating
+    // config), cleanup would silently delete it
+    frames(5 until 8)(0).write.parquet(s"$dir/index/alpha/batch=1")
+    val e = intercept[IllegalArgumentException] { log.fold(spark, 1L) }
+    assert(e.getMessage.contains("incomplete"), e.getMessage)
+    assert(spark.read.parquet(s"$dir/index/alpha/batch=1").count() == 3L,
+      "the incomplete batch dir must survive the refused fold")
+    // completing the batch unblocks the same fold
+    log.writeShard(frames(5 until 8), 1L)
+    log.fold(spark, 1L)
+    assert(idsOf(log, 0) == (0L until 8L).toSet)
+  }
+
+  test("writeShard refuses a session whose committer has _SUCCESS markers disabled (r14)") {
+    val dir = java.nio.file.Files.createTempDirectory("glmark").toString
+    val log = mk(dir)
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setBoolean(key, false)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        log.writeShard(frames(0 until 3), 0L)
+      }
+      assert(e.getMessage.contains("marksuccessfuljobs"), e.getMessage)
+    } finally hconf.setBoolean(key, true)
+    log.writeShard(frames(0 until 3), 0L)   // markers back on: accepted
+    assert(idsOf(log, 0) == Set(0L, 1L, 2L))
+  }
 }
